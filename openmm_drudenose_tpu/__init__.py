@@ -1,0 +1,40 @@
+"""openmm_drudenose_tpu — a TPU-native Drude-polarizable MD engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+scychon/openmm_drudeNose OpenMM plugin (Temperature-Grouped dual Nose-Hoover
+thermostat for extended-Lagrangian Drude MD, Son et al. JPCL 2019) plus the
+minimal force/constraint/virtual-site substrate the plugin borrows from the
+host OpenMM library.
+
+Quick start::
+
+    import openmm_drudenose_tpu as dn
+
+    system = dn.System()
+    ... add particles / forces ...
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001)
+    ctx = dn.Context(system, integ)
+    ctx.setPositions(pos)
+    integ.step(1000)
+"""
+
+from .system import (System, TwoParticleAverageSite, ThreeParticleAverageSite,
+                     OutOfPlaneSite)
+from .forces.drude import DrudeForce
+from .forces.nonbonded import NonbondedForce
+from .forces.bonded import (HarmonicBondForce, HarmonicAngleForce,
+                            PeriodicTorsionForce)
+from .forces.cmmotion import CMMotionRemover, MonteCarloBarostat
+from .app.integrator import DrudeTGNHIntegrator
+from .app.context import Context, State
+from .units import BOLTZ, ONE_4PI_EPS0
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "System", "TwoParticleAverageSite", "ThreeParticleAverageSite",
+    "OutOfPlaneSite", "DrudeForce", "NonbondedForce", "HarmonicBondForce",
+    "HarmonicAngleForce", "PeriodicTorsionForce", "CMMotionRemover",
+    "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",
+    "BOLTZ", "ONE_4PI_EPS0",
+]

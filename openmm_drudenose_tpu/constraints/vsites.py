@@ -1,0 +1,34 @@
+"""Virtual-site position computation.
+
+Positions of massless sites are pure functions of their parents
+(ThreeParticleAverageSite used by SWM4-NDP water, reference test
+Test*DrudeTGNHIntegrator.cpp:148).  The step calls this after moving real
+particles (the reference calls integration.computeVirtualSites() at
+CudaDrudeTGNHKernels.cpp:377).
+
+Force redistribution needs no code at all: the energy function composes
+apply_vsites with the potential, so autodiff pushes vsite forces onto the
+parents by the chain rule — exactly the W^T F spreading OpenMM hand-codes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def apply_vsites(spec, static, positions):
+    if static.n_vsites_avg:
+        p = positions[spec.vs_avg_p]             # (Va, 3, 3)
+        w = spec.vs_avg_w[:, :, None]            # (Va, 3, 1)
+        positions = positions.at[spec.vs_avg_idx].set(jnp.sum(w * p, axis=1))
+    if static.n_vsites_oop:
+        p1 = positions[spec.vs_oop_p[:, 0]]
+        p2 = positions[spec.vs_oop_p[:, 1]]
+        p3 = positions[spec.vs_oop_p[:, 2]]
+        r12 = p2 - p1
+        r13 = p3 - p1
+        w = spec.vs_oop_w
+        site = (p1 + w[:, 0:1] * r12 + w[:, 1:2] * r13
+                + w[:, 2:3] * jnp.cross(r12, r13))
+        positions = positions.at[spec.vs_oop_idx].set(site)
+    return positions

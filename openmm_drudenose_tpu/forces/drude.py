@@ -1,0 +1,180 @@
+"""DrudeForce: core-shell harmonic springs (optionally anisotropic) and
+Thole-screened intra-molecular dipole-dipole interactions.
+
+Physics matches the reference's documentation kernels (which it ships but
+never compiles — platforms/cuda/src/kernels/drudeParticleForce.cu:1-46 and
+drudePairForce.cu:1-57):
+
+  spring:   E = 1/2 k3 r^2 + 1/2 k1 r1'^2 + 1/2 k2 r2'^2
+            with k derived from charge/polarizability (OpenMM convention):
+              a1 = aniso12 (or 1), a2 = aniso34 (or 1), a3 = 3-a1-a2
+              k3 = ONE_4PI_EPS0 q^2 / (alpha a3)
+              k1 = ONE_4PI_EPS0 q^2 / (alpha a1) - k3
+              k2 = ONE_4PI_EPS0 q^2 / (alpha a2) - k3
+  screened: E = sum over 4 core/shell cross pairs of s * qq * S(u) / r,
+            S(u) = 1 - (1 + u/2) exp(-u),  u = thole * r / (a1 a2)^(1/6),
+            signs (+,-,-,+) for (d1,d2),(d1,c2),(c1,d2),(c1,c2).
+
+The energy function is pure jnp; forces come from autodiff of the total
+energy (so there is no hand-written force kernel to keep in sync).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import ONE_4PI_EPS0
+
+
+class DrudeForce:
+    """Container matching OpenMM's DrudeForce API.
+
+    addParticle(particle, particle1, particle2, particle3, particle4,
+                charge, polarizability, aniso12, aniso34)
+      particle  : the Drude (shell) particle index
+      particle1 : the parent (core) particle index
+      particle2..4 : anisotropy axis particles (-1 if unused)
+    """
+
+    def __init__(self):
+        self._particles: List[Tuple] = []
+        self._screened_pairs: List[Tuple[int, int, float]] = []
+
+    def addParticle(self, particle, particle1, particle2, particle3, particle4,
+                    charge, polarizability, aniso12, aniso34) -> int:
+        self._particles.append((int(particle), int(particle1), int(particle2),
+                                int(particle3), int(particle4), float(charge),
+                                float(polarizability), float(aniso12), float(aniso34)))
+        return len(self._particles) - 1
+
+    def getNumParticles(self) -> int:
+        return len(self._particles)
+
+    def getParticleParameters(self, index: int):
+        return self._particles[index]
+
+    def setParticleParameters(self, index, particle, particle1, particle2, particle3,
+                              particle4, charge, polarizability, aniso12, aniso34):
+        self._particles[index] = (int(particle), int(particle1), int(particle2),
+                                  int(particle3), int(particle4), float(charge),
+                                  float(polarizability), float(aniso12), float(aniso34))
+
+    def addScreenedPair(self, particle1: int, particle2: int, thole: float) -> int:
+        """particle1/particle2 are indices into this force's Drude pair list."""
+        self._screened_pairs.append((int(particle1), int(particle2), float(thole)))
+        return len(self._screened_pairs) - 1
+
+    def getNumScreenedPairs(self) -> int:
+        return len(self._screened_pairs)
+
+    def getScreenedPairParameters(self, index: int):
+        return self._screened_pairs[index]
+
+    def usesPeriodicBoundaryConditions(self) -> bool:
+        return False
+
+    def bonded_pairs(self) -> List[Tuple[int, int]]:
+        """Drude-parent links, used for molecule detection (the reference builds
+        residues from contextRef.getMolecules(), DrudeTGNHIntegrator.cpp:136-143)."""
+        return [(p[0], p[1]) for p in self._particles]
+
+    # -- compilation -------------------------------------------------------
+    def compile(self, system, dtype):
+        n = len(self._particles)
+        if n == 0:
+            return None, None
+
+        drude = np.array([p[0] for p in self._particles], np.int32)
+        parent = np.array([p[1] for p in self._particles], np.int32)
+        p2 = np.array([p[2] for p in self._particles], np.int32)
+        p3 = np.array([p[3] for p in self._particles], np.int32)
+        p4 = np.array([p[4] for p in self._particles], np.int32)
+        charge = np.array([p[5] for p in self._particles], np.float64)
+        alpha = np.array([p[6] for p in self._particles], np.float64)
+        aniso12 = np.array([p[7] for p in self._particles], np.float64)
+        aniso34 = np.array([p[8] for p in self._particles], np.float64)
+
+        a1 = np.where(p2 >= 0, aniso12, 1.0)
+        a2 = np.where(p3 >= 0, aniso34, 1.0)
+        a3 = 3.0 - a1 - a2
+        ktot = ONE_4PI_EPS0 * charge * charge / alpha
+        k3 = ktot / a3
+        k1 = np.where(p2 >= 0, ktot / a1 - k3, 0.0)
+        k2 = np.where(p3 >= 0, ktot / a2 - k3, 0.0)
+
+        has_aniso1 = bool(np.any(k1 != 0.0))
+        has_aniso2 = bool(np.any(k2 != 0.0))
+
+        params = {
+            "drude": jnp.asarray(drude),
+            "parent": jnp.asarray(parent),
+            "k3": jnp.asarray(k3, dtype),
+        }
+        if has_aniso1:
+            params["p2"] = jnp.asarray(np.maximum(p2, 0))
+            params["k1"] = jnp.asarray(k1, dtype)
+        if has_aniso2:
+            params["p3"] = jnp.asarray(np.maximum(p3, 0))
+            params["p4"] = jnp.asarray(np.maximum(p4, 0))
+            params["k2"] = jnp.asarray(k2, dtype)
+
+        nsp = len(self._screened_pairs)
+        if nsp:
+            sp1 = np.array([s[0] for s in self._screened_pairs], np.int32)
+            sp2 = np.array([s[1] for s in self._screened_pairs], np.int32)
+            thole = np.array([s[2] for s in self._screened_pairs], np.float64)
+            screen_scale = thole / (alpha[sp1] * alpha[sp2]) ** (1.0 / 6.0)
+            qq = ONE_4PI_EPS0 * charge[sp1] * charge[sp2]
+            params["sp_d1"] = jnp.asarray(drude[sp1])
+            params["sp_c1"] = jnp.asarray(parent[sp1])
+            params["sp_d2"] = jnp.asarray(drude[sp2])
+            params["sp_c2"] = jnp.asarray(parent[sp2])
+            params["sp_scale"] = jnp.asarray(screen_scale, dtype)
+            params["sp_qq"] = jnp.asarray(qq, dtype)
+
+        def energy(params, positions, box):
+            pos_d = positions[params["drude"]]
+            pos_c = positions[params["parent"]]
+            delta = pos_d - pos_c
+            r2 = jnp.sum(delta * delta, axis=-1)
+            e = 0.5 * jnp.sum(params["k3"] * r2)
+            if has_aniso1:
+                axis = positions[params["parent"]] - positions[params["p2"]]
+                axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+                rprime = jnp.sum(axis * delta, axis=-1)
+                e = e + 0.5 * jnp.sum(params["k1"] * rprime * rprime)
+            if has_aniso2:
+                axis = positions[params["p3"]] - positions[params["p4"]]
+                axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+                rprime = jnp.sum(axis * delta, axis=-1)
+                e = e + 0.5 * jnp.sum(params["k2"] * rprime * rprime)
+            if nsp:
+                e = e + _screened_energy(params, positions)
+            return e
+
+        return energy, params
+
+
+def _screened_energy(params, positions):
+    """Thole-screened charge-charge energy over the 4 core/shell cross pairs
+    (math from reference drudePairForce.cu:7-57, rebuilt as vectorized jnp)."""
+    d1 = positions[params["sp_d1"]]
+    c1 = positions[params["sp_c1"]]
+    d2 = positions[params["sp_d2"]]
+    c2 = positions[params["sp_c2"]]
+    scale = params["sp_scale"]
+    qq = params["sp_qq"]
+
+    def pair_e(pa, pb, sign):
+        delta = pa - pb
+        r = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+        u = scale * r
+        screening = 1.0 - (1.0 + 0.5 * u) * jnp.exp(-u)
+        return sign * qq * screening / r
+
+    e = (pair_e(d1, d2, 1.0) + pair_e(d1, c2, -1.0)
+         + pair_e(c1, d2, -1.0) + pair_e(c1, c2, 1.0))
+    return jnp.sum(e)

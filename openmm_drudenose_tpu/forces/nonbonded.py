@@ -1,0 +1,370 @@
+"""NonbondedForce: Lennard-Jones + Coulomb with exclusions/exceptions.
+
+Methods (matching OpenMM semantics the reference systems rely on —
+CutoffPeriodic in testWater at Test*DrudeTGNHIntegrator.cpp:128, PME in
+testForceEnergyConsistency at :211 and example/nacl_tg.py:42):
+
+  NoCutoff          : plain 1/r Coulomb + LJ over all pairs
+  CutoffNonPeriodic : reaction-field Coulomb + LJ inside cutoff
+  CutoffPeriodic    : minimum image + reaction-field Coulomb + LJ
+  Ewald/PME         : erfc direct space + smooth-PME reciprocal (forces/pme.py)
+
+Exceptions are excluded from the main pair sum and added as explicit pair
+terms (plain Coulomb chargeProd/r + LJ, no cutoff), as in OpenMM.
+
+Pair-sum strategies:
+  "dense" : O(N^2) with static exclusion mask — maps straight onto the TPU
+            VPU/MXU-free elementwise path; right for <= a few thousand atoms.
+  "cell"  : padded neighbor lists from a cell list (forces/neighborlist.py)
+            for large N.
+Strategy is chosen at compile time from the atom count unless forced.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import erfc
+
+from ..units import ONE_4PI_EPS0
+
+
+class NonbondedForce:
+    NoCutoff = 0
+    CutoffNonPeriodic = 1
+    CutoffPeriodic = 2
+    Ewald = 3
+    PME = 4
+
+    def __init__(self):
+        self._particles: List[Tuple[float, float, float]] = []  # charge, sigma, eps
+        self._exceptions: List[Tuple[int, int, float, float, float]] = []
+        self._method = self.NoCutoff
+        self._cutoff = 1.0
+        self._use_switching = False
+        self._switching_distance = -1.0
+        self._ewald_tol = 5e-4
+        self._rf_dielectric = 78.3
+        self._use_dispersion_correction = True
+        self._pme_params = (0.0, 0, 0, 0)  # alpha, nx, ny, nz (0 = auto)
+
+    # -- particles / exceptions -------------------------------------------
+    def addParticle(self, charge: float, sigma: float, epsilon: float) -> int:
+        self._particles.append((float(charge), float(sigma), float(epsilon)))
+        return len(self._particles) - 1
+
+    def getNumParticles(self) -> int:
+        return len(self._particles)
+
+    def getParticleParameters(self, index: int):
+        return self._particles[index]
+
+    def setParticleParameters(self, index: int, charge, sigma, epsilon):
+        self._particles[index] = (float(charge), float(sigma), float(epsilon))
+
+    def addException(self, particle1: int, particle2: int, chargeProd: float,
+                     sigma: float, epsilon: float, replace: bool = False) -> int:
+        self._exceptions.append((int(particle1), int(particle2), float(chargeProd),
+                                 float(sigma), float(epsilon)))
+        return len(self._exceptions) - 1
+
+    def getNumExceptions(self) -> int:
+        return len(self._exceptions)
+
+    def getExceptionParameters(self, index: int):
+        return self._exceptions[index]
+
+    # -- method / options --------------------------------------------------
+    def setNonbondedMethod(self, method: int) -> None:
+        self._method = int(method)
+
+    def getNonbondedMethod(self) -> int:
+        return self._method
+
+    def setCutoffDistance(self, cutoff: float) -> None:
+        self._cutoff = float(cutoff)
+
+    def getCutoffDistance(self) -> float:
+        return self._cutoff
+
+    def setUseSwitchingFunction(self, use: bool) -> None:
+        self._use_switching = bool(use)
+
+    def getUseSwitchingFunction(self) -> bool:
+        return self._use_switching
+
+    def setSwitchingDistance(self, distance: float) -> None:
+        self._switching_distance = float(distance)
+
+    def getSwitchingDistance(self) -> float:
+        return self._switching_distance
+
+    def setEwaldErrorTolerance(self, tol: float) -> None:
+        self._ewald_tol = float(tol)
+
+    def getEwaldErrorTolerance(self) -> float:
+        return self._ewald_tol
+
+    def setReactionFieldDielectric(self, eps: float) -> None:
+        self._rf_dielectric = float(eps)
+
+    def getReactionFieldDielectric(self) -> float:
+        return self._rf_dielectric
+
+    def setUseDispersionCorrection(self, use: bool) -> None:
+        self._use_dispersion_correction = bool(use)
+
+    def getUseDispersionCorrection(self) -> bool:
+        return self._use_dispersion_correction
+
+    def setPMEParameters(self, alpha: float, nx: int, ny: int, nz: int) -> None:
+        self._pme_params = (float(alpha), int(nx), int(ny), int(nz))
+
+    def usesPeriodicBoundaryConditions(self) -> bool:
+        return self._method in (self.CutoffPeriodic, self.Ewald, self.PME)
+
+    def bonded_pairs(self) -> List[Tuple[int, int]]:
+        """Exceptions link particles into molecules, as in OpenMM's
+        getMolecules() (used for the residue decomposition,
+        reference DrudeTGNHIntegrator.cpp:136-143)."""
+        return [(e[0], e[1]) for e in self._exceptions]
+
+    # -- compilation -------------------------------------------------------
+    def compile(self, system, dtype, strategy: str = "auto", nb_kwargs=None):
+        n = len(self._particles)
+        if n == 0:
+            return None, None
+        if n != system.getNumParticles():
+            raise ValueError("NonbondedForce must define parameters for every particle")
+
+        charge = np.array([p[0] for p in self._particles], np.float64)
+        sigma = np.array([p[1] for p in self._particles], np.float64)
+        eps = np.array([p[2] for p in self._particles], np.float64)
+
+        exc_i = np.array([e[0] for e in self._exceptions], np.int32)
+        exc_j = np.array([e[1] for e in self._exceptions], np.int32)
+        exc_qq = np.array([e[2] for e in self._exceptions], np.float64)
+        exc_sigma = np.array([e[3] for e in self._exceptions], np.float64)
+        exc_eps = np.array([e[4] for e in self._exceptions], np.float64)
+
+        if strategy == "auto":
+            strategy = "dense" if n <= 8192 else "cell"
+
+        params = {
+            "charge": jnp.asarray(charge, dtype),
+            "sigma": jnp.asarray(sigma, dtype),
+            "eps": jnp.asarray(eps, dtype),
+        }
+        periodic = self._method in (self.CutoffPeriodic, self.Ewald, self.PME)
+        use_cutoff = self._method != self.NoCutoff
+        cutoff = self._cutoff
+        method = self._method
+
+        # reaction field constants
+        eps_rf = self._rf_dielectric
+        krf = (1.0 / cutoff**3) * (eps_rf - 1.0) / (2.0 * eps_rf + 1.0)
+        crf = (1.0 / cutoff) * (3.0 * eps_rf) / (2.0 * eps_rf + 1.0)
+
+        # switching function
+        use_switch = self._use_switching and use_cutoff and self._switching_distance >= 0
+        r_switch = self._switching_distance
+
+        # PME setup
+        pme = None
+        if method in (self.Ewald, self.PME):
+            from . import pme as pme_mod
+            box = np.array(system.getDefaultPeriodicBoxVectors(), np.float64)
+            alpha0, gx, gy, gz = self._pme_params
+            pme = pme_mod.setup_pme(
+                cutoff=cutoff, tol=self._ewald_tol,
+                box_diag=np.diagonal(box).copy(),
+                alpha=alpha0 or None,
+                grid=(gx, gy, gz) if gx > 0 else None)
+            params["pme_self"] = jnp.asarray(
+                -pme.alpha / np.sqrt(np.pi) * ONE_4PI_EPS0 * np.sum(charge**2), dtype)
+
+        # Exclusion handling: every exception pair is excluded from the main
+        # sum.  Only exceptions with nonzero interaction get an explicit pair
+        # term (zero exceptions — plain exclusions — would produce 0 * inf at
+        # r = 0, e.g. a Drude shell starting on top of its core).
+        act = (exc_qq != 0.0) | (exc_eps != 0.0)
+        n_active_exc = int(np.sum(act))
+        if n_active_exc:
+            params["exc_i"] = jnp.asarray(exc_i[act])
+            params["exc_j"] = jnp.asarray(exc_j[act])
+            params["exc_qq"] = jnp.asarray(exc_qq[act], dtype)
+            params["exc_sigma"] = jnp.asarray(exc_sigma[act], dtype)
+            params["exc_eps"] = jnp.asarray(exc_eps[act], dtype)
+        if len(self._exceptions) and method in (self.Ewald, self.PME):
+            # reciprocal-space correction applies to ALL excluded pairs
+            params["corr_i"] = jnp.asarray(exc_i)
+            params["corr_j"] = jnp.asarray(exc_j)
+
+        if strategy == "dense":
+            # static (N, N) exclusion mask: False where the pair is skipped
+            mask = np.ones((n, n), dtype=bool)
+            np.fill_diagonal(mask, False)
+            if len(self._exceptions):
+                mask[exc_i, exc_j] = False
+                mask[exc_j, exc_i] = False
+            params["pair_mask"] = jnp.asarray(mask)
+        elif strategy == "cell":
+            from . import neighborlist
+            nb_kwargs = nb_kwargs or {}
+            params["nbl_exclusions"] = neighborlist.build_exclusion_table(
+                n, exc_i, exc_j, **{k: v for k, v in nb_kwargs.items()
+                                    if k in ("max_exclusions",)})
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+
+        has_exceptions = n_active_exc > 0 or (
+            len(self._exceptions) > 0 and method in (self.Ewald, self.PME))
+        disp = None
+        if self._use_dispersion_correction and periodic and use_cutoff \
+                and method != self.NoCutoff:
+            disp = _dispersion_coefficient(sigma, eps, cutoff,
+                                           use_switch, r_switch)
+
+        def pair_energy(qq, sig, ep, r2, valid):
+            """Energy of non-excluded pairs at squared distance r2 (masked)."""
+            r2 = jnp.where(valid, r2, 1.0)
+            inv_r = 1.0 / jnp.sqrt(r2)
+            r = r2 * inv_r
+            # LJ
+            x6 = (sig * sig * inv_r * inv_r) ** 3
+            e_lj = 4.0 * ep * x6 * (x6 - 1.0)
+            if use_switch:
+                t = jnp.clip((r - r_switch) / (cutoff - r_switch), 0.0, 1.0)
+                s = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
+                e_lj = e_lj * s
+            # Coulomb
+            if method in (self.Ewald, self.PME):
+                e_c = qq * erfc(pme.alpha * r) * inv_r
+            elif method in (self.CutoffNonPeriodic, self.CutoffPeriodic):
+                e_c = qq * (inv_r + krf * r2 - crf)
+            else:
+                e_c = qq * inv_r
+            e = e_lj + e_c
+            if use_cutoff:
+                valid = valid & (r2 < cutoff * cutoff)
+            return jnp.where(valid, e, 0.0)
+
+        def exceptions_energy(params, positions, box_diag):
+            etot = jnp.zeros((), positions.dtype)
+            if n_active_exc:
+                pi = positions[params["exc_i"]]
+                pj = positions[params["exc_j"]]
+                delta = pi - pj
+                if periodic:
+                    delta = delta - box_diag * jnp.round(delta / box_diag)
+                r2 = jnp.sum(delta * delta, axis=-1)
+                inv_r = 1.0 / jnp.sqrt(r2)
+                x6 = (params["exc_sigma"] ** 2 / r2) ** 3
+                e = (4.0 * params["exc_eps"] * x6 * (x6 - 1.0)
+                     + ONE_4PI_EPS0 * params["exc_qq"] * inv_r)
+                etot = etot + jnp.sum(e)
+            if method in (self.Ewald, self.PME):
+                # reciprocal space included the full charge product for every
+                # excluded pair; subtract erf(alpha r)/r * q_i q_j.  The
+                # r -> 0 limit (overlapping shell/core at setup) is
+                # 2 alpha / sqrt(pi).
+                ci, cj = params["corr_i"], params["corr_j"]
+                delta = positions[ci] - positions[cj]
+                if periodic:
+                    delta = delta - box_diag * jnp.round(delta / box_diag)
+                r2 = jnp.sum(delta * delta, axis=-1)
+                qq_full = params["charge"][ci] * params["charge"][cj]
+                r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+                erf_over_r = jnp.where(
+                    r2 > 0,
+                    (1.0 - erfc(pme.alpha * r)) / r,
+                    2.0 * pme.alpha / jnp.sqrt(jnp.asarray(np.pi, r.dtype)))
+                etot = etot - jnp.sum(ONE_4PI_EPS0 * qq_full * erf_over_r)
+            return etot
+
+        if strategy == "dense":
+            def energy(params, positions, box):
+                box_diag = jnp.diagonal(box)
+                delta = positions[:, None, :] - positions[None, :, :]
+                if periodic:
+                    delta = delta - box_diag * jnp.round(delta / box_diag)
+                r2 = jnp.sum(delta * delta, axis=-1)
+                q = params["charge"]
+                qq = ONE_4PI_EPS0 * q[:, None] * q[None, :]
+                sig = 0.5 * (params["sigma"][:, None] + params["sigma"][None, :])
+                ep = jnp.sqrt(params["eps"][:, None] * params["eps"][None, :])
+                valid = params["pair_mask"]
+                e = 0.5 * jnp.sum(pair_energy(qq, sig, ep, r2, valid))
+                if has_exceptions:
+                    e = e + exceptions_energy(params, positions, box_diag)
+                if method in (self.Ewald, self.PME):
+                    e = e + params["pme_self"]
+                    e = e + pme.reciprocal_energy(params["charge"], positions, box_diag)
+                if disp is not None:
+                    vol = box_diag[0] * box_diag[1] * box_diag[2]
+                    e = e + disp / vol
+                return e
+        else:
+            from . import neighborlist
+
+            def energy(params, positions, box, neighbors=None):
+                box_diag = jnp.diagonal(box)
+                if neighbors is None:
+                    raise ValueError("cell strategy requires a neighbor list")
+                idx = neighbors.idx  # (N, K) neighbor indices, padded with N
+                pos_pad = jnp.concatenate(
+                    [positions, jnp.zeros((1, 3), positions.dtype)], axis=0)
+                delta = positions[:, None, :] - pos_pad[idx]
+                if periodic:
+                    delta = delta - box_diag * jnp.round(delta / box_diag)
+                r2 = jnp.sum(delta * delta, axis=-1)
+                q_pad = jnp.concatenate([params["charge"],
+                                         jnp.zeros((1,), params["charge"].dtype)])
+                s_pad = jnp.concatenate([params["sigma"],
+                                         jnp.ones((1,), params["sigma"].dtype)])
+                e_pad = jnp.concatenate([params["eps"],
+                                         jnp.zeros((1,), params["eps"].dtype)])
+                qq = ONE_4PI_EPS0 * params["charge"][:, None] * q_pad[idx]
+                sig = 0.5 * (params["sigma"][:, None] + s_pad[idx])
+                ep = jnp.sqrt(params["eps"][:, None] * e_pad[idx])
+                valid = (idx < positions.shape[0]) & neighborlist.exclusion_mask(
+                    params["nbl_exclusions"], idx)
+                e = 0.5 * jnp.sum(pair_energy(qq, sig, ep, r2, valid))
+                if has_exceptions:
+                    e = e + exceptions_energy(params, positions, box_diag)
+                if method in (self.Ewald, self.PME):
+                    e = e + params["pme_self"]
+                    e = e + pme.reciprocal_energy(params["charge"], positions, box_diag)
+                if disp is not None:
+                    vol = box_diag[0] * box_diag[1] * box_diag[2]
+                    e = e + disp / vol
+                return e
+            energy.needs_neighbors = True
+            energy.cutoff = cutoff
+
+        return energy, params
+
+
+def _dispersion_coefficient(sigma, eps, cutoff, use_switch, r_switch):
+    """Long-range LJ dispersion correction coefficient C such that
+    E_corr = C / V.  Computed by numerically integrating the mean pair
+    interaction beyond the cutoff (OpenMM's approach, averaged over all
+    particle-type pairs)."""
+    n = len(sigma)
+    # average over pair combinations (Lorentz-Berthelot)
+    sig_ij = 0.5 * (sigma[:, None] + sigma[None, :])
+    eps_ij = np.sqrt(eps[:, None] * eps[None, :])
+    sig6 = np.mean(eps_ij * sig_ij**6)
+    sig12 = np.mean(eps_ij * sig_ij**12)
+    # integral of 4(sig12/r^12 - sig6/r^6) * 4 pi r^2 dr from rc to inf
+    integral = 16.0 * np.pi * (sig12 / (9.0 * cutoff**9) - sig6 / (3.0 * cutoff**3))
+    if use_switch and r_switch < cutoff:
+        # add back the part lost to the switching window [r_switch, cutoff]
+        r = np.linspace(r_switch, cutoff, 256)
+        t = (r - r_switch) / (cutoff - r_switch)
+        s = 1.0 + t**3 * (-10.0 + t * (15.0 - 6.0 * t))
+        u = 4.0 * (sig12 / r**12 - sig6 / r**6)
+        integral += 4.0 * np.pi * np.trapezoid((1.0 - s) * u * r**2, r)
+    return 0.5 * n * n * integral

@@ -1,0 +1,443 @@
+"""Temperature-Grouped dual Nose-Hoover (TGNH) integrator, TPU-native.
+
+Implements the full temperature-grouped algorithm of the reference CUDA
+platform (Son, McDaniel, Cui, Yethiraj, JPCL 2019) with a TPU-first design:
+
+  * The per-step pipeline follows CudaIntegrateDrudeTGNHStepKernel::execute
+    (CudaDrudeTGNHKernels.cpp:284-408): NH half-step -> velocity scale ->
+    half-kick -> position constraints -> position update -> hard wall ->
+    virtual sites -> force pass -> second half-kick -> velocity constraints
+    -> second NH half-step.
+  * The reference's 2 device->host downloads + 2 uploads per step
+    (CudaDrudeTGNHKernels.cpp:490,337) are gone: per-group kinetic energies
+    are on-device segment_sums and the NH multi-timestep loop
+    (CudaDrudeTGNHKernels.cpp:558-642) is a lax.fori_loop over (G+2)-vectors,
+    advancing ALL temperature groups in parallel instead of the reference's
+    serial per-group host loop.
+  * Drude pair COM/relative kinematics (drudeTGNH.cu:307-365, :249-301) are
+    computed densely per atom with a partner gather — each pair member
+    derives its own update, so there are no scatters and no index lists;
+    everything is VPU-friendly elementwise math that XLA fuses.
+
+All math that the reference keeps in double (NH chain state, KE reductions)
+is performed in the spec's accumulation dtype.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints import shake
+from ..constraints.vsites import apply_vsites
+from ..core.spec import StaticSpec, SystemSpec
+from ..core.state import SimState
+
+
+# ---------------------------------------------------------------------------
+# kinetic energy decomposition
+# ---------------------------------------------------------------------------
+
+def _safe_inv(x):
+    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
+
+
+def com_and_norm_velocities(spec: SystemSpec, static: StaticSpec, velocities):
+    """Per-residue COM velocities and residue-relative ('normalized')
+    velocities (drudeTGNH.cu:82-133).  With use_com_temp_group=False the COM
+    velocities are zero and norm == lab velocities."""
+    if static.use_com_temp_group:
+        mom = jax.ops.segment_sum(spec.mass[:, None] * velocities, spec.resid,
+                                  num_segments=static.n_residues)
+        com_vel = mom * spec.res_inv_mass[:, None]
+    else:
+        com_vel = jnp.zeros((static.n_residues, 3), velocities.dtype)
+    norm_vel = velocities - com_vel[spec.resid]
+    return com_vel, norm_vel
+
+
+def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
+                           accum_dtype):
+    """Per-bath 2*KE vector of length G+2 (drudeTGNH.cu:138-200):
+      slots 0..G-1 : molecular-internal real DOF per user group
+      slot G       : molecular COM bath
+      slot G+1     : Drude internal (relative) bath
+    Plus the com/norm velocities for reuse by the scale kernel."""
+    G = static.n_temp_groups
+    nb = G + 2
+    com_vel, norm_vel = com_and_norm_velocities(spec, static, velocities)
+
+    cv = com_vel.astype(accum_dtype)
+    nv = norm_vel.astype(accum_dtype)
+    mass = spec.mass.astype(accum_dtype)
+
+    # COM bath: sum_res M_res |v_com|^2
+    ke_com = jnp.sum(spec.res_mass.astype(accum_dtype) * jnp.sum(cv * cv, axis=-1))
+
+    # normal particles: m |nv|^2 into their group
+    ke_atom = mass * jnp.sum(nv * nv, axis=-1)
+
+    if static.has_pairs:
+        j = spec.partner
+        m_i = mass
+        m_j = mass[j]
+        mtot = m_i + m_j
+        inv_mtot = _safe_inv(mtot)
+        nv_j = nv[j]
+        cm = (m_i[:, None] * nv + m_j[:, None] * nv_j) * inv_mtot[:, None]
+        rel = nv - nv_j  # sign irrelevant for |rel|^2
+        mu = m_i * m_j * inv_mtot
+        ke_cm = 0.5 * mtot * jnp.sum(cm * cm, axis=-1)      # half per member
+        ke_rel = 0.5 * mu * jnp.sum(rel * rel, axis=-1)
+        ke_group_directed = jnp.where(spec.is_pair, ke_cm, ke_atom)
+        ke_drude = jnp.sum(jnp.where(spec.is_pair, ke_rel, 0.0))
+    else:
+        ke_group_directed = ke_atom
+        ke_drude = jnp.zeros((), accum_dtype)
+
+    ke = jax.ops.segment_sum(ke_group_directed, spec.tg, num_segments=nb)
+    ke = ke.at[G].set(ke_com).at[G + 1].set(ke_drude)
+    return ke, com_vel, norm_vel
+
+
+# ---------------------------------------------------------------------------
+# NH chain propagation (the MTS loop), vectorized over all baths
+# ---------------------------------------------------------------------------
+
+def propagate_nh_chain(spec: SystemSpec, static: StaticSpec, ke,
+                       eta, eta_dot, eta_dot_dot, dt):
+    """Half-step NH chain update for all G+2 baths at once.
+
+    Mirrors CudaIntegrateDrudeTGNHStepKernel::propagateNHChain
+    (CudaDrudeTGNHKernels.cpp:558-642): numDrudeSteps iterations of a
+    symmetric Trotter update with exp(-dtc/8) damping and dtc/4 kicks.  The
+    reference loops over groups serially on the host; all baths here are
+    components of (G+2,)-vectors updated together on device.  The Drude bath
+    freezes chain links >= 1 unless use_drude_nh_chains (link_active mask).
+
+    Returns (vscale, eta, eta_dot, eta_dot_dot).
+    """
+    M = static.n_chains
+    a = eta.dtype
+    dtc = (dt / static.drude_steps).astype(a)
+    dtc2, dtc4, dtc8 = dtc / 2, dtc / 4, dtc / 8
+
+    eta_mass = spec.nh_eta_mass
+    nkbt = spec.nh_nkbt
+    kbt_chain = spec.nh_kbt_chain
+    link = spec.nh_link_active
+    inv_eta_mass0 = _safe_inv(eta_mass[:, 0])
+    mass0_pos = eta_mass[:, 0] > 0
+
+    # initial etaDotDot[0] from current KE (CudaDrudeTGNHKernels.cpp:560-562,605)
+    edd0 = jnp.where(mass0_pos, (ke - nkbt) * inv_eta_mass0, eta_dot_dot[:, 0])
+    eta_dot_dot = eta_dot_dot.at[:, 0].set(edd0)
+
+    def one_iter(_, carry):
+        eta, eta_dot, eta_dot_dot, ke, vscale = carry
+        # downward sweep: links M-1 .. 0
+        for i in reversed(range(M)):
+            expfac = jnp.exp(-dtc8 * eta_dot[:, i + 1])
+            new = (eta_dot[:, i] * expfac + eta_dot_dot[:, i] * dtc4) * expfac
+            eta_dot = eta_dot.at[:, i].set(
+                jnp.where(link[:, i], new, eta_dot[:, i]))
+        # scale velocities and KE
+        damp = jnp.exp(-dtc2 * eta_dot[:, 0])
+        vscale = vscale * damp
+        ke = ke * damp * damp
+        # advance chain positions
+        eta = eta + jnp.where(link, dtc2 * eta_dot[:, :M], 0.0)
+        # refresh link-0 acceleration from damped KE and re-kick link 0
+        edd0 = jnp.where(mass0_pos, (ke - nkbt) * inv_eta_mass0,
+                         eta_dot_dot[:, 0])
+        eta_dot_dot = eta_dot_dot.at[:, 0].set(edd0)
+        expfac0 = jnp.exp(-dtc8 * eta_dot[:, 1])
+        eta_dot = eta_dot.at[:, 0].set(
+            (eta_dot[:, 0] * expfac0 + edd0 * dtc4) * expfac0)
+        # upward sweep: links 1 .. M-1
+        for i in range(1, M):
+            expfac = jnp.exp(-dtc8 * eta_dot[:, i + 1])
+            d = eta_dot[:, i] * expfac
+            eddi = ((eta_mass[:, i - 1] * eta_dot[:, i - 1] ** 2 - kbt_chain)
+                    * _safe_inv(eta_mass[:, i]))
+            d = (d + eddi * dtc4) * expfac
+            eta_dot = eta_dot.at[:, i].set(jnp.where(link[:, i], d,
+                                                     eta_dot[:, i]))
+            eta_dot_dot = eta_dot_dot.at[:, i].set(
+                jnp.where(link[:, i], eddi, eta_dot_dot[:, i]))
+        return eta, eta_dot, eta_dot_dot, ke, vscale
+
+    vscale0 = jnp.ones_like(ke)
+    eta, eta_dot, eta_dot_dot, ke, vscale = jax.lax.fori_loop(
+        0, static.drude_steps, one_iter,
+        (eta, eta_dot, eta_dot_dot, ke, vscale0))
+    return vscale, eta, eta_dot, eta_dot_dot
+
+
+# ---------------------------------------------------------------------------
+# velocity operations (dense per-atom, partner-gather for pairs)
+# ---------------------------------------------------------------------------
+
+def apply_vscale(spec: SystemSpec, static: StaticSpec, velocities,
+                 com_vel, norm_vel, vscale):
+    """Rescale velocities bath-by-bath (drudeTGNH.cu:249-301):
+    molecular-internal part by the atom's group scale, COM part by the COM
+    scale; pair internal parts further split into pair-COM (group scale) and
+    Drude-relative (Drude scale)."""
+    G = static.n_temp_groups
+    r = velocities.dtype
+    vs = vscale.astype(r)
+    vs_atom = vs[spec.tg][:, None]
+    vs_com = vs[G]
+    vel_com_part = velocities - norm_vel  # = com_vel[resid] for massive atoms
+
+    movable = (spec.inv_mass > 0)[:, None]
+    new_v = vs_atom * norm_vel + vs_com * vel_com_part
+
+    if static.has_pairs:
+        vs_drude = vs[G + 1]
+        j = spec.partner
+        m_i = spec.mass
+        m_j = spec.mass[j]
+        inv_mtot = _safe_inv(m_i + m_j)
+        nv_j = norm_vel[j]
+        sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[:, None]
+        cm = ((m_i * inv_mtot)[:, None] * norm_vel
+              + (m_j * inv_mtot)[:, None] * nv_j)
+        rel = sign * (norm_vel - nv_j)  # oriented parent - drude
+        pair_v = (vs_atom * cm
+                  + vs_drude * rel * sign * (m_j * inv_mtot)[:, None]
+                  + vs_com * vel_com_part)
+        new_v = jnp.where(spec.is_pair[:, None], pair_v, new_v)
+
+    return jnp.where(movable, new_v, velocities)
+
+
+def half_kick(spec: SystemSpec, static: StaticSpec, velocities, forces, dt):
+    """Half-step velocity kick (drudeTGNH.cu:307-365).  Normal particles get
+    v += dt/2 * F/m; Drude pairs are kicked in COM/relative coordinates."""
+    r = velocities.dtype
+    fscale = (0.5 * dt).astype(r)
+    new_v = velocities + fscale * spec.inv_mass[:, None] * forces
+
+    if static.has_pairs:
+        j = spec.partner
+        m_i = spec.mass
+        m_j = spec.mass[j]
+        mtot = m_i + m_j
+        inv_mtot = _safe_inv(mtot)
+        inv_red = mtot * spec.inv_mass * spec.inv_mass[j]  # M/(m_i m_j)
+        v_j = velocities[j]
+        f_j = forces[j]
+        sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[:, None]
+        cm = ((m_i * inv_mtot)[:, None] * velocities
+              + (m_j * inv_mtot)[:, None] * v_j)
+        rel = sign * (velocities - v_j)                      # parent - drude
+        cm_f = forces + f_j
+        rel_f = sign * ((m_j * inv_mtot)[:, None] * forces
+                        - (m_i * inv_mtot)[:, None] * f_j)
+        cm = cm + fscale * inv_mtot[:, None] * cm_f
+        rel = rel + fscale * inv_red[:, None] * rel_f
+        pair_v = cm + sign * (m_j * inv_mtot)[:, None] * rel
+        new_v = jnp.where(spec.is_pair[:, None], pair_v, new_v)
+
+    movable = (spec.inv_mass > 0)[:, None]
+    return jnp.where(movable, new_v, velocities)
+
+
+def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
+                   velocities, dt):
+    """Elastic bounce of the Drude-parent distance off the hard wall
+    (drudeTGNH.cu:471-574).  Dense per-atom: each pair member computes the
+    full two-body solution and writes only its own row."""
+    r = positions.dtype
+    max_dist = spec.max_drude_distance.astype(r)
+    hw_scale = spec.hardwall_scale.astype(r)
+
+    i_is_parent = spec.is_parent
+    j = spec.partner
+    # role-resolved views: (drude, parent) per pair member
+    pos_d = jnp.where(i_is_parent[:, None], positions[j], positions)
+    pos_p = jnp.where(i_is_parent[:, None], positions, positions[j])
+    vel_d = jnp.where(i_is_parent[:, None], velocities[j], velocities)
+    vel_p = jnp.where(i_is_parent[:, None], velocities, velocities[j])
+    m_d = jnp.where(i_is_parent, spec.mass[j], spec.mass)
+    m_p = jnp.where(i_is_parent, spec.mass, spec.mass[j])
+
+    delta = pos_d - pos_p
+    r2 = jnp.sum(delta * delta, axis=-1)
+    rdist = jnp.sqrt(jnp.where(spec.is_pair, r2, 1.0))
+    violated = spec.is_pair & (rdist > max_dist)
+    bond_dir = delta / rdist[:, None]
+
+    dotvr1 = jnp.sum(vel_d * bond_dir, axis=-1)
+    dotvr2 = jnp.sum(vel_p * bond_dir, axis=-1)
+    delta_r = rdist - max_dist
+
+    parent_massless = m_p <= 0
+
+    # --- branch A: massless parent, move only the Drude particle ----------
+    abs_v1 = jnp.abs(dotvr1)
+    dt_a = jnp.where(abs_v1 > 0, delta_r / jnp.where(abs_v1 > 0, abs_v1, 1.0), dt)
+    dt_a = jnp.minimum(dt_a, dt)
+    new_dotvr1_a = -jnp.sign(dotvr1) * hw_scale / jnp.sqrt(jnp.where(m_d > 0, m_d, 1.0))
+    dr_a = -delta_r + dt_a * new_dotvr1_a
+
+    # --- branch B: both massive ------------------------------------------
+    inv_mtot = _safe_inv(m_d + m_p)
+    vb_cm = (m_d * dotvr1 + m_p * dotvr2) * inv_mtot
+    dv1 = dotvr1 - vb_cm
+    dv2 = dotvr2 - vb_cm
+    dvrel = jnp.abs(dv1 - dv2)
+    dt_b = jnp.where(dvrel > 0, delta_r / jnp.where(dvrel > 0, dvrel, 1.0), dt)
+    dt_b = jnp.minimum(dt_b, dt)
+    v_bond = hw_scale / jnp.sqrt(jnp.where(m_d > 0, m_d, 1.0))
+    new_dv1 = -jnp.sign(dv1) * v_bond * m_p * inv_mtot
+    new_dv2 = -jnp.sign(dv2) * v_bond * m_d * inv_mtot
+    dr1 = -delta_r * m_p * inv_mtot + dt_b * new_dv1
+    dr2 = delta_r * m_d * inv_mtot + dt_b * new_dv2
+
+    # own-row resolution (each pair member updates only itself; a massless
+    # parent is never moved — masked below via `moved`)
+    is_drude_member = spec.is_pair & ~i_is_parent
+    own_dotvr = jnp.where(is_drude_member, dotvr1, dotvr2)
+    dr_own = jnp.where(parent_massless,
+                       jnp.where(is_drude_member, dr_a, 0.0),
+                       jnp.where(is_drude_member, dr1, dr2))
+    new_dotvr_own = jnp.where(
+        parent_massless,
+        jnp.where(is_drude_member, new_dotvr1_a, own_dotvr),
+        jnp.where(is_drude_member, new_dv1 + vb_cm, new_dv2 + vb_cm))
+    vel_perp = velocities - own_dotvr[:, None] * bond_dir
+    moved = violated & ~(parent_massless & i_is_parent)
+    new_pos = jnp.where(moved[:, None], positions + bond_dir * dr_own[:, None],
+                        positions)
+    new_vel = jnp.where(moved[:, None],
+                        vel_perp + bond_dir * new_dotvr_own[:, None],
+                        velocities)
+    return new_pos, new_vel
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+def make_step(static: StaticSpec,
+              energy_and_forces: Callable,
+              ) -> Callable[[SystemSpec, SimState], SimState]:
+    """Build step(spec, state) -> state.
+
+    energy_and_forces(positions, box) -> (potential_energy, forces) must
+    already include virtual-site position composition (so forces on massless
+    sites are zero and parents carry the redistributed force).
+    """
+    G = static.n_temp_groups
+
+    def nh_half(spec, state, velocities):
+        accum = state.eta.dtype
+        ke, com_vel, norm_vel = group_kinetic_energies(
+            spec, static, velocities, accum)
+        vscale, eta, eta_dot, eta_dot_dot = propagate_nh_chain(
+            spec, static, ke, state.eta, state.eta_dot, state.eta_dot_dot,
+            spec.dt)
+        new_v = apply_vscale(spec, static, velocities, com_vel, norm_vel,
+                             vscale)
+        ke_sum = 0.5 * jnp.sum(ke)
+        state = state._replace(eta=eta, eta_dot=eta_dot,
+                               eta_dot_dot=eta_dot_dot, ke_sum=ke_sum,
+                               group_ke=ke)
+        return state, new_v
+
+    def step(spec: SystemSpec, state: SimState) -> SimState:
+        dt = spec.dt.astype(state.positions.dtype)
+
+        # -- updateContextState equivalents (barostat / CM motion removal) --
+        if static.cm_freq > 0:
+            def remove_cm(v):
+                mom = jnp.sum(spec.mass[:, None] * v, axis=0)
+                total_mass = jnp.sum(spec.mass)
+                v_cm = mom / total_mass
+                return jnp.where((spec.inv_mass > 0)[:, None], v - v_cm, v)
+            state = state._replace(velocities=jax.lax.cond(
+                state.step % static.cm_freq == 0, remove_cm, lambda v: v,
+                state.velocities))
+        if static.baro_freq > 0:
+            from . import barostat
+            state = barostat.maybe_attempt_mc_move(
+                spec, static, state, energy_and_forces)
+
+        # -- first NH half step + velocity scaling -------------------------
+        state, v = nh_half(spec, state, state.velocities)
+
+        # -- first half kick; position delta --------------------------------
+        v = half_kick(spec, static, v, state.forces, dt)
+        movable = (spec.inv_mass > 0)[:, None]
+        delta = jnp.where(movable, dt * v, 0.0)
+
+        # -- position constraints (SHAKE on the proposed move) --------------
+        if static.n_shake or static.n_settle:
+            idx = spec.shake_idx
+            dist = spec.shake_dist
+            if static.n_settle:
+                # triangles currently solved by the same Jacobi pass
+                tri_idx = jnp.concatenate([
+                    spec.settle_idx[:, (0, 1)], spec.settle_idx[:, (0, 2)],
+                    spec.settle_idx[:, (1, 2)]], axis=0)
+                tri_dist = jnp.concatenate([
+                    spec.settle_dist[:, 0], spec.settle_dist[:, 0],
+                    spec.settle_dist[:, 1]], axis=0)
+                idx = jnp.concatenate([idx, tri_idx], axis=0)
+                dist = jnp.concatenate([dist, tri_dist], axis=0)
+            delta = shake.apply_position_constraints(
+                state.positions, delta, spec.inv_mass, idx, dist,
+                static.constraint_tol, static.shake_max_iter)
+
+        # -- position update; velocity from constrained displacement --------
+        pos = state.positions + delta
+        v = jnp.where(movable, delta / dt, v)
+
+        # -- hard wall -------------------------------------------------------
+        if static.has_hardwall and static.has_pairs:
+            pos, v = apply_hardwall(spec, static, pos, v, dt)
+
+        # -- virtual sites + force pass --------------------------------------
+        pos = apply_vsites(spec, static, pos)
+        pe, forces = energy_and_forces(pos, state.box)
+
+        # -- second half kick -------------------------------------------------
+        v = half_kick(spec, static, v, forces, dt)
+
+        # -- velocity constraints ---------------------------------------------
+        if static.n_shake or static.n_settle:
+            v = shake.apply_velocity_constraints(
+                pos, v, spec.inv_mass, idx, dist,
+                static.constraint_tol, static.shake_max_iter)
+
+        # -- second NH half step ----------------------------------------------
+        state = state._replace(positions=pos, forces=forces,
+                               potential_energy=pe.astype(state.eta.dtype))
+        state, v = nh_half(spec, state, v)
+
+        return state._replace(
+            velocities=v,
+            step=state.step + 1,
+            time=state.time + spec.dt)
+
+    return step
+
+
+def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
+                    inner_steps: int):
+    """lax.scan over `inner_steps` steps per host call."""
+    step = make_step(static, energy_and_forces)
+
+    def multi(spec: SystemSpec, state: SimState) -> SimState:
+        def body(s, _):
+            return step(spec, s), None
+        state, _ = jax.lax.scan(body, state, None, length=inner_steps)
+        return state
+
+    return multi

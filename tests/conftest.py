@@ -1,0 +1,17 @@
+"""Test configuration: CPU backend with 8 virtual devices (for sharding
+tests) and x64 enabled (f64 CPU ground truth, mirroring the reference's
+double-precision Reference platform role — SURVEY.md section 4)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the environment may pre-register an accelerator plugin and force its
+# platform; tests run on (virtual 8-device) CPU in f64
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
