@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Headline benchmark: ns/day on a 100k-atom Drude-polarizable water system
+(SWM4-NDP, PME, TGNH thermostat, hard wall, 1 fs steps) on the default JAX
+device — the BASELINE.md configuration.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ns/day", "vs_baseline": N}
+
+vs_baseline compares against the reference's CPU "Reference platform" role:
+the same engine run in double precision on one CPU core-set (measured with
+--measure-baseline and cached in bench_baseline.json; the OpenMM Reference
+platform itself is slower than this stand-in, so the ratio is conservative).
+BASELINE.md's target is >= 10x that number on one v5e chip.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_context(n_atoms: int, precision: str, platform: str | None):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if precision == "double":
+        jax.config.update("jax_enable_x64", True)
+    import openmm_drudenose_tpu as dn
+    from openmm_drudenose_tpu.io import builders
+
+    n_mol = n_atoms // 5
+    system, positions = builders.build_water_box(n_mol)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision=precision, strategy="cell")
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(300.0, seed=0)
+    return ctx, integ
+
+
+def measure_ns_day(ctx, integ, steps: int, repeats: int) -> float:
+    import jax
+    integ.step(max(steps // 4, 2))  # warm: compile both chunk sizes + settle
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.time()
+        integ.step(steps)
+        jax.block_until_ready(ctx._state.positions)
+        dt = time.time() - t0
+        best = max(best, steps / dt)
+    import numpy as np
+    pe = float(ctx._state.potential_energy)
+    if not np.isfinite(pe):
+        raise RuntimeError(f"non-finite PE after benchmark: {pe}")
+    if ctx.neighborListOverflowed:
+        raise RuntimeError("neighbor list overflowed during benchmark")
+    return best * integ.getStepSize() * 1e-3 * 86400.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--atoms", type=int, default=100_000)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--measure-baseline", action="store_true",
+                   help="measure the CPU f64 stand-in baseline and cache it")
+    p.add_argument("--baseline-steps", type=int, default=4)
+    args = p.parse_args()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, "bench_baseline.json")
+
+    if args.measure_baseline:
+        ctx, integ = build_context(args.atoms, "double", "cpu")
+        ns_day = measure_ns_day(ctx, integ, args.baseline_steps, 1)
+        with open(cache, "w") as f:
+            json.dump({"atoms": args.atoms, "ns_day": ns_day,
+                       "what": "this engine, CPU double precision "
+                               "(Reference-platform stand-in)"}, f)
+        print(json.dumps({"baseline_ns_day": ns_day}))
+        return
+
+    ctx, integ = build_context(args.atoms, "single", None)
+    ns_day = measure_ns_day(ctx, integ, args.steps, args.repeats)
+
+    baseline = None
+    if os.path.exists(cache):
+        with open(cache) as f:
+            data = json.load(f)
+        if data.get("atoms") == args.atoms:
+            baseline = data["ns_day"]
+    vs = (ns_day / baseline) if baseline else None
+
+    print(json.dumps({
+        "metric": f"ns/day, {args.atoms}-atom SWM4-NDP Drude water, PME, "
+                  "TGNH, 1 fs",
+        "value": round(ns_day, 3),
+        "unit": "ns/day",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

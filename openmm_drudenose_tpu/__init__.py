@@ -27,6 +27,10 @@ from .forces.bonded import (HarmonicBondForce, HarmonicAngleForce,
 from .forces.cmmotion import CMMotionRemover, MonteCarloBarostat
 from .app.integrator import DrudeTGNHIntegrator
 from .app.context import Context, State
+from .app.simulation import (Simulation, StateDataReporter,
+                             CheckpointReporter, DCDReporter, PDBReporter)
+from .app.serialization import (serialize_integrator, deserialize_integrator,
+                                save_checkpoint, load_checkpoint)
 from .units import BOLTZ, ONE_4PI_EPS0
 
 __version__ = "0.1.0"
@@ -36,5 +40,7 @@ __all__ = [
     "OutOfPlaneSite", "DrudeForce", "NonbondedForce", "HarmonicBondForce",
     "HarmonicAngleForce", "PeriodicTorsionForce", "CMMotionRemover",
     "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",
-    "BOLTZ", "ONE_4PI_EPS0",
+    "Simulation", "StateDataReporter", "CheckpointReporter", "DCDReporter",
+    "PDBReporter", "serialize_integrator", "deserialize_integrator",
+    "save_checkpoint", "load_checkpoint", "BOLTZ", "ONE_4PI_EPS0",
 ]

@@ -84,39 +84,91 @@ class Context:
         self._spec, self._static, init_edd = spec_mod.build_spec(
             system, integrator, r, a)
 
-        # assemble the potential: sum of compiled force terms over
-        # vsite-composed positions; forces via autodiff (vsite force
-        # redistribution is the chain rule)
+        self._strategy = strategy
+        self._nb_kwargs: dict = {}
+        self._ke_valid = False
+        self._build_potential()
+
+        # initial state
+        nb = self._static.n_baths
+        box = np.array(system.getDefaultPeriodicBoxVectors(), np.float64)
+        from ..core.state import zeros_state
+        st = zeros_state(self._static.n_atoms, nb, self._static.n_chains,
+                         box, r, a, seed=seed)
+        self._state = st._replace(eta_dot_dot=jnp.asarray(init_edd, a))
+        self._forces_valid = False
+
+    def _build_potential(self) -> None:
+        """(Re)compile force terms into the total potential + neighbor
+        machinery.  Re-run when pair-structure capacities grow."""
+        r = self._prec.real
+        spec, static = self._spec, self._static
+        system = self._system
         terms = []
         for f in system.getForces():
-            compiled = f.compile(system, r) if hasattr(f, "compile") else None
-            if compiled and compiled[0] is not None:
-                terms.append(compiled)
-        spec, static = self._spec, self._static
+            if hasattr(f, "compile"):
+                kw = {}
+                if type(f).__name__ == "NonbondedForce":
+                    kw["strategy"] = self._strategy
+                    kw["nb_kwargs"] = dict(self._nb_kwargs)
+                compiled = f.compile(system, r, **kw)
+                if compiled and compiled[0] is not None:
+                    terms.append(compiled)
 
-        def potential(positions, box):
+        self._nbl_cfg = None
+        self._cp_cfg = None
+        self._neighbor_fn = None
+        nbl_terms = [t for t in terms
+                     if getattr(t[0], "needs_neighbors", False)]
+        if nbl_terms:
+            t0 = nbl_terms[0][0]
+            if hasattr(t0, "cellpair_cfg"):
+                from ..forces import cellpair
+                cfg = t0.cellpair_cfg
+                self._cp_cfg = cfg
+
+                def neighbor_fn(positions, box):
+                    return cellpair.build_cellsort(positions,
+                                                   jnp.diagonal(box), cfg)
+                self._neighbor_fn = neighbor_fn
+                self._rebuild_interval = cfg.rebuild_interval
+            else:
+                from ..forces import neighborlist
+                cutoff = max(t[0].nbl_cutoff for t in nbl_terms)
+                box0 = np.diagonal(np.array(
+                    system.getDefaultPeriodicBoxVectors(), np.float64))
+                self._nbl_cfg = neighborlist.make_config(
+                    cutoff, box0, static.n_atoms, **{
+                        k: v for k, v in self._nb_kwargs.items()
+                        if k in ("skin", "rebuild_interval", "max_neighbors",
+                                 "density_margin")})
+                exc_i, exc_j = t0.nbl_exclusions
+                self._nbl_excl = neighborlist.build_exclusion_table(
+                    static.n_atoms, exc_i, exc_j)
+                self._rebind_neighbor_fn()
+                self._rebuild_interval = self._nbl_cfg.rebuild_interval
+
+        def potential(positions, box, neighbors):
             pos = apply_vsites(spec, static, positions)
             e = jnp.zeros((), positions.dtype)
             for fn, params in terms:
-                e = e + fn(params, pos, box)
+                if getattr(fn, "needs_neighbors", False):
+                    e = e + fn(params, pos, box, neighbors)
+                else:
+                    e = e + fn(params, pos, box)
             return e
 
-        def energy_and_forces(positions, box):
-            pe, grad = jax.value_and_grad(potential)(positions, box)
+        def energy_and_forces(positions, box, neighbors=None):
+            pe, grad = jax.value_and_grad(potential)(positions, box,
+                                                     neighbors)
             return pe, -grad
 
         self._energy_and_forces = energy_and_forces
         self._step_fns: Dict[int, callable] = {}
-        self._ke_valid = False
-
-        # initial state
-        nb = static.n_baths
-        box = np.array(system.getDefaultPeriodicBoxVectors(), np.float64)
-        from ..core.state import zeros_state
-        st = zeros_state(static.n_atoms, nb, static.n_chains, box, r, a,
-                         seed=seed)
-        self._state = st._replace(eta_dot_dot=jnp.asarray(init_edd, a))
-        self._forces_valid = False
+        self._jit_neighbor_fn = None
+        if getattr(self, "_state", None) is not None:
+            self._state = self._state._replace(neighbors=None)
+            self._forces_valid = False
 
     # -- state manipulation ---------------------------------------------------
     def setPositions(self, positions) -> None:
@@ -125,7 +177,7 @@ class Context:
             raise ValueError(f"positions must have shape "
                              f"({self._static.n_atoms}, 3)")
         pos = apply_vsites(self._spec, self._static, pos)
-        self._state = self._state._replace(positions=pos)
+        self._state = self._state._replace(positions=pos, neighbors=None)
         self._forces_valid = False
         self._ke_valid = False
 
@@ -178,10 +230,50 @@ class Context:
             self._state = self._state._replace(velocities=v)
 
     # -- stepping --------------------------------------------------------------
+    def _rebind_neighbor_fn(self) -> None:
+        from ..forces import neighborlist
+        cfg = self._nbl_cfg
+        excl_table = self._nbl_excl
+
+        def neighbor_fn(positions, box):
+            return neighborlist.build_neighbors(
+                positions, jnp.diagonal(box), cfg, excl_table)
+        self._neighbor_fn = neighbor_fn
+        self._jit_neighbor_fn = None
+
+    def _ensure_neighbors(self) -> None:
+        if self._neighbor_fn is None or self._state.neighbors is not None:
+            return
+        for _ in range(8):
+            if self._jit_neighbor_fn is None:
+                self._jit_neighbor_fn = jax.jit(self._neighbor_fn)
+            nbl = self._jit_neighbor_fn(self._state.positions,
+                                        self._state.box)
+            if not bool(nbl.overflow):
+                break
+            # capacity exceeded (clustered system): grow and rebuild
+            if self._cp_cfg is not None:
+                from ..forces import cellpair
+                self._nb_kwargs["capacity"] = cellpair.grow(
+                    self._cp_cfg, self._static.n_atoms).capacity
+                self._build_potential()
+            else:
+                from ..forces import neighborlist
+                self._nbl_cfg = neighborlist.grow(self._nbl_cfg,
+                                                  self._static.n_atoms)
+                self._rebind_neighbor_fn()
+                self._step_fns.clear()
+        else:
+            raise RuntimeError("neighbor structure capacity still "
+                               "overflowing after growth")
+        self._state = self._state._replace(neighbors=nbl)
+
     def _ensure_forces(self) -> None:
         if not self._forces_valid:
+            self._ensure_neighbors()
             pe, f = jax.jit(self._energy_and_forces)(
-                self._state.positions, self._state.box)
+                self._state.positions, self._state.box,
+                self._state.neighbors)
             self._state = self._state._replace(
                 forces=f, potential_energy=pe.astype(self._prec.accum))
             self._forces_valid = True
@@ -195,11 +287,122 @@ class Context:
         return fn
 
     def step(self, steps: int) -> None:
-        """Advance the simulation.  One jitted lax.scan call per invocation
-        (compiled once per distinct `steps` value)."""
+        """Advance the simulation.
+
+        Without a neighbor list this is one jitted lax.scan call (compiled
+        once per distinct `steps` value).  With a cell list, stepping is
+        chunked into `rebuild_interval`-sized scans with the (jitted)
+        neighbor rebuild between chunks — the rebuild runs as its own XLA
+        program, keeping the hot step program small; the host dispatch
+        every ~16 steps is noise next to the force pass."""
         self._ensure_forces()
-        self._state = self._get_step_fn(int(steps))(self._spec, self._state)
+        steps = int(steps)
+        if self._neighbor_fn is None:
+            self._state = self._get_step_fn(steps)(self._spec, self._state)
+        else:
+            if self._jit_neighbor_fn is None:
+                self._jit_neighbor_fn = jax.jit(self._neighbor_fn)
+            interval = self._rebuild_interval
+            remaining = steps
+            while remaining > 0:
+                k = min(interval, remaining)
+                # rebuild, growing capacity on overflow (the flag costs one
+                # bool readback per segment — noise next to the force work)
+                self._state = self._state._replace(neighbors=None)
+                self._ensure_neighbors()
+                self._state = self._get_step_fn(k)(self._spec, self._state)
+                remaining -= k
         self._ke_valid = True
+
+    def getConservedEnergy(self) -> float:
+        """The TGNH conserved quantity: KE + PE + per-bath chain terms
+        sum_g [ 1/2 Q_g0 etaDot_g0^2 + N_g kbT_g eta_g0
+                + sum_{i>=1} (1/2 Q_gi etaDot_gi^2 + kbT_chain eta_gi) ].
+        Its drift measures integrator/thermostat fidelity — a diagnostic
+        the reference never exposes."""
+        self._ensure_forces()
+        st = self._state
+        spec = self._spec
+        m = np.asarray(spec.mass, np.float64)
+        v = np.asarray(st.velocities, np.float64)
+        ke = 0.5 * float(np.sum(m * np.sum(v * v, axis=-1)))
+        pe = float(st.potential_energy)
+        eta = np.asarray(st.eta, np.float64)
+        eta_dot = np.asarray(st.eta_dot, np.float64)[:, :-1]
+        q = np.asarray(spec.nh_eta_mass, np.float64)
+        nkbt = np.asarray(spec.nh_nkbt, np.float64)
+        kbt_chain = np.asarray(spec.nh_kbt_chain, np.float64)
+        chain = 0.5 * np.sum(q * eta_dot**2)
+        chain += float(np.sum(nkbt * eta[:, 0]))
+        if eta.shape[1] > 1:
+            chain += float(np.sum(kbt_chain[:, None] * eta[:, 1:]))
+        return ke + pe + chain
+
+    def minimizeEnergy(self, tolerance: float = 10.0,
+                       maxIterations: int = 500) -> None:
+        """FIRE energy minimization (fast inertial relaxation engine) under
+        jit — robust for the stiff Drude springs; stops when the force
+        RMS drops below `tolerance` (kJ/mol/nm) or after maxIterations.
+        Constraints are re-projected and vsites recomputed afterwards."""
+        spec, static = self._spec, self._static
+        self._ensure_neighbors()
+        eaf = self._energy_and_forces
+        movable = (np.asarray(self._spec.inv_mass) > 0)[:, None]
+        movable = jnp.asarray(movable)
+
+        dt0 = 1e-4
+        dt_max = 1e-2
+
+        def fire(pos, box, neighbors):
+            def body(carry):
+                pos, vel, dt, alpha, n_pos, it, _ = carry
+                pe, f = eaf(pos, box, neighbors)
+                f = jnp.where(movable, f, 0.0)
+                p = jnp.sum(f * vel)
+                f_norm = jnp.sqrt(jnp.sum(f * f))
+                v_norm = jnp.sqrt(jnp.sum(vel * vel))
+                vel = jnp.where(p > 0,
+                                (1 - alpha) * vel
+                                + alpha * f * (v_norm / jnp.maximum(f_norm, 1e-12)),
+                                jnp.zeros_like(vel))
+                n_pos = jnp.where(p > 0, n_pos + 1, 0)
+                dt = jnp.where((p > 0) & (n_pos > 5),
+                               jnp.minimum(dt * 1.1, dt_max),
+                               jnp.where(p > 0, dt, dt * 0.5))
+                alpha = jnp.where((p > 0) & (n_pos > 5), alpha * 0.99,
+                                  jnp.where(p > 0, alpha, 0.1))
+                vel = vel + dt * f
+                pos = pos + dt * vel
+                rms = f_norm / np.sqrt(pos.size)
+                return pos, vel, dt, alpha, n_pos, it + 1, rms
+
+            def cond(carry):
+                *_, it, rms = carry
+                return (it < maxIterations) & (rms > tolerance)
+
+            init = (pos, jnp.zeros_like(pos), jnp.asarray(dt0, pos.dtype),
+                    jnp.asarray(0.1, pos.dtype), jnp.zeros((), jnp.int32),
+                    jnp.zeros((), jnp.int32),
+                    jnp.asarray(np.inf, pos.dtype))
+            pos, *_ = jax.lax.while_loop(cond, body, init)
+            return pos
+
+        pos = jax.jit(fire)(self._state.positions, self._state.box,
+                            self._state.neighbors)
+        self._state = self._state._replace(positions=pos)
+        self.applyConstraints(self._integrator.getConstraintTolerance())
+        self._state = self._state._replace(
+            positions=apply_vsites(spec, static, self._state.positions),
+            neighbors=None)
+        self._forces_valid = False
+
+    @property
+    def neighborListOverflowed(self) -> bool:
+        """True if any cell-list capacity was exceeded since the last
+        rebuild from scratch — results are then unreliable and the list
+        should be rebuilt with a larger capacity."""
+        nbl = self._state.neighbors
+        return bool(nbl.overflow) if nbl is not None else False
 
     def _on_step_size_changed(self) -> None:
         self._spec = self._spec._replace(

@@ -70,6 +70,9 @@ class SystemSpec(NamedTuple):
     resid: jax.Array           # (N,) int32 residue id
     res_mass: jax.Array        # (R,)
     res_inv_mass: jax.Array    # (R,)
+    res_members: jax.Array     # (R, S) int32 atom ids, padded with N —
+                               # gather table replacing per-residue
+                               # segment_sum scatters on TPU
     is_pair: jax.Array         # (N,) bool, member of a Drude pair
     is_parent: jax.Array       # (N,) bool, parent (core) of a pair
     partner: jax.Array         # (N,) int32, pair partner (self if not in a pair)
@@ -158,6 +161,14 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
     res_mass = topology.residue_masses(system, resid)
     n_res = len(res_mass)
     res_inv_mass = np.where(res_mass > 0, 1.0 / np.where(res_mass > 0, res_mass, 1.0), 0.0)
+    # padded per-residue member table (for gather-based COM reductions)
+    counts = np.bincount(resid, minlength=n_res)
+    res_max = int(counts.max()) if n_res else 1
+    res_members = np.full((n_res, res_max), n, np.int32)
+    fill = np.zeros(n_res, np.int64)
+    for i, rid in enumerate(resid):
+        res_members[rid, fill[rid]] = i
+        fill[rid] += 1
 
     # temperature groups: default all particles to group 0 if none assigned
     # (reference DrudeTGNHIntegrator.cpp:127-134)
@@ -317,6 +328,7 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         resid=jnp.asarray(resid),
         res_mass=jnp.asarray(res_mass, r),
         res_inv_mass=jnp.asarray(res_inv_mass, r),
+        res_members=jnp.asarray(res_members),
         is_pair=jnp.asarray(is_pair),
         is_parent=jnp.asarray(is_parent),
         partner=jnp.asarray(partner),

@@ -9,7 +9,7 @@ plain numpy save is exact, and vmap over replicas is trivial.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ class SimState(NamedTuple):
     baro_scale: jax.Array     # scalar, adaptive MC volume move size (nm^3)
     baro_naccept: jax.Array   # int32
     baro_nattempt: jax.Array  # int32
+    neighbors: Any = None     # Optional[forces.neighborlist.Neighbors]
 
 
 def zeros_state(n_atoms: int, n_groups: int, n_chains: int, box,

@@ -31,25 +31,39 @@ class UnionFind:
             self.parent[rb] = ra
 
 
+def _link_edges(system) -> np.ndarray:
+    edges = []
+    for ci in range(system.getNumConstraints()):
+        p1, p2, _ = system.getConstraintParameters(ci)
+        edges.append((p1, p2))
+    for f in system.getForces():
+        edges.extend(getattr(f, "bonded_pairs", lambda: [])())
+    for i in range(system.getNumParticles()):
+        if system.isVirtualSite(i):
+            for p in system.getVirtualSite(i).particles:
+                edges.append((i, p))
+    return np.array(edges, np.int64).reshape(-1, 2)
+
+
 def molecule_ids(system) -> np.ndarray:
     """Return per-particle molecule ids, numbered 0..M-1 in order of first
     appearance (matching OpenMM's getMolecules ordering so residue ids are
-    contiguous runs for contiguously-numbered molecules)."""
-    n = system.getNumParticles()
-    uf = UnionFind(n)
-    for ci in range(system.getNumConstraints()):
-        p1, p2, _ = system.getConstraintParameters(ci)
-        uf.union(p1, p2)
-    for f in system.getForces():
-        pairs = getattr(f, "bonded_pairs", lambda: [])()
-        for a, b in pairs:
-            uf.union(a, b)
-    for i in range(n):
-        if system.isVirtualSite(i):
-            vs = system.getVirtualSite(i)
-            for p in vs.particles:
-                uf.union(i, p)
+    contiguous runs for contiguously-numbered molecules).
 
+    Uses the native C++ union-find (utils/native.py) when available — the
+    build-time hot path for million-atom systems — with this pure-Python
+    fallback kept behaviorally identical."""
+    n = system.getNumParticles()
+    edges = _link_edges(system)
+
+    from ..utils import native
+    res = native.molecule_ids_native(n, edges)
+    if res is not None:
+        return res[0]
+
+    uf = UnionFind(n)
+    for a, b in edges:
+        uf.union(int(a), int(b))
     ids = np.empty(n, dtype=np.int32)
     remap: dict[int, int] = {}
     for i in range(n):

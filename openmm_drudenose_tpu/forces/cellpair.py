@@ -1,0 +1,372 @@
+"""Cell-pair dense-block nonbonded kernel — the TPU-native hot path.
+
+Instead of per-atom neighbor lists (random gathers of ~1e8 elements per
+step, which TPUs hate), atoms are spatially sorted into fixed-capacity
+cells every `rebuild_interval` steps, and the direct-space sum is computed
+as dense (C x C) blocks between each cell and its static neighbor-cell
+stencil:
+
+  * all per-step data movement is contiguous: one (N,)-gather to sort
+    positions into cell-major order, regular block reads after that
+  * the pair math is pure fused elementwise work on (n_cells, C, C)
+    blocks — VPU-shaped, and exactly the block structure a Pallas kernel
+    wants (ops/ later)
+  * forces are computed analytically in the same pass (row-sums over the
+    block axis, no scatter in the hot loop) and exposed through a
+    custom_vjp, so `jax.grad` of the total energy stays cheap
+  * exclusions are tested with an index-window bitmask: excluded pairs are
+    intramolecular, so |i - j| <= W for a small static W; each atom carries
+    (2W+1) bits packed into int32 words
+
+The reference delegates all of this to OpenMM's CUDA neighbor machinery;
+this module is its TPU-native replacement (SURVEY.md section 7, 'hard
+parts' items 2-3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import ONE_4PI_EPS0
+
+
+class CellSort(NamedTuple):
+    slot_atom: jax.Array   # (S,) int32 atom index per cell slot (N = empty)
+    inv_slot: jax.Array    # (N,) int32 slot of each atom
+    overflow: jax.Array    # () bool
+    ref_positions: jax.Array  # (N, 3) at last rebuild
+
+
+@dataclasses.dataclass(frozen=True)
+class CellPairConfig:
+    cutoff: float
+    skin: float
+    grid: tuple              # cells per dimension
+    capacity: int            # atoms per cell (C)
+    nbr_map: tuple           # static flattened neighbor-cell map, shape info below
+    n_offsets: int
+    rebuild_interval: int
+    excl_window: int         # W
+    excl_words: int          # ceil((2W+1)/31)
+    half_stencil: bool = False
+
+    @property
+    def r_list(self) -> float:
+        return self.cutoff + self.skin
+
+    @property
+    def n_cells(self) -> int:
+        return int(np.prod(self.grid))
+
+
+def _neighbor_offsets(grid, window) -> np.ndarray:
+    def per_dim(n, w):
+        if n >= 2 * w + 1:
+            return range(-w, w + 1)
+        # small grids: every distinct wrapped offset exactly once
+        return range(0, min(n, 2 * w + 1))
+    return np.array([(a, b, c)
+                     for a in per_dim(grid[0], window[0])
+                     for b in per_dim(grid[1], window[1])
+                     for c in per_dim(grid[2], window[2])], np.int32)
+
+
+def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
+                skin: float = 0.1, rebuild_interval: int = 16,
+                cells_per_cutoff: int = 2, density_margin: float = 1.6,
+                capacity: int | None = None) -> CellPairConfig:
+    box_diag = np.asarray(box_diag, np.float64)
+    r_list = cutoff + skin
+    target = r_list / cells_per_cutoff
+    grid = tuple(max(int(np.floor(L / target)), 1) for L in box_diag)
+    cell_size = box_diag / np.array(grid)
+    window = tuple(int(np.ceil(r_list / cell_size[d])) for d in range(3))
+    n_cells = int(np.prod(grid))
+    if capacity is None:
+        density = n_atoms / float(np.prod(box_diag))
+        cap = int(np.ceil(density * np.prod(cell_size) * density_margin)) + 2
+        capacity = max(int(np.ceil(cap / 8)) * 8, 8)
+    offsets = _neighbor_offsets(grid, window)
+
+    # Newton's-3rd-law half stencil when the full stencil is +/- symmetric
+    # (all dims have >= 2w+1 cells): keep the self offset plus one of each
+    # +/-o pair; the block sweep then credits forces to both sides.
+    half = all(g >= 2 * w + 1 for g, w in zip(grid, window))
+    if half:
+        sel = [o for o in offsets.tolist()
+               if (o[0], o[1], o[2]) > (0, 0, 0)]
+        offsets = np.array([[0, 0, 0]] + sel, np.int32)
+
+    # static neighbor-cell map (n_cells, n_off)
+    cz = np.arange(n_cells)
+    c3 = np.stack([cz // (grid[1] * grid[2]),
+                   (cz // grid[2]) % grid[1],
+                   cz % grid[2]], axis=1)
+    nb3 = (c3[:, None, :] + offsets[None, :, :]) % np.array(grid)
+    nbr = (nb3[..., 0] * grid[1] + nb3[..., 1]) * grid[2] + nb3[..., 2]
+
+    # exclusion window
+    exc_i = np.asarray(exc_i, np.int64)
+    exc_j = np.asarray(exc_j, np.int64)
+    W = int(np.abs(exc_i - exc_j).max()) if len(exc_i) else 0
+    n_words = max((2 * W + 1 + 30) // 31, 1)
+
+    return CellPairConfig(
+        cutoff=float(cutoff), skin=float(skin), grid=grid,
+        capacity=int(capacity),
+        nbr_map=(tuple(nbr.reshape(-1).tolist()), nbr.shape),
+        n_offsets=len(offsets), rebuild_interval=int(rebuild_interval),
+        excl_window=W, excl_words=n_words, half_stencil=half)
+
+
+def grow(cfg: CellPairConfig, n_atoms: int) -> CellPairConfig:
+    return dataclasses.replace(
+        cfg, capacity=min(int(cfg.capacity * 1.5) + 8, n_atoms))
+
+
+def build_exclusion_words(n_atoms: int, exc_i, exc_j,
+                          W: int, n_words: int) -> np.ndarray:
+    """(N, n_words) int32: bit (d + W) set when (i, i+d) is excluded."""
+    words = np.zeros((n_atoms, n_words), np.int32)
+    for a, b in zip(np.asarray(exc_i), np.asarray(exc_j)):
+        for i, j in ((int(a), int(b)), (int(b), int(a))):
+            bit = j - i + W
+            words[i, bit // 31] |= np.int32(1 << (bit % 31))
+    return words
+
+
+def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
+    n = positions.shape[0]
+    grid = jnp.asarray(cfg.grid, jnp.int32)
+    n_cells = cfg.n_cells
+    C = cfg.capacity
+
+    frac = positions / box_diag
+    frac = frac - jnp.floor(frac)
+    cell3 = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
+    flat = (cell3[:, 0] * cfg.grid[1] + cell3[:, 1]) * cfg.grid[2] + cell3[:, 2]
+
+    order = jnp.argsort(flat)
+    sorted_flat = flat[order]
+    starts = jnp.searchsorted(sorted_flat, jnp.arange(n_cells,
+                                                      dtype=sorted_flat.dtype))
+    rank = (jnp.arange(n, dtype=jnp.int32)
+            - starts[sorted_flat].astype(jnp.int32))
+    overflow = jnp.any(rank >= C)
+    slot = sorted_flat.astype(jnp.int32) * C + jnp.minimum(rank, C - 1)
+    slot_atom = jnp.full((n_cells * C,), n, jnp.int32)
+    slot_atom = slot_atom.at[slot].set(order.astype(jnp.int32), mode="drop")
+    inv_slot = jnp.zeros((n,), jnp.int32).at[order].set(slot, mode="drop")
+    return CellSort(slot_atom=slot_atom, inv_slot=inv_slot,
+                    overflow=overflow, ref_positions=positions)
+
+
+# ---------------------------------------------------------------------------
+# pair interaction kernels: (energy, dE/dr^2) per method
+# ---------------------------------------------------------------------------
+
+def _lj_e_g(sig, eps, inv_r2):
+    u3 = (sig * sig * inv_r2) ** 3
+    e = 4.0 * eps * u3 * (u3 - 1.0)
+    g = -4.0 * eps * (6.0 * u3 * u3 - 3.0 * u3) * inv_r2  # dE/dr^2
+    return e, g
+
+
+def _switch(r2, inv_r, r_on, r_off):
+    """OpenMM switching S(t), returns (S, dS/dr^2)."""
+    r = r2 * inv_r
+    t = jnp.clip((r - r_on) / (r_off - r_on), 0.0, 1.0)
+    s = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
+    ds_dt = t * t * (-30.0 + t * (60.0 - 30.0 * t))
+    ds_dr2 = ds_dt / (r_off - r_on) * 0.5 * inv_r
+    return s, ds_dr2
+
+
+def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
+                 krf: float = 0.0, crf: float = 0.0,
+                 use_switch: bool = False, r_switch: float = 0.0):
+    """Returns f(qq, sig, eps, r2, inv_r2) -> (e, dE/dr^2) for valid pairs."""
+    two_over_sqrt_pi = 2.0 / np.sqrt(np.pi)
+
+    def f(qq, sig, eps, r2, inv_r2):
+        inv_r = jnp.sqrt(inv_r2)
+        e_lj, g_lj = _lj_e_g(sig, eps, inv_r2)
+        if use_switch:
+            s, ds = _switch(r2, inv_r, r_switch, cutoff)
+            g_lj = g_lj * s + e_lj * ds
+            e_lj = e_lj * s
+        if method == "ewald":
+            ar = alpha * r2 * inv_r
+            erfc_ar = jax.scipy.special.erfc(ar)
+            e_c = qq * erfc_ar * inv_r
+            # d/dr [qq erfc(ar)/r] = qq(-erfc/r^2 - 2a/sqrt(pi) e^{-a^2r^2}/r)
+            g_c = -0.5 * qq * inv_r2 * (erfc_ar * inv_r
+                                        + two_over_sqrt_pi * alpha
+                                        * jnp.exp(-ar * ar))
+        elif method == "rf":
+            e_c = qq * (inv_r + krf * r2 - crf)
+            g_c = qq * (-0.5 * inv_r2 * inv_r + krf)
+        else:  # plain coulomb
+            e_c = qq * inv_r
+            g_c = -0.5 * qq * inv_r2 * inv_r
+        return e_lj + e_c, g_lj + g_c
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# the block sweep: energy + forces in one pass
+# ---------------------------------------------------------------------------
+
+def _sorted_arrays(params, positions, cellsort, cfg, n):
+    """Gather per-atom data into cell-major order (padded slots -> inert)."""
+    sa = cellsort.slot_atom
+    pad = sa >= n
+    safe = jnp.where(pad, 0, sa)
+    out = {}
+    for c, name in enumerate("xyz"):
+        out[name] = jnp.where(pad, 1e6 * (1 + c), positions[safe, c])
+    out["q"] = jnp.where(pad, 0.0, params["charge"][safe])
+    out["sig"] = jnp.where(pad, 1.0, params["sigma"][safe])
+    out["eps"] = jnp.where(pad, 0.0, params["eps"][safe])
+    out["gid"] = jnp.where(pad, -1 - jnp.arange(sa.shape[0], dtype=jnp.int32),
+                           sa)
+    if "excl_words" in params:
+        for w in range(params["excl_words"].shape[1]):
+            out[f"ew{w}"] = jnp.where(pad, 0, params["excl_words"][safe, w])
+    return out
+
+
+def pair_energy_forces(params, positions, box_diag, cellsort,
+                       cfg: CellPairConfig, pair_eg, coulomb_scale):
+    """Returns (energy, forces (N,3)) for the direct-space sum."""
+    n = positions.shape[0]
+    n_cells, C = cfg.n_cells, cfg.capacity
+    nbr_flat, nbr_shape = cfg.nbr_map
+    nbr_map = np.array(nbr_flat, np.int32).reshape(nbr_shape)
+    cutoff2 = cfg.cutoff * cfg.cutoff
+    W = cfg.excl_window
+
+    s = _sorted_arrays(params, positions, cellsort, cfg, n)
+    blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
+    nbr = jnp.asarray(nbr_map)  # (n_cells, n_off)
+
+    def block_eg(b):
+        """Pair energies/force-factors between every cell's block and its
+        b-indexed neighbor block.  Returns (e (cells,C,C), g2 = -2 dE/dr^2
+        masked, d components)."""
+        d = []
+        r2 = jnp.zeros((n_cells, C, C), positions.dtype)
+        for c, k in enumerate("xyz"):
+            dc = blocks[k][:, :, None] - blocks[k][b][:, None, :]
+            dc = dc - box_diag[c] * jnp.round(dc / box_diag[c])
+            d.append(dc)
+            r2 = r2 + dc * dc
+        gid_a = blocks["gid"][:, :, None]
+        gid_b = blocks["gid"][b][:, None, :]
+        valid = ((gid_a >= 0) & (gid_b >= 0) & (gid_a != gid_b)
+                 & (r2 < cutoff2))
+        if W > 0:
+            dg = gid_b - gid_a
+            in_win = jnp.abs(dg) <= W
+            bit = jnp.where(in_win, dg + W, 0)
+            excl = jnp.zeros_like(valid)
+            for w in range(cfg.excl_words):
+                ew = blocks[f"ew{w}"][:, :, None]  # row atom a's words
+                hit = (bit // 31 == w) & (((ew >> (bit % 31)) & 1) == 1)
+                excl = excl | hit
+            valid = valid & ~(in_win & excl)
+        r2s = jnp.where(valid, r2, 1.0)
+        inv_r2 = 1.0 / r2s
+        qq = (coulomb_scale * blocks["q"][:, :, None]
+              * blocks["q"][b][:, None, :])
+        sig = 0.5 * (blocks["sig"][:, :, None]
+                     + blocks["sig"][b][:, None, :])
+        eps = jnp.sqrt(blocks["eps"][:, :, None]
+                       * blocks["eps"][b][:, None, :])
+        e, g = pair_eg(qq, sig, eps, r2s, inv_r2)
+        e = jnp.where(valid, e, 0.0)
+        g2 = jnp.where(valid, -2.0 * g, 0.0)
+        return e, g2, d
+
+    zero = jnp.zeros((n_cells, C), positions.dtype)
+
+    # self block: both orders present -> half the energy, row forces only
+    e_s, g2_s, d_s = block_eg(nbr[:, 0])
+    e_total = 0.5 * jnp.sum(e_s)
+    f = [jnp.sum(g2_s * dc, axis=2) for dc in d_s]
+
+    if cfg.n_offsets > 1:
+        if cfg.half_stencil:
+            # each +/- pair visited once: full energy; Newton's third law
+            # credits the b-side blocks with the reaction forces
+            def body(carry, o):
+                e_total, fx, fy, fz = carry
+                b = nbr[:, o]
+                e, g2, d = block_eg(b)
+                e_total = e_total + jnp.sum(e)
+                fs = [fx + jnp.sum(g2 * d[0], axis=2),
+                      fy + jnp.sum(g2 * d[1], axis=2),
+                      fz + jnp.sum(g2 * d[2], axis=2)]
+                # reaction on b-side: -sum over the a (row) axis
+                fs = [fc.at[b].add(-jnp.sum(g2 * dc, axis=1))
+                      for fc, dc in zip(fs, d)]
+                return (e_total, *fs), None
+        else:
+            # wrapped/small grids: every ordered cell pair appears once in
+            # the stencil -> half energy, row forces only
+            def body(carry, o):
+                e_total, fx, fy, fz = carry
+                b = nbr[:, o]
+                e, g2, d = block_eg(b)
+                return (e_total + 0.5 * jnp.sum(e),
+                        fx + jnp.sum(g2 * d[0], axis=2),
+                        fy + jnp.sum(g2 * d[1], axis=2),
+                        fz + jnp.sum(g2 * d[2], axis=2)), None
+
+        (e_total, *f), _ = jax.lax.scan(
+            body, (e_total, f[0], f[1], f[2]),
+            jnp.arange(1, cfg.n_offsets), unroll=4)
+
+    # unsort forces back to atom order
+    f_slots = jnp.stack([fc.reshape(-1) for fc in f], axis=1)  # (S, 3)
+    forces = f_slots[cellsort.inv_slot]
+    return e_total, forces
+
+
+def _zero_cotangent(x):
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+def make_custom_energy(cfg: CellPairConfig, pair_eg, coulomb_scale):
+    """energy(params, positions, box_diag, cellsort) with a custom VJP that
+    returns the analytically-computed forces (no giant per-pair residuals,
+    no scatter in the backward pass; dE/dpositions = -forces)."""
+
+    @jax.custom_vjp
+    def energy(params, positions, box_diag, cellsort):
+        e, _ = pair_energy_forces(params, positions, box_diag, cellsort,
+                                  cfg, pair_eg, coulomb_scale)
+        return e
+
+    def fwd(params, positions, box_diag, cellsort):
+        e, f = pair_energy_forces(params, positions, box_diag, cellsort,
+                                  cfg, pair_eg, coulomb_scale)
+        return e, (f, params, box_diag, cellsort)
+
+    def bwd(res, g):
+        f, params, box_diag, cellsort = res
+        params_bar = jax.tree.map(_zero_cotangent, params)
+        box_bar = jax.tree.map(_zero_cotangent, box_diag)
+        cs_bar = jax.tree.map(_zero_cotangent, cellsort)
+        return params_bar, g * (-f), box_bar, cs_bar
+
+    energy.defvjp(fwd, bwd)
+    return energy

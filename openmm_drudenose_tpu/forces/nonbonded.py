@@ -150,7 +150,8 @@ class NonbondedForce:
         exc_eps = np.array([e[4] for e in self._exceptions], np.float64)
 
         if strategy == "auto":
-            strategy = "dense" if n <= 8192 else "cell"
+            strategy = ("dense" if n <= 4096 or self._method in
+                        (self.NoCutoff, self.CutoffNonPeriodic) else "cellpair")
 
         params = {
             "charge": jnp.asarray(charge, dtype),
@@ -210,13 +211,7 @@ class NonbondedForce:
                 mask[exc_i, exc_j] = False
                 mask[exc_j, exc_i] = False
             params["pair_mask"] = jnp.asarray(mask)
-        elif strategy == "cell":
-            from . import neighborlist
-            nb_kwargs = nb_kwargs or {}
-            params["nbl_exclusions"] = neighborlist.build_exclusion_table(
-                n, exc_i, exc_j, **{k: v for k, v in nb_kwargs.items()
-                                    if k in ("max_exclusions",)})
-        else:
+        elif strategy not in ("cell", "cellpair"):
             raise ValueError(f"unknown strategy {strategy!r}")
 
         has_exceptions = n_active_exc > 0 or (
@@ -287,10 +282,16 @@ class NonbondedForce:
         if strategy == "dense":
             def energy(params, positions, box):
                 box_diag = jnp.diagonal(box)
-                delta = positions[:, None, :] - positions[None, :, :]
-                if periodic:
-                    delta = delta - box_diag * jnp.round(delta / box_diag)
-                r2 = jnp.sum(delta * delta, axis=-1)
+
+                # per-component (N, N) distances (avoid a trailing xyz axis)
+                def dist2_comp(c):
+                    p = positions[:, c]
+                    d = p[:, None] - p[None, :]
+                    if periodic:
+                        b = box_diag[c]
+                        d = d - b * jnp.round(d / b)
+                    return d * d
+                r2 = dist2_comp(0) + dist2_comp(1) + dist2_comp(2)
                 q = params["charge"]
                 qq = ONE_4PI_EPS0 * q[:, None] * q[None, :]
                 sig = 0.5 * (params["sigma"][:, None] + params["sigma"][None, :])
@@ -306,43 +307,87 @@ class NonbondedForce:
                     vol = box_diag[0] * box_diag[1] * box_diag[2]
                     e = e + disp / vol
                 return e
-        else:
-            from . import neighborlist
+        elif strategy == "cellpair":
+            # dense cell-pair block sweep (forces/cellpair.py): spatially
+            # sorted atoms, fused block math, analytic in-block forces
+            from . import cellpair as cp
+            nb_kwargs = nb_kwargs or {}
+            box0 = np.diagonal(
+                np.array(system.getDefaultPeriodicBoxVectors(), np.float64))
+            cp_cfg = cp.make_config(
+                cutoff, box0, n, exc_i, exc_j,
+                **{k: v for k, v in nb_kwargs.items()
+                   if k in ("skin", "rebuild_interval", "cells_per_cutoff",
+                            "capacity", "density_margin")})
+            params["excl_words"] = jnp.asarray(cp.build_exclusion_words(
+                n, exc_i, exc_j, cp_cfg.excl_window, cp_cfg.excl_words))
+            if method in (self.Ewald, self.PME):
+                pair_eg = cp.make_pair_eg("ewald", cutoff, alpha=pme.alpha,
+                                          use_switch=use_switch,
+                                          r_switch=r_switch)
+            elif method in (self.CutoffPeriodic, self.CutoffNonPeriodic):
+                pair_eg = cp.make_pair_eg("rf", cutoff, krf=krf, crf=crf,
+                                          use_switch=use_switch,
+                                          r_switch=r_switch)
+            else:
+                raise ValueError("cellpair strategy requires a cutoff method")
+            pair_term = cp.make_custom_energy(cp_cfg, pair_eg, ONE_4PI_EPS0)
 
-            def energy(params, positions, box, neighbors=None):
+            def energy(params, positions, box, neighbors):
                 box_diag = jnp.diagonal(box)
-                if neighbors is None:
-                    raise ValueError("cell strategy requires a neighbor list")
-                idx = neighbors.idx  # (N, K) neighbor indices, padded with N
-                pos_pad = jnp.concatenate(
-                    [positions, jnp.zeros((1, 3), positions.dtype)], axis=0)
-                delta = positions[:, None, :] - pos_pad[idx]
-                if periodic:
-                    delta = delta - box_diag * jnp.round(delta / box_diag)
-                r2 = jnp.sum(delta * delta, axis=-1)
-                q_pad = jnp.concatenate([params["charge"],
-                                         jnp.zeros((1,), params["charge"].dtype)])
-                s_pad = jnp.concatenate([params["sigma"],
-                                         jnp.ones((1,), params["sigma"].dtype)])
-                e_pad = jnp.concatenate([params["eps"],
-                                         jnp.zeros((1,), params["eps"].dtype)])
-                qq = ONE_4PI_EPS0 * params["charge"][:, None] * q_pad[idx]
-                sig = 0.5 * (params["sigma"][:, None] + s_pad[idx])
-                ep = jnp.sqrt(params["eps"][:, None] * e_pad[idx])
-                valid = (idx < positions.shape[0]) & neighborlist.exclusion_mask(
-                    params["nbl_exclusions"], idx)
-                e = 0.5 * jnp.sum(pair_energy(qq, sig, ep, r2, valid))
+                e = pair_term(params, positions, box_diag, neighbors)
                 if has_exceptions:
                     e = e + exceptions_energy(params, positions, box_diag)
                 if method in (self.Ewald, self.PME):
                     e = e + params["pme_self"]
-                    e = e + pme.reciprocal_energy(params["charge"], positions, box_diag)
+                    e = e + pme.reciprocal_energy(params["charge"], positions,
+                                                  box_diag)
                 if disp is not None:
                     vol = box_diag[0] * box_diag[1] * box_diag[2]
                     e = e + disp / vol
                 return e
             energy.needs_neighbors = True
-            energy.cutoff = cutoff
+            energy.cellpair_cfg = cp_cfg
+            energy.nbl_cutoff = cutoff
+            energy.nbl_exclusions = (exc_i, exc_j)
+        else:
+            # neighbor lists arrive pre-filtered for exclusions
+            # (forces/neighborlist.py), padded with index N; a sentinel row
+            # keeps padded gathers in-range and contributes nothing.
+            def energy(params, positions, box, neighbors):
+                box_diag = jnp.diagonal(box)
+                idx = neighbors.idx  # (N, K)
+                valid = idx < positions.shape[0]
+                safe_idx = jnp.where(valid, idx, 0)
+
+                # per-component distances: keep every big intermediate 2D
+                # (N, K) — a trailing xyz axis would be lane-padded 3 -> 128
+                def dist2_comp(c):
+                    p = positions[:, c]
+                    d = p[:, None] - p[safe_idx]
+                    if periodic:
+                        b = box_diag[c]
+                        d = d - b * jnp.round(d / b)
+                    return d * d
+                r2 = dist2_comp(0) + dist2_comp(1) + dist2_comp(2)
+                qq = (ONE_4PI_EPS0 * params["charge"][:, None]
+                      * params["charge"][safe_idx])
+                sig = 0.5 * (params["sigma"][:, None] + params["sigma"][safe_idx])
+                ep = jnp.sqrt(params["eps"][:, None] * params["eps"][safe_idx])
+                e = 0.5 * jnp.sum(pair_energy(qq, sig, ep, r2, valid))
+                if has_exceptions:
+                    e = e + exceptions_energy(params, positions, box_diag)
+                if method in (self.Ewald, self.PME):
+                    e = e + params["pme_self"]
+                    e = e + pme.reciprocal_energy(params["charge"], positions,
+                                                  box_diag)
+                if disp is not None:
+                    vol = box_diag[0] * box_diag[1] * box_diag[2]
+                    e = e + disp / vol
+                return e
+            energy.needs_neighbors = True
+            energy.nbl_cutoff = cutoff
+            energy.nbl_exclusions = (exc_i, exc_j)
 
         return energy, params
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -138,14 +139,49 @@ def _reciprocal_energy(grid, alpha, bm2x, bm2y, bm2z, charges, positions, box_di
     iy = jnp.mod(ti[:, 1:2] - j, K2)
     iz = jnp.mod(ti[:, 2:3] - j, K3)
 
-    # spread: scatter-add q * wx wy wz onto the (K1,K2,K3) grid
-    vals = (charges[:, None, None, None] * wx[:, :, None, None]
-            * wy[:, None, :, None] * wz[:, None, None, :])  # (N, o, o, o)
-    flat_idx = (ix[:, :, None, None] * (K2 * K3)
-                + iy[:, None, :, None] * K3
-                + iz[:, None, None, :])
-    Q = jnp.zeros((K1 * K2 * K3,), dtype)
-    Q = Q.at[flat_idx.reshape(-1)].add(vals.reshape(-1))
+    # Spread as matmuls (MXU-native, no scatter): per-dimension dense
+    # one-hot weight matrices W[i, k] = sum_j w_ij [k == idx_ij], then
+    #   Q[a, bc] = (q Wx)^T @ (Wy (x) Wz)
+    # chunked over atoms to bound the (chunk, K2*K3) intermediate.
+    chunk = min(4096, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def padded(x, fill=0):
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+    qWx_all = padded(charges[:, None] * wx)      # (Np, o)
+    wy_all = padded(wy)
+    wz_all = padded(wz)
+    ix_all = padded(ix)
+    iy_all = padded(iy)
+    iz_all = padded(iz)
+
+    kx = jnp.arange(K1, dtype=jnp.int32)
+    ky = jnp.arange(K2, dtype=jnp.int32)
+    kz = jnp.arange(K3, dtype=jnp.int32)
+
+    def one_hot_weights(idx_c, w_c, k):
+        # (chunk, K): sum over the `order` taps of w * [k == idx]
+        acc = jnp.zeros((idx_c.shape[0], k.shape[0]), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_c[:, t:t + 1] * (idx_c[:, t:t + 1] == k[None, :])
+        return acc
+
+    def body(Q, c):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk)
+        Wx = one_hot_weights(sl(ix_all), sl(qWx_all), kx)   # (chunk, K1)
+        Wy = one_hot_weights(sl(iy_all), sl(wy_all), ky)    # (chunk, K2)
+        Wz = one_hot_weights(sl(iz_all), sl(wz_all), kz)    # (chunk, K3)
+        Wyz = (Wy[:, :, None] * Wz[:, None, :]).reshape(chunk, K2 * K3)
+        return Q + jnp.dot(Wx.T, Wyz, preferred_element_type=dtype), None
+
+    # scan (not fori_loop) so reverse-mode autodiff works through the chunks
+    Q, _ = jax.lax.scan(body, jnp.zeros((K1, K2 * K3), dtype),
+                        jnp.arange(n_chunks))
     Q = Q.reshape(K1, K2, K3)
 
     # reciprocal sum

@@ -28,14 +28,15 @@ def maybe_attempt_mc_move(spec, static, state, energy_and_forces):
         ls = (new_vol / vol) ** (1.0 / 3.0)
 
         # scale molecule COMs, keep intramolecular geometry
-        mom = jax.ops.segment_sum(spec.mass[:, None] * state.positions,
-                                  spec.resid, num_segments=static.n_residues)
+        from .tgnh import residue_sum
+        mom = residue_sum(spec, static, spec.mass[:, None] * state.positions)
         com = mom * spec.res_inv_mass[:, None]
         new_pos = state.positions + (ls.astype(r) - 1.0) * com[spec.resid]
         new_pos = apply_vsites(spec, static, new_pos)
         new_box = state.box * ls.astype(r)
 
-        pe_new, forces_new = energy_and_forces(new_pos, new_box)
+        pe_new, forces_new = energy_and_forces(new_pos, new_box,
+                                               state.neighbors)
         pe_new = pe_new.astype(accum)
         kt = spec.baro_kt
         n_mol = static.n_residues

@@ -45,13 +45,25 @@ def _safe_inv(x):
     return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
 
 
+def residue_sum(spec: SystemSpec, static: StaticSpec, per_atom):
+    """Sum a per-atom (N, 3) quantity over residues -> (R, 3), via the
+    padded member-gather table (TPU scatters/segment_sums are slow; a
+    fixed-width gather + axis-reduce is fused elementwise work).  Computed
+    per component to avoid lane-padding a trailing xyz axis."""
+    cols = []
+    for c in range(3):
+        v = jnp.concatenate([per_atom[:, c],
+                             jnp.zeros((1,), per_atom.dtype)])
+        cols.append(jnp.sum(v[spec.res_members], axis=1))
+    return jnp.stack(cols, axis=1)
+
+
 def com_and_norm_velocities(spec: SystemSpec, static: StaticSpec, velocities):
     """Per-residue COM velocities and residue-relative ('normalized')
     velocities (drudeTGNH.cu:82-133).  With use_com_temp_group=False the COM
     velocities are zero and norm == lab velocities."""
     if static.use_com_temp_group:
-        mom = jax.ops.segment_sum(spec.mass[:, None] * velocities, spec.resid,
-                                  num_segments=static.n_residues)
+        mom = residue_sum(spec, static, spec.mass[:, None] * velocities)
         com_vel = mom * spec.res_inv_mass[:, None]
     else:
         com_vel = jnp.zeros((static.n_residues, 3), velocities.dtype)
@@ -98,8 +110,14 @@ def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
         ke_group_directed = ke_atom
         ke_drude = jnp.zeros((), accum_dtype)
 
-    ke = jax.ops.segment_sum(ke_group_directed, spec.tg, num_segments=nb)
-    ke = ke.at[G].set(ke_com).at[G + 1].set(ke_drude)
+    # per-group reduction: G is small and static, so masked sums beat a
+    # segment_sum scatter on TPU
+    if G == 1:
+        ke_groups = [jnp.sum(ke_group_directed)]
+    else:
+        ke_groups = [jnp.sum(jnp.where(spec.tg == g, ke_group_directed, 0.0))
+                     for g in range(G)]
+    ke = jnp.stack(ke_groups + [ke_com, ke_drude])
     return ke, com_vel, norm_vel
 
 
@@ -327,12 +345,16 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
 
 def make_step(static: StaticSpec,
               energy_and_forces: Callable,
+              neighbor_fn: Callable = None,
+              rebuild_interval: int = 16,
               ) -> Callable[[SystemSpec, SimState], SimState]:
     """Build step(spec, state) -> state.
 
-    energy_and_forces(positions, box) -> (potential_energy, forces) must
-    already include virtual-site position composition (so forces on massless
-    sites are zero and parents carry the redistributed force).
+    energy_and_forces(positions, box, neighbors) -> (potential_energy,
+    forces) must already include virtual-site position composition (so
+    forces on massless sites are zero and parents carry the redistributed
+    force).  neighbor_fn(positions, box) -> Neighbors, when given, refreshes
+    the cell-list neighbor state every `rebuild_interval` steps inside jit.
     """
     G = static.n_temp_groups
 
@@ -353,6 +375,16 @@ def make_step(static: StaticSpec,
 
     def step(spec: SystemSpec, state: SimState) -> SimState:
         dt = spec.dt.astype(state.positions.dtype)
+
+        # -- neighbor list refresh (skin absorbs motion in between) ---------
+        if neighbor_fn is not None:
+            def do_rebuild(st):
+                nbl = neighbor_fn(st.positions, st.box)
+                return nbl._replace(
+                    overflow=nbl.overflow | st.neighbors.overflow)
+            nbl = jax.lax.cond(state.step % rebuild_interval == 0,
+                               do_rebuild, lambda st: st.neighbors, state)
+            state = state._replace(neighbors=nbl)
 
         # -- updateContextState equivalents (barostat / CM motion removal) --
         if static.cm_freq > 0:
@@ -405,7 +437,7 @@ def make_step(static: StaticSpec,
 
         # -- virtual sites + force pass --------------------------------------
         pos = apply_vsites(spec, static, pos)
-        pe, forces = energy_and_forces(pos, state.box)
+        pe, forces = energy_and_forces(pos, state.box, state.neighbors)
 
         # -- second half kick -------------------------------------------------
         v = half_kick(spec, static, v, forces, dt)
@@ -430,9 +462,11 @@ def make_step(static: StaticSpec,
 
 
 def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
-                    inner_steps: int):
+                    inner_steps: int, neighbor_fn: Callable = None,
+                    rebuild_interval: int = 16):
     """lax.scan over `inner_steps` steps per host call."""
-    step = make_step(static, energy_and_forces)
+    step = make_step(static, energy_and_forces, neighbor_fn,
+                     rebuild_interval)
 
     def multi(spec: SystemSpec, state: SimState) -> SimState:
         def body(s, _):

@@ -1,0 +1,78 @@
+"""Replica ensembles (vmap) and multi-chip sharding (mesh + pjit).
+
+The reference is strictly single-process single-GPU (SURVEY.md section 2.8);
+these are greenfield TPU-native capabilities:
+
+  * vmap replica batching: the whole SimState is a pytree, so an ensemble is
+    just a leading replica axis — `jax.vmap(step)` — optionally sharded over
+    a mesh 'replica' axis.
+  * spatial scaling: atom-dimension sharding over a mesh 'atom' axis with
+    sharding constraints; XLA inserts the collectives (all-gathers for
+    neighbor gathers, psums for the (G+2) per-bath KE reductions — the only
+    global communication TGNH itself needs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.state import SimState
+from ..integrators import tgnh
+
+
+def stack_states(states):
+    """Stack per-replica SimStates into one batched state."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def replicate_state(state: SimState, n_replicas: int, seed: int = 0) -> SimState:
+    """Broadcast one state to an ensemble, with distinct PRNG keys."""
+    batched = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_replicas,) + x.shape), state)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_replicas)
+    return batched._replace(key=keys)
+
+
+def make_ensemble_step(static, energy_and_forces, spec, inner_steps: int = 1,
+                       neighbor_fn=None, rebuild_interval: int = 16):
+    """vmapped multi-step over a replica axis: state has a leading replica
+    dimension; spec is shared."""
+    multi = tgnh.make_multi_step(static, energy_and_forces, inner_steps,
+                                 neighbor_fn, rebuild_interval)
+    return jax.vmap(lambda st: multi(spec, st))
+
+
+def state_sharding(mesh: Mesh, state: SimState,
+                   replica_axis: Optional[str] = "replica",
+                   atom_axis: Optional[str] = "atom"):
+    """NamedShardings for a (batched) SimState: per-atom arrays sharded over
+    the atom axis, everything batched over the replica axis, small chain
+    state replicated along atoms."""
+    axes = mesh.axis_names
+    rep = replica_axis if replica_axis in axes else None
+    atom = atom_axis if atom_axis in axes else None
+
+    def spec_for(path, leaf):
+        name = path[-1].name if path else ""
+        ndim = leaf.ndim
+        parts = []
+        if rep:
+            parts.append(rep)  # leading replica dim
+        base = len(parts)
+        if name in ("positions", "velocities", "forces") and ndim > base:
+            parts.append(atom)
+        return NamedSharding(mesh, P(*parts)) if parts else \
+            NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, state)
+
+
+def shard_ensemble(mesh: Mesh, state: SimState, replica_axis="replica",
+                   atom_axis="atom") -> SimState:
+    shardings = state_sharding(mesh, state, replica_axis, atom_axis)
+    return jax.tree.map(jax.device_put, state, shardings)

@@ -105,7 +105,8 @@ def _mini_spec(G, M, eta_mass, nkbt, real_kbt, drude_kbt, use_drude_chains):
     dummy = jnp.zeros(())
     return SystemSpec(
         mass=dummy, inv_mass=dummy, tg=dummy, resid=dummy, res_mass=dummy,
-        res_inv_mass=dummy, is_pair=dummy, is_parent=dummy, partner=dummy,
+        res_inv_mass=dummy, res_members=dummy, is_pair=dummy,
+        is_parent=dummy, partner=dummy,
         nh_nkbt=jnp.asarray(nkbt), nh_eta_mass=jnp.asarray(eta_mass),
         nh_kbt_chain=jnp.asarray(kbt_chain),
         nh_link_active=jnp.asarray(link), dt=dummy,
