@@ -210,6 +210,8 @@ class Context:
         """Project current positions onto the constraint manifold."""
         spec, static = self._spec, self._static
         if static.n_shake or static.n_settle:
+            # the direct triangle solver assumes valid reference directions,
+            # so initial projection uses the robust Jacobi sweep for all
             idx, dist = _all_constraints(spec, static)
             delta = jnp.zeros_like(self._state.positions)
             delta = shake_mod.apply_position_constraints(
@@ -221,13 +223,18 @@ class Context:
             self._forces_valid = False
 
     def applyVelocityConstraints(self, tol: float) -> None:
+        from ..constraints import settle as settle_mod
         spec, static = self._spec, self._static
-        if static.n_shake or static.n_settle:
-            idx, dist = _all_constraints(spec, static)
+        v = self._state.velocities
+        if static.n_settle:
+            v = settle_mod.apply_velocity_constraints(
+                self._state.positions, v, spec.inv_mass, spec.settle_idx,
+                spec.settle_dist)
+        if static.n_shake:
             v = shake_mod.apply_velocity_constraints(
-                self._state.positions, self._state.velocities,
-                spec.inv_mass, idx, dist, float(tol), static.shake_max_iter)
-            self._state = self._state._replace(velocities=v)
+                self._state.positions, v, spec.inv_mass, spec.shake_idx,
+                spec.shake_dist, float(tol), static.shake_max_iter)
+        self._state = self._state._replace(velocities=v)
 
     # -- stepping --------------------------------------------------------------
     def _rebind_neighbor_fn(self) -> None:

@@ -398,11 +398,21 @@ def _dispersion_coefficient(sigma, eps, cutoff, use_switch, r_switch):
     interaction beyond the cutoff (OpenMM's approach, averaged over all
     particle-type pairs)."""
     n = len(sigma)
-    # average over pair combinations (Lorentz-Berthelot)
-    sig_ij = 0.5 * (sigma[:, None] + sigma[None, :])
-    eps_ij = np.sqrt(eps[:, None] * eps[None, :])
-    sig6 = np.mean(eps_ij * sig_ij**6)
-    sig12 = np.mean(eps_ij * sig_ij**12)
+
+    # mean over all pairs of eps_ij sig_ij^p with Lorentz-Berthelot mixing,
+    # computed in O(N) via the binomial expansion of ((si+sj)/2)^p:
+    #   mean_ij sqrt(ei ej) ((si+sj)/2)^p
+    #     = 2^-p sum_k C(p,k) mean_i(sqrt(ei) si^k) mean_j(sqrt(ej) sj^(p-k))
+    from math import comb
+    sqrt_eps = np.sqrt(eps)
+
+    def pair_mean(p):
+        moments = [np.mean(sqrt_eps * sigma**k) for k in range(p + 1)]
+        return sum(comb(p, k) * moments[k] * moments[p - k]
+                   for k in range(p + 1)) / 2.0**p
+
+    sig6 = pair_mean(6)
+    sig12 = pair_mean(12)
     # integral of 4(sig12/r^12 - sig6/r^6) * 4 pi r^2 dr from rc to inf
     integral = 16.0 * np.pi * (sig12 / (9.0 * cutoff**9) - sig6 / (3.0 * cutoff**3))
     if use_switch and r_switch < cutoff:

@@ -31,7 +31,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..constraints import shake
+from ..constraints import settle, shake
 from ..constraints.vsites import apply_vsites
 from ..core.spec import StaticSpec, SystemSpec
 from ..core.state import SimState
@@ -409,23 +409,18 @@ def make_step(static: StaticSpec,
         movable = (spec.inv_mass > 0)[:, None]
         delta = jnp.where(movable, dt * v, 0.0)
 
-        # -- position constraints (SHAKE on the proposed move) --------------
-        if static.n_shake or static.n_settle:
-            idx = spec.shake_idx
-            dist = spec.shake_dist
-            if static.n_settle:
-                # triangles currently solved by the same Jacobi pass
-                tri_idx = jnp.concatenate([
-                    spec.settle_idx[:, (0, 1)], spec.settle_idx[:, (0, 2)],
-                    spec.settle_idx[:, (1, 2)]], axis=0)
-                tri_dist = jnp.concatenate([
-                    spec.settle_dist[:, 0], spec.settle_dist[:, 0],
-                    spec.settle_dist[:, 1]], axis=0)
-                idx = jnp.concatenate([idx, tri_idx], axis=0)
-                dist = jnp.concatenate([dist, tri_dist], axis=0)
+        # -- position constraints ------------------------------------------
+        # triangle clusters: direct Newton solve (constraints/settle.py);
+        # anything else: Jacobi SHAKE sweeps
+        if static.n_settle:
+            delta = settle.apply_position_constraints(
+                state.positions, delta, spec.inv_mass, spec.settle_idx,
+                spec.settle_dist)
+        if static.n_shake:
             delta = shake.apply_position_constraints(
-                state.positions, delta, spec.inv_mass, idx, dist,
-                static.constraint_tol, static.shake_max_iter)
+                state.positions, delta, spec.inv_mass, spec.shake_idx,
+                spec.shake_dist, static.constraint_tol,
+                static.shake_max_iter)
 
         # -- position update; velocity from constrained displacement --------
         pos = state.positions + delta
@@ -443,9 +438,12 @@ def make_step(static: StaticSpec,
         v = half_kick(spec, static, v, forces, dt)
 
         # -- velocity constraints ---------------------------------------------
-        if static.n_shake or static.n_settle:
+        if static.n_settle:
+            v = settle.apply_velocity_constraints(
+                pos, v, spec.inv_mass, spec.settle_idx, spec.settle_dist)
+        if static.n_shake:
             v = shake.apply_velocity_constraints(
-                pos, v, spec.inv_mass, idx, dist,
+                pos, v, spec.inv_mass, spec.shake_idx, spec.shake_dist,
                 static.constraint_tol, static.shake_max_iter)
 
         # -- second NH half step ----------------------------------------------

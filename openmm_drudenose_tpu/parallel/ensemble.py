@@ -76,3 +76,72 @@ def shard_ensemble(mesh: Mesh, state: SimState, replica_axis="replica",
                    atom_axis="atom") -> SimState:
     shardings = state_sharding(mesh, state, replica_axis, atom_axis)
     return jax.tree.map(jax.device_put, state, shardings)
+
+
+class ReplicaEnsemble:
+    """User-facing batched-replica simulation: N independent copies of a
+    Context's system advanced together with one vmapped (optionally
+    mesh-sharded) step — BASELINE.md config 5's 'vmap replica ensemble'.
+
+        ens = ReplicaEnsemble(ctx, n_replicas=64, mesh=mesh)
+        ens.setVelocitiesToTemperature(300.0)
+        ens.step(1000)
+        ke = ens.kinetic_energies()        # (64,)
+    """
+
+    def __init__(self, context, n_replicas: int, mesh: Optional[Mesh] = None,
+                 seed: int = 0):
+        if context._neighbor_fn is not None:
+            raise NotImplementedError(
+                "replica ensembles currently require the dense pair "
+                "strategy (per-replica neighbor structures land with the "
+                "sharded domain decomposition)")
+        context._ensure_forces()
+        self._ctx = context
+        self._spec = context._spec
+        self._static = context._static
+        self._mesh = mesh
+        self.state = replicate_state(context._state, n_replicas, seed=seed)
+        if mesh is not None:
+            self.state = shard_ensemble(mesh, self.state)
+        self._step_fns = {}
+
+    def setVelocitiesToTemperature(self, temperature: float, seed: int = 0):
+        from ..units import BOLTZ
+        keys = jax.random.split(jax.random.PRNGKey(seed),
+                                self.state.positions.shape[0])
+        sigma = jnp.sqrt(BOLTZ * temperature * self._spec.inv_mass)[:, None]
+        v = jax.vmap(lambda k: jax.random.normal(
+            k, self._ctx._state.velocities.shape,
+            self._ctx._state.velocities.dtype) * sigma)(keys)
+        self.state = self.state._replace(velocities=v)
+
+    def _get_step(self, inner: int):
+        fn = self._step_fns.get(inner)
+        if fn is None:
+            multi = tgnh.make_multi_step(self._static,
+                                         self._ctx._energy_and_forces, inner)
+            vstep = jax.vmap(lambda st: multi(self._spec, st))
+            if self._mesh is not None:
+                sh = state_sharding(self._mesh, self.state)
+                fn = jax.jit(vstep, in_shardings=(sh,), out_shardings=sh)
+            else:
+                fn = jax.jit(vstep)
+            self._step_fns[inner] = fn
+        return fn
+
+    def step(self, steps: int) -> None:
+        if self._mesh is not None:
+            with self._mesh:
+                self.state = self._get_step(int(steps))(self.state)
+        else:
+            self.state = self._get_step(int(steps))(self.state)
+
+    def kinetic_energies(self):
+        return np.asarray(self.state.ke_sum)
+
+    def potential_energies(self):
+        return np.asarray(self.state.potential_energy)
+
+    def positions(self):
+        return np.asarray(self.state.positions)

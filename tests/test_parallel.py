@@ -1,0 +1,97 @@
+"""Replica ensembles (vmap) and mesh sharding (BASELINE.md config 5).
+
+Runs on the 8 virtual CPU devices configured in conftest.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+import openmm_drudenose_tpu as dn
+from openmm_drudenose_tpu.integrators import tgnh
+from openmm_drudenose_tpu.parallel import ensemble
+
+from util import swm4_water_box
+
+
+def _context():
+    system, positions = swm4_water_box(grid_size=2, add_cm_motion=False)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005, 20, 2)
+    integ.setMaxDrudeDistance(0.05)
+    ctx = dn.Context(system, integ, precision="double")
+    ctx.setPositions(positions)
+    ctx.applyConstraints(1e-6)
+    ctx.setVelocitiesToTemperature(200.0, seed=0)
+    ctx._ensure_forces()
+    return ctx
+
+
+def test_vmap_ensemble_matches_single():
+    """A vmapped replica ensemble must evolve each member exactly like a
+    single simulation."""
+    ctx = _context()
+    spec, static = ctx._spec, ctx._static
+    n_rep = 4
+    batched = ensemble.replicate_state(ctx._state, n_rep, seed=7)
+    # give replicas distinct velocities
+    keys = jax.random.split(jax.random.PRNGKey(3), n_rep)
+    sigma = jnp.sqrt(8.314e-3 * 200.0 * spec.inv_mass)[:, None]
+    vels = jnp.stack([jax.random.normal(k, ctx._state.velocities.shape,
+                                        ctx._state.velocities.dtype) * sigma
+                      for k in keys])
+    batched = batched._replace(velocities=vels)
+
+    multi = tgnh.make_multi_step(static, ctx._energy_and_forces, 10)
+    vstep = jax.jit(jax.vmap(lambda st: multi(spec, st)))
+    out = jax.block_until_ready(vstep(batched))
+
+    # replica 2 vs the same run un-batched
+    single = ctx._state._replace(velocities=vels[2])
+    out_single = jax.jit(lambda s: multi(spec, s))(single)
+    np.testing.assert_allclose(np.asarray(out.positions[2]),
+                               np.asarray(out_single.positions), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.eta[2]),
+                               np.asarray(out_single.eta), atol=1e-12)
+    # replicas with different velocities diverge
+    assert not np.allclose(np.asarray(out.positions[0]),
+                           np.asarray(out.positions[1]))
+
+
+def test_sharded_ensemble_runs_on_mesh():
+    """replica x atom sharded step executes on an 8-device mesh and matches
+    the unsharded result."""
+    ctx = _context()
+    spec, static = ctx._spec, ctx._static
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must force 8 virtual devices"
+    mesh = Mesh(np.array(devices[:8]).reshape(2, 4), ("replica", "atom"))
+    n_rep = 2
+    batched = ensemble.replicate_state(ctx._state, n_rep, seed=1)
+    step = tgnh.make_step(static, ctx._energy_and_forces)
+
+    with mesh:
+        shardings = ensemble.state_sharding(mesh, batched)
+        sharded = ensemble.shard_ensemble(mesh, batched)
+        vstep = jax.jit(jax.vmap(lambda st: step(spec, st)),
+                        in_shardings=(shardings,), out_shardings=shardings)
+        out = jax.block_until_ready(vstep(sharded))
+
+    plain = jax.jit(jax.vmap(lambda st: step(spec, st)))(batched)
+    np.testing.assert_allclose(np.asarray(out.positions),
+                               np.asarray(plain.positions), atol=1e-12)
+    # positions really are sharded over the atom axis
+    shd = out.positions.sharding
+    assert shd.spec == P("replica", "atom")
+
+
+def test_replica_ensemble_api():
+    ctx = _context()
+    from openmm_drudenose_tpu.parallel.ensemble import ReplicaEnsemble
+    ens = ReplicaEnsemble(ctx, n_replicas=3, seed=5)
+    ens.setVelocitiesToTemperature(200.0, seed=9)
+    ens.step(5)
+    ke = ens.kinetic_energies()
+    assert ke.shape == (3,)
+    assert np.all(np.isfinite(ke))
+    assert not np.allclose(ens.positions()[0], ens.positions()[1])
