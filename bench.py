@@ -41,7 +41,10 @@ def build_context(n_atoms: int, precision: str, platform: str | None):
 
 def measure_ns_day(ctx, integ, steps: int, repeats: int) -> float:
     import jax
-    integ.step(max(steps // 4, 2))  # warm: compile both chunk sizes + settle
+    # warm up with the same step count so every scan length is compiled
+    # before timing starts
+    integ.step(steps)
+    jax.block_until_ready(ctx._state.positions)
     best = 0.0
     for _ in range(repeats):
         t0 = time.time()

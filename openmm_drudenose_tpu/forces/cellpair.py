@@ -78,7 +78,7 @@ def _neighbor_offsets(grid, window) -> np.ndarray:
 
 def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
                 skin: float = 0.1, rebuild_interval: int = 16,
-                cells_per_cutoff: int = 2, density_margin: float = 1.6,
+                cells_per_cutoff: int = 2, density_margin: float = 1.25,
                 capacity: int | None = None) -> CellPairConfig:
     box_diag = np.asarray(box_diag, np.float64)
     r_list = cutoff + skin

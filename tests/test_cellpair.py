@@ -67,7 +67,7 @@ def test_cellsort_round_trip():
     n = 500
     L = 3.0
     pos = jnp.asarray(rng.uniform(0, L, (n, 3)))
-    cfg = cellpair.make_config(1.0, [L] * 3, n, [], [])
+    cfg = cellpair.make_config(1.0, [L] * 3, n, [], [], capacity=16)
     cs = cellpair.build_cellsort(pos, jnp.asarray([L] * 3), cfg)
     assert not bool(cs.overflow)
     sa = np.asarray(cs.slot_atom)
