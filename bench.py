@@ -20,7 +20,8 @@ import sys
 import time
 
 
-def build_context(n_atoms: int, precision: str, platform: str | None):
+def build_context(n_atoms: int, precision: str, platform: str | None,
+                  nb_kwargs: dict | None = None):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -33,7 +34,10 @@ def build_context(n_atoms: int, precision: str, platform: str | None):
     system, positions = builders.build_water_box(n_mol)
     integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
     integ.setMaxDrudeDistance(0.02)
-    ctx = dn.Context(system, integ, precision=precision, strategy="cell")
+    ctx = dn.Context(system, integ, precision=precision, strategy="cellpair")
+    if nb_kwargs:
+        ctx._nb_kwargs.update(nb_kwargs)
+        ctx._build_potential()
     ctx.setPositions(positions)
     ctx.setVelocitiesToTemperature(300.0, seed=0)
     return ctx, integ
@@ -69,13 +73,17 @@ def main():
     p.add_argument("--measure-baseline", action="store_true",
                    help="measure the CPU f64 stand-in baseline and cache it")
     p.add_argument("--baseline-steps", type=int, default=4)
+    p.add_argument("--capacity", type=int, default=None,
+                   help="force the cell capacity (debug/tuning)")
     args = p.parse_args()
 
     here = os.path.dirname(os.path.abspath(__file__))
     cache = os.path.join(here, "bench_baseline.json")
 
     if args.measure_baseline:
-        ctx, integ = build_context(args.atoms, "double", "cpu")
+        ctx, integ = build_context(args.atoms, "double", "cpu",
+                                   {"capacity": args.capacity}
+                                   if args.capacity else None)
         ns_day = measure_ns_day(ctx, integ, args.baseline_steps, 1)
         with open(cache, "w") as f:
             json.dump({"atoms": args.atoms, "ns_day": ns_day,
@@ -84,7 +92,9 @@ def main():
         print(json.dumps({"baseline_ns_day": ns_day}))
         return
 
-    ctx, integ = build_context(args.atoms, "single", None)
+    ctx, integ = build_context(args.atoms, "single", None,
+                               {"capacity": args.capacity}
+                               if args.capacity else None)
     ns_day = measure_ns_day(ctx, integ, args.steps, args.repeats)
 
     baseline = None

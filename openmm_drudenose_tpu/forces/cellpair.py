@@ -78,8 +78,9 @@ def _neighbor_offsets(grid, window) -> np.ndarray:
 
 def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
                 skin: float = 0.1, rebuild_interval: int = 16,
-                cells_per_cutoff: int = 2, density_margin: float = 1.25,
-                capacity: int | None = None) -> CellPairConfig:
+                cells_per_cutoff: int = 2, density_margin: float = 1.6,
+                capacity: int | None = None,
+                allow_half: bool = True) -> CellPairConfig:
     box_diag = np.asarray(box_diag, np.float64)
     r_list = cutoff + skin
     target = r_list / cells_per_cutoff
@@ -96,7 +97,7 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
     # Newton's-3rd-law half stencil when the full stencil is +/- symmetric
     # (all dims have >= 2w+1 cells): keep the self offset plus one of each
     # +/-o pair; the block sweep then credits forces to both sides.
-    half = all(g >= 2 * w + 1 for g, w in zip(grid, window))
+    half = allow_half and all(g >= 2 * w + 1 for g, w in zip(grid, window))
     if half:
         sel = [o for o in offsets.tolist()
                if (o[0], o[1], o[2]) > (0, 0, 0)]
@@ -187,13 +188,31 @@ def _switch(r2, inv_r, r_on, r_off):
     return s, ds_dr2
 
 
+def erfc_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erfc (|err| < 1.5e-7, x >= 0) —
+    used inside Pallas kernels where jax.scipy's erfc cannot lower."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
 def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
                  krf: float = 0.0, crf: float = 0.0,
-                 use_switch: bool = False, r_switch: float = 0.0):
-    """Returns f(qq, sig, eps, r2, inv_r2) -> (e, dE/dr^2) for valid pairs."""
-    two_over_sqrt_pi = 2.0 / np.sqrt(np.pi)
+                 use_switch: bool = False, r_switch: float = 0.0,
+                 erfc_fn=None):
+    """Returns f(qq, sig, eps, r2, inv_r2, excl) -> (e, dE/dr^2).
 
-    def f(qq, sig, eps, r2, inv_r2):
+    `excl` marks excluded (intramolecular) pairs.  For Ewald/PME these
+    contribute the reciprocal-space exclusion correction
+    E = qq (erfc(ar)/r - 1/r) = -qq erf(ar)/r directly in the block sweep
+    (reusing the erfc already computed), so no separate correction term with
+    its own gathers/scatters is needed.  Other methods contribute nothing on
+    excluded pairs."""
+    two_over_sqrt_pi = 2.0 / np.sqrt(np.pi)
+    erfc = erfc_fn or jax.scipy.special.erfc
+
+    def f(qq, sig, eps, r2, inv_r2, excl):
         inv_r = jnp.sqrt(inv_r2)
         e_lj, g_lj = _lj_e_g(sig, eps, inv_r2)
         if use_switch:
@@ -202,19 +221,26 @@ def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
             e_lj = e_lj * s
         if method == "ewald":
             ar = alpha * r2 * inv_r
-            erfc_ar = jax.scipy.special.erfc(ar)
+            erfc_ar = erfc(ar)
             e_c = qq * erfc_ar * inv_r
             # d/dr [qq erfc(ar)/r] = qq(-erfc/r^2 - 2a/sqrt(pi) e^{-a^2r^2}/r)
             g_c = -0.5 * qq * inv_r2 * (erfc_ar * inv_r
                                         + two_over_sqrt_pi * alpha
                                         * jnp.exp(-ar * ar))
+            e_plain = qq * inv_r
+            g_plain = -0.5 * qq * inv_r2 * inv_r
+            e = jnp.where(excl, e_c - e_plain, e_lj + e_c)
+            g = jnp.where(excl, g_c - g_plain, g_lj + g_c)
+            return e, g
         elif method == "rf":
             e_c = qq * (inv_r + krf * r2 - crf)
             g_c = qq * (-0.5 * inv_r2 * inv_r + krf)
         else:  # plain coulomb
             e_c = qq * inv_r
             g_c = -0.5 * qq * inv_r2 * inv_r
-        return e_lj + e_c, g_lj + g_c
+        zero = jnp.zeros_like(e_c)
+        return (jnp.where(excl, zero, e_lj + e_c),
+                jnp.where(excl, zero, g_lj + g_c))
 
     return f
 
@@ -269,19 +295,24 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
             r2 = r2 + dc * dc
         gid_a = blocks["gid"][:, :, None]
         gid_b = blocks["gid"][b][:, None, :]
-        valid = ((gid_a >= 0) & (gid_b >= 0) & (gid_a != gid_b)
-                 & (r2 < cutoff2))
+        base_ok = (gid_a >= 0) & (gid_b >= 0) & (gid_a != gid_b)
         if W > 0:
             dg = gid_b - gid_a
             in_win = jnp.abs(dg) <= W
             bit = jnp.where(in_win, dg + W, 0)
-            excl = jnp.zeros_like(valid)
+            excl = jnp.zeros_like(base_ok)
             for w in range(cfg.excl_words):
                 ew = blocks[f"ew{w}"][:, :, None]  # row atom a's words
                 hit = (bit // 31 == w) & (((ew >> (bit % 31)) & 1) == 1)
                 excl = excl | hit
-            valid = valid & ~(in_win & excl)
-        r2s = jnp.where(valid, r2, 1.0)
+            excl = base_ok & in_win & excl
+        else:
+            excl = jnp.zeros_like(base_ok)
+        valid = base_ok & (r2 < cutoff2)
+        # clamp r^2: excluded pairs can sit at r = 0 (shell on core at
+        # setup); the clamped Ewald difference qq(erfc-1)/r then lands on
+        # the correct -qq 2a/sqrt(pi) limit instead of inf - inf = NaN
+        r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
         inv_r2 = 1.0 / r2s
         qq = (coulomb_scale * blocks["q"][:, :, None]
               * blocks["q"][b][:, None, :])
@@ -289,7 +320,7 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
                      + blocks["sig"][b][:, None, :])
         eps = jnp.sqrt(blocks["eps"][:, :, None]
                        * blocks["eps"][b][:, None, :])
-        e, g = pair_eg(qq, sig, eps, r2s, inv_r2)
+        e, g = pair_eg(qq, sig, eps, r2s, inv_r2, excl)
         e = jnp.where(valid, e, 0.0)
         g2 = jnp.where(valid, -2.0 * g, 0.0)
         return e, g2, d
@@ -345,20 +376,26 @@ def _zero_cotangent(x):
     return np.zeros(jnp.shape(x), jax.dtypes.float0)
 
 
-def make_custom_energy(cfg: CellPairConfig, pair_eg, coulomb_scale):
+def make_custom_energy(cfg: CellPairConfig, pair_eg, coulomb_scale,
+                       impl=None):
     """energy(params, positions, box_diag, cellsort) with a custom VJP that
     returns the analytically-computed forces (no giant per-pair residuals,
-    no scatter in the backward pass; dE/dpositions = -forces)."""
+    no scatter in the backward pass; dE/dpositions = -forces).
+
+    impl: alternative (energy, forces) implementation with the same
+    signature as pair_energy_forces (e.g. the Pallas kernel in
+    ops/pallas_cellpair.py)."""
+    sweep = impl or pair_energy_forces
 
     @jax.custom_vjp
     def energy(params, positions, box_diag, cellsort):
-        e, _ = pair_energy_forces(params, positions, box_diag, cellsort,
-                                  cfg, pair_eg, coulomb_scale)
+        e, _ = sweep(params, positions, box_diag, cellsort,
+                     cfg, pair_eg, coulomb_scale)
         return e
 
     def fwd(params, positions, box_diag, cellsort):
-        e, f = pair_energy_forces(params, positions, box_diag, cellsort,
-                                  cfg, pair_eg, coulomb_scale)
+        e, f = sweep(params, positions, box_diag, cellsort,
+                     cfg, pair_eg, coulomb_scale)
         return e, (f, params, box_diag, cellsort)
 
     def bwd(res, g):

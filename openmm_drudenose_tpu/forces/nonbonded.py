@@ -246,7 +246,8 @@ class NonbondedForce:
                 valid = valid & (r2 < cutoff * cutoff)
             return jnp.where(valid, e, 0.0)
 
-        def exceptions_energy(params, positions, box_diag):
+        def exceptions_energy(params, positions, box_diag,
+                              include_recip_corr=True):
             etot = jnp.zeros((), positions.dtype)
             if n_active_exc:
                 pi = positions[params["exc_i"]]
@@ -260,11 +261,12 @@ class NonbondedForce:
                 e = (4.0 * params["exc_eps"] * x6 * (x6 - 1.0)
                      + ONE_4PI_EPS0 * params["exc_qq"] * inv_r)
                 etot = etot + jnp.sum(e)
-            if method in (self.Ewald, self.PME):
+            if method in (self.Ewald, self.PME) and include_recip_corr:
                 # reciprocal space included the full charge product for every
                 # excluded pair; subtract erf(alpha r)/r * q_i q_j.  The
                 # r -> 0 limit (overlapping shell/core at setup) is
-                # 2 alpha / sqrt(pi).
+                # 2 alpha / sqrt(pi).  (The cellpair strategy applies this
+                # correction inside the block sweep instead.)
                 ci, cj = params["corr_i"], params["corr_j"]
                 delta = positions[ci] - positions[cj]
                 if periodic:
@@ -310,12 +312,25 @@ class NonbondedForce:
         elif strategy == "cellpair":
             # dense cell-pair block sweep (forces/cellpair.py): spatially
             # sorted atoms, fused block math, analytic in-block forces
+            import os
+
             from . import cellpair as cp
             nb_kwargs = nb_kwargs or {}
+            use_pallas = nb_kwargs.get(
+                "use_pallas",
+                os.environ.get("OPENMM_DRUDENOSE_PALLAS") == "1")
+            impl = None
+            if use_pallas:
+                from ..ops import pallas_cellpair
+                if pallas_cellpair.HAVE_PALLAS:
+                    impl = pallas_cellpair.pair_energy_forces_pallas
+                else:
+                    use_pallas = False
             box0 = np.diagonal(
                 np.array(system.getDefaultPeriodicBoxVectors(), np.float64))
             cp_cfg = cp.make_config(
                 cutoff, box0, n, exc_i, exc_j,
+                allow_half=not use_pallas,  # pallas sweep is full-stencil
                 **{k: v for k, v in nb_kwargs.items()
                    if k in ("skin", "rebuild_interval", "cells_per_cutoff",
                             "capacity", "density_margin")})
@@ -331,13 +346,15 @@ class NonbondedForce:
                                           r_switch=r_switch)
             else:
                 raise ValueError("cellpair strategy requires a cutoff method")
-            pair_term = cp.make_custom_energy(cp_cfg, pair_eg, ONE_4PI_EPS0)
+            pair_term = cp.make_custom_energy(cp_cfg, pair_eg, ONE_4PI_EPS0,
+                                              impl=impl)
 
             def energy(params, positions, box, neighbors):
                 box_diag = jnp.diagonal(box)
                 e = pair_term(params, positions, box_diag, neighbors)
-                if has_exceptions:
-                    e = e + exceptions_energy(params, positions, box_diag)
+                if n_active_exc:
+                    e = e + exceptions_energy(params, positions, box_diag,
+                                              include_recip_corr=False)
                 if method in (self.Ewald, self.PME):
                     e = e + params["pme_self"]
                     e = e + pme.reciprocal_energy(params["charge"], positions,

@@ -126,24 +126,26 @@ def make_sharded_pair_sweep(mesh: Mesh, axis: str, cfg: cp.CellPairConfig,
             r2 = r2 + dc * dc
         gid_a = blocks["gid"][:, :, None]
         gid_b = ext["gid"][b][:, None, :]
-        valid = ((gid_a >= 0) & (gid_b >= 0) & (gid_a != gid_b)
-                 & (r2 < cutoff2))
+        base_ok = (gid_a >= 0) & (gid_b >= 0) & (gid_a != gid_b)
         if W > 0:
             dg = gid_b - gid_a
             in_win = jnp.abs(dg) <= W
             bit = jnp.where(in_win, dg + W, 0)
-            excl = jnp.zeros_like(valid)
+            excl = jnp.zeros_like(base_ok)
             for w in range(cfg.excl_words):
                 ew = blocks[f"ew{w}"][:, :, None]
                 hit = (bit // 31 == w) & (((ew >> (bit % 31)) & 1) == 1)
                 excl = excl | hit
-            valid = valid & ~(in_win & excl)
-        r2s = jnp.where(valid, r2, 1.0)
+            excl = base_ok & in_win & excl
+        else:
+            excl = jnp.zeros_like(base_ok)
+        valid = base_ok & (r2 < cutoff2)
+        r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
         inv_r2 = 1.0 / r2s
         qq = coulomb_scale * blocks["q"][:, :, None] * ext["q"][b][:, None, :]
         sig = 0.5 * (blocks["sig"][:, :, None] + ext["sig"][b][:, None, :])
         eps = jnp.sqrt(blocks["eps"][:, :, None] * ext["eps"][b][:, None, :])
-        e, g = pair_eg(qq, sig, eps, r2s, inv_r2)
+        e, g = pair_eg(qq, sig, eps, r2s, inv_r2, excl)
         e = jnp.where(valid, e, 0.0)
         g2 = jnp.where(valid, -2.0 * g, 0.0)
         return e, g2, d
