@@ -31,6 +31,7 @@ from .app.simulation import (Simulation, StateDataReporter,
                              CheckpointReporter, DCDReporter, PDBReporter)
 from .app.serialization import (serialize_integrator, deserialize_integrator,
                                 save_checkpoint, load_checkpoint)
+from .parallel.ensemble import ReplicaEnsemble
 from .units import BOLTZ, ONE_4PI_EPS0
 
 __version__ = "0.1.0"
@@ -41,6 +42,7 @@ __all__ = [
     "HarmonicAngleForce", "PeriodicTorsionForce", "CMMotionRemover",
     "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",
     "Simulation", "StateDataReporter", "CheckpointReporter", "DCDReporter",
-    "PDBReporter", "serialize_integrator", "deserialize_integrator",
+    "PDBReporter", "ReplicaEnsemble", "serialize_integrator",
+    "deserialize_integrator",
     "save_checkpoint", "load_checkpoint", "BOLTZ", "ONE_4PI_EPS0",
 ]

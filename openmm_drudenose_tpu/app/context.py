@@ -379,7 +379,12 @@ class Context:
                 alpha = jnp.where((p > 0) & (n_pos > 5), alpha * 0.99,
                                   jnp.where(p > 0, alpha, 0.1))
                 vel = vel + dt * f
-                pos = pos + dt * vel
+                move = dt * vel
+                # cap the per-iteration displacement (stiff Drude springs
+                # produce huge initial forces; uncapped FIRE diverges in f32)
+                max_move = jnp.max(jnp.abs(move))
+                scale = jnp.minimum(1.0, 0.01 / jnp.maximum(max_move, 1e-12))
+                pos = pos + move * scale
                 rms = f_norm / np.sqrt(pos.size)
                 return pos, vel, dt, alpha, n_pos, it + 1, rms
 
@@ -394,8 +399,14 @@ class Context:
             pos, *_ = jax.lax.while_loop(cond, body, init)
             return pos
 
+        pe_before, _ = jax.jit(eaf)(self._state.positions, self._state.box,
+                                    self._state.neighbors)
         pos = jax.jit(fire)(self._state.positions, self._state.box,
                             self._state.neighbors)
+        pe_after, _ = jax.jit(eaf)(pos, self._state.box,
+                                   self._state.neighbors)
+        if not bool(pe_after < pe_before):
+            return  # never make things worse (already near a minimum)
         self._state = self._state._replace(positions=pos)
         self.applyConstraints(self._integrator.getConstraintTolerance())
         self._state = self._state._replace(
@@ -419,7 +430,12 @@ class Context:
     def getState(self, positions: bool = False, velocities: bool = False,
                  forces: bool = False, energy: bool = False,
                  groups: bool = False, enforcePeriodicBox: bool = False,
-                 **_) -> State:
+                 **kwargs) -> State:
+        # accept OpenMM-style keyword spellings (getPositions=True, ...)
+        positions = positions or kwargs.get("getPositions", False)
+        velocities = velocities or kwargs.get("getVelocities", False)
+        forces = forces or kwargs.get("getForces", False)
+        energy = energy or kwargs.get("getEnergy", False)
         st = self._state
         kwargs = {"time": float(st.time), "step": int(st.step),
                   "box": np.asarray(st.box)}

@@ -49,7 +49,7 @@ class Simulation:
             self.currentStep += chunk
             remaining -= chunk
             for r in self.reporters:
-                if r.describeNextReport(self) <= 0:
+                if self.currentStep % r._interval == 0:
                     r.report(self, None)
 
     def saveCheckpoint(self, path: str) -> None:
