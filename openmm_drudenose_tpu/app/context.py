@@ -479,6 +479,32 @@ class Context:
     def getIntegrator(self):
         return self._integrator
 
+    def reinitialize(self, preserveState: bool = True) -> None:
+        """Recompile after System/Integrator edits (OpenMM
+        Context::reinitialize semantics).  With preserveState, positions,
+        velocities, box and thermostat state carry over."""
+        old = self._state
+        r, a = self._prec.real, self._prec.accum
+        self._spec, self._static, init_edd = spec_mod.build_spec(
+            self._system, self._integrator, r, a)
+        self._build_potential()
+        from ..core.state import zeros_state
+        box = np.array(self._system.getDefaultPeriodicBoxVectors(),
+                       np.float64)
+        st = zeros_state(self._static.n_atoms, self._static.n_baths,
+                         self._static.n_chains, box, r, a)
+        st = st._replace(eta_dot_dot=jnp.asarray(init_edd, a))
+        if preserveState and old.positions.shape == st.positions.shape:
+            st = st._replace(positions=old.positions,
+                             velocities=old.velocities, box=old.box,
+                             time=old.time, step=old.step, key=old.key)
+            if old.eta.shape == st.eta.shape:
+                st = st._replace(eta=old.eta, eta_dot=old.eta_dot,
+                                 eta_dot_dot=old.eta_dot_dot)
+        self._state = st
+        self._forces_valid = False
+        self._ke_valid = False
+
 
 def _all_constraints(spec, static):
     idx = spec.shake_idx

@@ -56,7 +56,15 @@ class DCDWriter:
         self._f.flush()
 
     def close(self) -> None:
+        if self._f.closed:
+            return
         # patch the frame count
         self._f.seek(8)
         self._f.write(struct.pack("<i", self._n_frames))
         self._f.close()
+
+    def __del__(self):  # best-effort frame-count patch on GC
+        try:
+            self.close()
+        except Exception:
+            pass

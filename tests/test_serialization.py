@@ -67,3 +67,22 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     res = ctx2.getState(positions=True, velocities=True)
     np.testing.assert_array_equal(res.getPositions(), ref.getPositions())
     np.testing.assert_array_equal(res.getVelocities(), ref.getVelocities())
+
+
+def test_reinitialize_preserves_state():
+    import openmm_drudenose_tpu as dn
+    system = single_pair_system()
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 10.0, 0.005, 0.003, 20, 2)
+    integ.setMaxDrudeDistance(0.05)
+    ctx = dn.Context(system, integ, precision="double")
+    ctx.setPositions([[0, 0, 0], [0, 0, 0.01]])
+    ctx.setVelocities([[1, 0, 0], [1, 0, 0.01]])
+    integ.step(50)
+    pos_before = ctx.getPositions()
+    integ.setDrudeStepsPerRealStep(10)  # edit requiring recompilation
+    ctx.reinitialize(preserveState=True)
+    np.testing.assert_array_equal(ctx.getPositions(), pos_before)
+    assert ctx._static.drude_steps == 10
+    integ.step(10)
+    st = ctx.getState(energy=True)
+    assert np.isfinite(st.getPotentialEnergy())
