@@ -231,3 +231,42 @@ def test_reaction_field_cutoff_continuity():
     e_out = e_at(1.001)
     assert e_out == 0.0
     assert abs(e_in) < 0.5  # RF brings the energy near zero at the cutoff
+
+
+def test_bonded_terms_finite_diff():
+    system = dn.System()
+    for m in (12.0, 12.0, 12.0, 12.0, 1.0):
+        system.addParticle(m)
+    bonds = dn.HarmonicBondForce()
+    bonds.addBond(0, 1, 0.15, 30000.0)
+    angles = dn.HarmonicAngleForce()
+    angles.addAngle(0, 1, 2, np.deg2rad(109.5), 400.0)
+    torsions = dn.PeriodicTorsionForce()
+    torsions.addTorsion(0, 1, 2, 3, 3, np.deg2rad(30.0), 8.0)
+    drude = dn.DrudeForce()
+    drude.addParticle(4, 0, -1, -1, -1, 0.5, 0.001, 1, 1)
+    for f in (bonds, angles, torsions, drude):
+        system.addForce(f)
+    energy = _energy_fn(system)
+    rng = np.random.default_rng(12)
+    pos = jnp.asarray(np.array([
+        [0.0, 0, 0], [0.15, 0.01, 0], [0.2, 0.14, 0.01],
+        [0.31, 0.18, 0.12], [0.005, -0.004, 0.003]]) +
+        rng.normal(0, 0.004, (5, 3)))
+    _check_finite_diff(energy, pos)
+    # hand-check the bond term
+    r = float(jnp.linalg.norm(pos[1] - pos[0]))
+    e_bond = 0.5 * 30000.0 * (r - 0.15) ** 2
+    v1 = np.asarray(pos[0] - pos[1]); v2 = np.asarray(pos[2] - pos[1])
+    th = np.arccos(v1 @ v2 / np.linalg.norm(v1) / np.linalg.norm(v2))
+    e_angle = 0.5 * 400.0 * (th - np.deg2rad(109.5)) ** 2
+    b1 = np.asarray(pos[1] - pos[0]); b2 = np.asarray(pos[2] - pos[1])
+    b3 = np.asarray(pos[3] - pos[2])
+    c1 = np.cross(b1, b2); c2 = np.cross(b2, b3)
+    phi = np.arctan2(np.cross(c1, b2 / np.linalg.norm(b2)) @ c2, c1 @ c2)
+    e_tor = 8.0 * (1 + np.cos(3 * phi - np.deg2rad(30.0)))
+    k3 = dn.ONE_4PI_EPS0 * 0.25 / 0.001
+    e_spring = 0.5 * k3 * float(jnp.sum((pos[4] - pos[0]) ** 2))
+    np.testing.assert_allclose(float(energy(pos)),
+                               e_bond + e_angle + e_tor + e_spring,
+                               rtol=1e-9)
