@@ -32,13 +32,20 @@ except Exception:  # pragma: no cover
 CELLS_PER_PROGRAM = 8
 
 
+def _slot_width(C: int) -> int:
+    # each stencil slot is lane-aligned: Mosaic requires strip stores at
+    # indices provably divisible by 128
+    return -(-C // 128) * 128
+
+
 def _offsets_per_chunk(C: int) -> int:
     # keep each compute tile around (C, ~1536) so ~12 live f32 tiles stay
     # well under the scoped VMEM budget
-    return max(1536 // C, 4)
+    return max(1536 // _slot_width(C), 4)
 
 
-def _kernel(n_off, C, offc, cutoff2, W, n_words, pair_eg, coulomb_scale,
+def _kernel(n_off, C, offc, slot, cutoff2, W, n_words, pair_eg,
+            coulomb_scale,
             # refs
             nbr_ref, box_ref, x_ref, y_ref, z_ref, q_ref, sig_ref, eps_ref,
             gid_ref, ew_ref,
@@ -73,7 +80,16 @@ def _kernel(n_off, C, offc, cutoff2, W, n_words, pair_eg, coulomb_scale,
                 ok = o < n_off
                 b = jnp.where(ok, nbr_ref[c_loc, jnp.minimum(o, n_off - 1)],
                               0)
-                sl = pl.ds(oo * C, C)
+                base = pl.multiple_of(oo * slot, 128)
+                if slot != C:
+                    # neutralize the slot gap first (stale scratch would
+                    # otherwise poison the masked row sums with NaNs)
+                    gap = pl.ds(base, slot)
+                    xs[0, gap] = jnp.full((slot,), 1e6, xs.dtype)
+                    ys[0, gap] = jnp.full((slot,), 2e6, ys.dtype)
+                    zs[0, gap] = jnp.full((slot,), 3e6, zs.dtype)
+                    gids[0, gap] = jnp.full((slot,), -1, jnp.int32)
+                sl = pl.ds(base, C)
                 xs[0, sl] = x_ref[b, :]
                 ys[0, sl] = y_ref[b, :]
                 zs[0, sl] = z_ref[b, :]
@@ -168,9 +184,10 @@ def pair_energy_forces_pallas(params, positions, box_diag, cellsort, cfg,
           else jnp.zeros((1, ncp, C), jnp.int32))
 
     offc = _offsets_per_chunk(C)
+    slot = _slot_width(C)
     kern = functools.partial(
-        _kernel, n_off, C, offc, cfg.cutoff * cfg.cutoff, cfg.excl_window,
-        max(cfg.excl_words, 1), pair_eg, coulomb_scale)
+        _kernel, n_off, C, offc, slot, cfg.cutoff * cfg.cutoff,
+        cfg.excl_window, max(cfg.excl_words, 1), pair_eg, coulomb_scale)
 
     B = CELLS_PER_PROGRAM
     in_specs = ([
@@ -184,7 +201,7 @@ def pair_energy_forces_pallas(params, positions, box_diag, cellsort, cfg,
         pl.BlockSpec((B, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    strip = offc * C
+    strip = offc * slot
     out = pl.pallas_call(
         kern,
         grid=(ncp // B,),
