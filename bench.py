@@ -19,6 +19,10 @@ import os
 import sys
 import time
 
+# persistent compilation cache: repeat bench runs skip the (minutes-long)
+# remote TPU compile.  Must be set before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 
 def build_context(n_atoms: int, precision: str, platform: str | None,
                   nb_kwargs: dict | None = None):
