@@ -202,6 +202,9 @@ class Context:
 
     def setPeriodicBoxVectors(self, a, b, c) -> None:
         box = np.array([a, b, c], np.float64)
+        if np.abs(box - np.diag(np.diagonal(box))).max() > 1e-12:
+            raise ValueError("only orthorhombic periodic boxes are "
+                             "supported: box vectors must be axis-aligned")
         self._state = self._state._replace(
             box=jnp.asarray(box, self._prec.real))
         self._forces_valid = False
@@ -442,9 +445,18 @@ class Context:
         if positions:
             pos = np.asarray(st.positions, np.float64)
             if enforcePeriodicBox:
+                # wrap whole molecules (OpenMM semantics): shift every atom
+                # of a residue by its geometric-center image so bonded atoms
+                # stay contiguous across the boundary
                 box = np.diagonal(np.asarray(st.box))
-                com_shift = np.floor(pos / box)
-                pos = pos - com_shift * box
+                resid = np.asarray(self._spec.resid)
+                n_res = self._static.n_residues
+                counts = np.bincount(resid, minlength=n_res).astype(np.float64)
+                centers = np.stack([
+                    np.bincount(resid, weights=pos[:, c], minlength=n_res)
+                    for c in range(3)], axis=1) / counts[:, None]
+                shift = np.floor(centers / box)
+                pos = pos - shift[resid] * box
             kwargs["positions"] = pos
         if velocities:
             kwargs["velocities"] = np.asarray(st.velocities, np.float64)

@@ -91,7 +91,7 @@ class StateDataReporter(_IntervalReporter):
 
     def report(self, simulation, _state) -> None:
         ctx = simulation.context
-        st = ctx.getState(energy=True, groups=self._opts["gt"] or True)
+        st = ctx.getState(energy=True, groups=self._opts["gt"])
         spec = ctx._spec
         static = ctx._static
         cols, vals = [], []

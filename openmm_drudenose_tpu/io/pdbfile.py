@@ -83,7 +83,7 @@ def write_model(f, positions_nm: np.ndarray, topology: Optional[PDBTopology],
                                            a.res_seq, a.element)
         else:
             name, res, chain, seq, elem = "X", "UNK", "A", i // 1000 + 1, "X"
-        f.write(f"ATOM  {i + 1 % 100000:5d} {name:<4.4s}{res:<4.4s}{chain}"
+        f.write(f"ATOM  {(i + 1) % 100000:5d} {name:<4.4s}{res:<4.4s}{chain}"
                 f"{seq % 10000:4d}    {p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}"
                 f"  1.00  0.00          {elem:>2.2s}\n")
     f.write("ENDMDL\n")

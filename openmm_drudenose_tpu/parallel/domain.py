@@ -93,8 +93,12 @@ def make_sharded_pair_sweep(mesh: Mesh, axis: str, cfg: cp.CellPairConfig,
 
         # mark the accumulators as device-varying over the shard axis so the
         # scan carry type matches its (varying) outputs
-        e_total = jax.lax.pvary(jnp.zeros((), blocks["x"].dtype), axis)
-        f = [jax.lax.pvary(jnp.zeros((n_loc, C), blocks["x"].dtype), axis)
+        def _pvary(x):
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(x, axis, to="varying")
+            return jax.lax.pvary(x, axis)
+        e_total = _pvary(jnp.zeros((), blocks["x"].dtype))
+        f = [_pvary(jnp.zeros((n_loc, C), blocks["x"].dtype))
              for _ in range(3)]
 
         def one_offset(carry, o_idx):
