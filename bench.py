@@ -66,6 +66,9 @@ def measure_ns_day(ctx, integ, steps: int, repeats: int) -> float:
         raise RuntimeError(f"non-finite PE after benchmark: {pe}")
     if ctx.neighborListOverflowed:
         raise RuntimeError("neighbor list overflowed during benchmark")
+    if ctx.hardwallRunaway:
+        raise RuntimeError("Drude hard-wall runaway during benchmark "
+                           "(a shell moved >2x past the wall)")
     return best * integ.getStepSize() * 1e-3 * 86400.0
 
 

@@ -74,10 +74,18 @@ class State:
 
 class Context:
     def __init__(self, system, integrator, precision="single",
-                 strategy: str = "auto", seed: int = 0):
+                 strategy: str = "auto", seed: int = 0,
+                 hardwall_strict: bool = False):
         self._system = system
         self._integrator = integrator
         integrator._context = self
+        # hardwall_strict=True raises when a Drude moves >2x past the hard
+        # wall (the Reference platform's throw,
+        # ReferenceDrudeTGNHKernels.cpp:311-312); the default matches the
+        # CUDA platform (bounce silently, drudeTGNH.cu:471-574) but still
+        # latches the sticky hardwallRunaway flag and warns once
+        self._hardwall_strict = bool(hardwall_strict)
+        self._hardwall_warned = False
         self._prec = precision_mod.get_precision(precision)
         r, a = self._prec.real, self._prec.accum
 
@@ -115,6 +123,7 @@ class Context:
                 if compiled and compiled[0] is not None:
                     terms.append(compiled)
 
+        self._terms = terms  # (fn, params) pairs; parallel/sharded.py reuses
         self._nbl_cfg = None
         self._cp_cfg = None
         self._neighbor_fn = None
@@ -323,6 +332,45 @@ class Context:
                 self._state = self._get_step_fn(k)(self._spec, self._state)
                 remaining -= k
         self._ke_valid = True
+        self._check_hardwall_runaway()
+
+    def _check_hardwall_runaway(self) -> None:
+        """Surface the device-latched runaway flag: a Drude moved >2x past
+        the hard wall since the last clear.  Strict mode raises (Reference
+        platform parity, ReferenceDrudeTGNHKernels.cpp:311-312); default
+        warns once and leaves the sticky hardwallRunaway property set (CUDA
+        platform bounces silently).  One bool readback per host-level
+        step() call."""
+        hw = self._state.hardwall_runaway
+        if hw is None or not bool(hw):
+            return
+        if self._hardwall_strict:
+            self.clearHardwallRunaway()
+            raise RuntimeError(
+                "Drude particle moved too far beyond hard wall constraint "
+                "(displacement exceeded 2x maxDrudeDistance); the system "
+                "has likely become unstable — reduce the step size or "
+                "check initial positions")
+        if not self._hardwall_warned:
+            self._hardwall_warned = True
+            import warnings
+            warnings.warn(
+                "a Drude particle transiently moved >2x past the hard wall "
+                "(bounced back; set hardwall_strict=True to raise instead)",
+                RuntimeWarning, stacklevel=3)
+
+    @property
+    def hardwallRunaway(self) -> bool:
+        """Sticky: a Drude moved >2x past the hard wall since the last
+        clearHardwallRunaway() (pre-bounce displacement; the bounce itself
+        always restores the wall)."""
+        hw = self._state.hardwall_runaway
+        return bool(hw) if hw is not None else False
+
+    def clearHardwallRunaway(self) -> None:
+        self._state = self._state._replace(
+            hardwall_runaway=jnp.zeros((), jnp.bool_))
+        self._hardwall_warned = False
 
     def getConservedEnergy(self) -> float:
         """The TGNH conserved quantity: KE + PE + per-bath chain terms
@@ -412,6 +460,21 @@ class Context:
             return  # never make things worse (already near a minimum)
         self._state = self._state._replace(positions=pos)
         self.applyConstraints(self._integrator.getConstraintTolerance())
+        if static.has_hardwall and static.has_pairs:
+            # the minimizer knows nothing about the integrator-time hard
+            # wall; clamp Drude offsets back inside it so the first step
+            # doesn't (correctly) flag a runaway
+            p = self._state.positions
+            is_drude = jnp.asarray(spec.is_pair & ~spec.is_parent)
+            parent = p[spec.partner]
+            delta = p - parent
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1),
+                                        1e-24))
+            limit = 0.99 * spec.max_drude_distance.astype(p.dtype)
+            scale = jnp.minimum(1.0, limit / dist)
+            clamped = parent + delta * scale[:, None]
+            p = jnp.where(is_drude[:, None], clamped, p)
+            self._state = self._state._replace(positions=p)
         self._state = self._state._replace(
             positions=apply_vsites(spec, static, self._state.positions),
             neighbors=None)

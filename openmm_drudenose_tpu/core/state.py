@@ -32,6 +32,10 @@ class SimState(NamedTuple):
     baro_scale: jax.Array     # scalar, adaptive MC volume move size (nm^3)
     baro_naccept: jax.Array   # int32
     baro_nattempt: jax.Array  # int32
+    # sticky: a Drude moved >2x past the hard wall since the last reset —
+    # the Reference platform throws here (ReferenceDrudeTGNHKernels.cpp:
+    # 311-312); on device we latch a flag and raise on the host
+    hardwall_runaway: Any = None
     neighbors: Any = None     # Optional[forces.neighborlist.Neighbors]
 
 
@@ -54,4 +58,5 @@ def zeros_state(n_atoms: int, n_groups: int, n_chains: int, box,
         baro_scale=jnp.zeros((), accum_dtype),
         baro_naccept=jnp.zeros((), jnp.int32),
         baro_nattempt=jnp.zeros((), jnp.int32),
+        hardwall_runaway=jnp.zeros((), jnp.bool_),
     )

@@ -268,32 +268,27 @@ def _sorted_arrays(params, positions, cellsort, cfg, n):
     return out
 
 
-def pair_energy_forces(params, positions, box_diag, cellsort,
-                       cfg: CellPairConfig, pair_eg, coulomb_scale):
-    """Returns (energy, forces (N,3)) for the direct-space sum."""
-    n = positions.shape[0]
-    n_cells, C = cfg.n_cells, cfg.capacity
-    nbr_flat, nbr_shape = cfg.nbr_map
-    nbr_map = np.array(nbr_flat, np.int32).reshape(nbr_shape)
+def make_block_eg(blocks, box_diag, cfg: CellPairConfig, pair_eg,
+                  coulomb_scale, a_blocks=None):
+    """Build block_eg(b): pair energies/force-factors between the a-side
+    cell blocks (all of `blocks`, or the row-slice `a_blocks` — used by the
+    slab-sharded sweep in parallel/sharded.py) and the b-indexed neighbor
+    blocks gathered from the full `blocks`.
+
+    Returns (e (rows,C,C), g2 = -2 dE/dr^2 masked, d components)."""
     cutoff2 = cfg.cutoff * cfg.cutoff
     W = cfg.excl_window
-
-    s = _sorted_arrays(params, positions, cellsort, cfg, n)
-    blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
-    nbr = jnp.asarray(nbr_map)  # (n_cells, n_off)
+    A = a_blocks if a_blocks is not None else blocks
 
     def block_eg(b):
-        """Pair energies/force-factors between every cell's block and its
-        b-indexed neighbor block.  Returns (e (cells,C,C), g2 = -2 dE/dr^2
-        masked, d components)."""
         d = []
-        r2 = jnp.zeros((n_cells, C, C), positions.dtype)
+        r2 = jnp.zeros((), A["x"].dtype)
         for c, k in enumerate("xyz"):
-            dc = blocks[k][:, :, None] - blocks[k][b][:, None, :]
+            dc = A[k][:, :, None] - blocks[k][b][:, None, :]
             dc = dc - box_diag[c] * jnp.round(dc / box_diag[c])
             d.append(dc)
             r2 = r2 + dc * dc
-        gid_a = blocks["gid"][:, :, None]
+        gid_a = A["gid"][:, :, None]
         gid_b = blocks["gid"][b][:, None, :]
         base_ok = (gid_a >= 0) & (gid_b >= 0) & (gid_a != gid_b)
         if W > 0:
@@ -302,7 +297,7 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
             bit = jnp.where(in_win, dg + W, 0)
             excl = jnp.zeros_like(base_ok)
             for w in range(cfg.excl_words):
-                ew = blocks[f"ew{w}"][:, :, None]  # row atom a's words
+                ew = A[f"ew{w}"][:, :, None]  # row atom a's words
                 hit = (bit // 31 == w) & (((ew >> (bit % 31)) & 1) == 1)
                 excl = excl | hit
             excl = base_ok & in_win & excl
@@ -314,16 +309,33 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
         # the correct -qq 2a/sqrt(pi) limit instead of inf - inf = NaN
         r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
         inv_r2 = 1.0 / r2s
-        qq = (coulomb_scale * blocks["q"][:, :, None]
+        qq = (coulomb_scale * A["q"][:, :, None]
               * blocks["q"][b][:, None, :])
-        sig = 0.5 * (blocks["sig"][:, :, None]
+        sig = 0.5 * (A["sig"][:, :, None]
                      + blocks["sig"][b][:, None, :])
-        eps = jnp.sqrt(blocks["eps"][:, :, None]
+        eps = jnp.sqrt(A["eps"][:, :, None]
                        * blocks["eps"][b][:, None, :])
         e, g = pair_eg(qq, sig, eps, r2s, inv_r2, excl)
         e = jnp.where(valid, e, 0.0)
         g2 = jnp.where(valid, -2.0 * g, 0.0)
         return e, g2, d
+
+    return block_eg
+
+
+def pair_energy_forces(params, positions, box_diag, cellsort,
+                       cfg: CellPairConfig, pair_eg, coulomb_scale):
+    """Returns (energy, forces (N,3)) for the direct-space sum."""
+    n = positions.shape[0]
+    n_cells, C = cfg.n_cells, cfg.capacity
+    nbr_flat, nbr_shape = cfg.nbr_map
+    nbr_map = np.array(nbr_flat, np.int32).reshape(nbr_shape)
+
+    s = _sorted_arrays(params, positions, cellsort, cfg, n)
+    blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
+    nbr = jnp.asarray(nbr_map)  # (n_cells, n_off)
+
+    block_eg = make_block_eg(blocks, box_diag, cfg, pair_eg, coulomb_scale)
 
     zero = jnp.zeros((n_cells, C), positions.dtype)
 

@@ -349,24 +349,41 @@ class NonbondedForce:
             pair_term = cp.make_custom_energy(cp_cfg, pair_eg, ONE_4PI_EPS0,
                                               impl=impl)
 
-            def energy(params, positions, box, neighbors):
+            def extras_energy(params, positions, box):
+                """Everything but the sweep and the PME reciprocal sum:
+                explicit exceptions, Ewald self term, dispersion tail.
+                Exposed separately so the work-sharded engine
+                (parallel/sharded.py) can replicate the cheap bits while
+                sharding the sweep and the spreading."""
                 box_diag = jnp.diagonal(box)
-                e = pair_term(params, positions, box_diag, neighbors)
+                e = jnp.zeros((), positions.dtype)
                 if n_active_exc:
                     e = e + exceptions_energy(params, positions, box_diag,
                                               include_recip_corr=False)
                 if method in (self.Ewald, self.PME):
                     e = e + params["pme_self"]
-                    e = e + pme.reciprocal_energy(params["charge"], positions,
-                                                  box_diag)
                 if disp is not None:
                     vol = box_diag[0] * box_diag[1] * box_diag[2]
                     e = e + disp / vol
+                return e
+
+            def energy(params, positions, box, neighbors):
+                box_diag = jnp.diagonal(box)
+                e = pair_term(params, positions, box_diag, neighbors)
+                e = e + extras_energy(params, positions, box)
+                if method in (self.Ewald, self.PME):
+                    e = e + pme.reciprocal_energy(params["charge"], positions,
+                                                  box_diag)
                 return e
             energy.needs_neighbors = True
             energy.cellpair_cfg = cp_cfg
             energy.nbl_cutoff = cutoff
             energy.nbl_exclusions = (exc_i, exc_j)
+            # hooks for the sharded engine
+            energy.pair_eg = pair_eg
+            energy.coulomb_scale = ONE_4PI_EPS0
+            energy.pme_setup = pme if method in (self.Ewald, self.PME) else None
+            energy.extras_energy = extras_energy
         else:
             # neighbor lists arrive pre-filtered for exclusions
             # (forces/neighborlist.py), padded with index N; a sentinel row

@@ -106,6 +106,14 @@ class PmeSetup:
                                   jnp.asarray(self.bm2z),
                                   charges, positions, box_diag)
 
+    def spread(self, charges, positions, box_diag):
+        return spread_charge_grid(self.grid, charges, positions, box_diag)
+
+    def energy_of_grid(self, Q, box_diag):
+        return grid_energy(self.grid, self.alpha,
+                           jnp.asarray(self.bm2x), jnp.asarray(self.bm2y),
+                           jnp.asarray(self.bm2z), Q, box_diag)
+
 
 def setup_pme(cutoff: float, tol: float, box_diag, alpha=None, grid=None) -> PmeSetup:
     a = alpha if alpha else choose_alpha(cutoff, tol)
@@ -117,6 +125,16 @@ def setup_pme(cutoff: float, tol: float, box_diag, alpha=None, grid=None) -> Pme
 
 
 def _reciprocal_energy(grid, alpha, bm2x, bm2y, bm2z, charges, positions, box_diag):
+    Q = spread_charge_grid(grid, charges, positions, box_diag)
+    return grid_energy(grid, alpha, bm2x, bm2y, bm2z, Q, box_diag)
+
+
+def spread_charge_grid(grid, charges, positions, box_diag):
+    """B-spline charge spreading -> (K1, K2, K3) grid, as MXU matmuls.
+
+    Separable from the reciprocal sum so the sharded engine
+    (parallel/sharded.py) can spread disjoint atom chunks per device and
+    psum the grids."""
     K1, K2, K3 = grid
     n = positions.shape[0]
     dtype = positions.dtype
@@ -182,9 +200,13 @@ def _reciprocal_energy(grid, alpha, bm2x, bm2y, bm2z, charges, positions, box_di
     # scan (not fori_loop) so reverse-mode autodiff works through the chunks
     Q, _ = jax.lax.scan(body, jnp.zeros((K1, K2 * K3), dtype),
                         jnp.arange(n_chunks))
-    Q = Q.reshape(K1, K2, K3)
+    return Q.reshape(K1, K2, K3)
 
-    # reciprocal sum
+
+def grid_energy(grid, alpha, bm2x, bm2y, bm2z, Q, box_diag):
+    """Reciprocal-space energy of a spread charge grid."""
+    K1, K2, K3 = grid
+    dtype = Q.dtype
     F = jnp.fft.fftn(Q)
     m1 = jnp.fft.fftfreq(K1, d=1.0 / K1).astype(dtype)  # signed integer freqs
     m2 = jnp.fft.fftfreq(K2, d=1.0 / K2).astype(dtype)

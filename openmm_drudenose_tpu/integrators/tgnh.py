@@ -289,6 +289,10 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
     r2 = jnp.sum(delta * delta, axis=-1)
     rdist = jnp.sqrt(jnp.where(spec.is_pair, r2, 1.0))
     violated = spec.is_pair & (rdist > max_dist)
+    # "moved too far beyond" detection: the Reference platform throws when
+    # the pre-bounce displacement exceeds twice the wall
+    # (ReferenceDrudeTGNHKernels.cpp:311-312); latched as a sticky flag
+    runaway = jnp.any(spec.is_pair & (rdist > 2.0 * max_dist))
     bond_dir = delta / rdist[:, None]
 
     dotvr1 = jnp.sum(vel_d * bond_dir, axis=-1)
@@ -336,7 +340,7 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
     new_vel = jnp.where(moved[:, None],
                         vel_perp + bond_dir * new_dotvr_own[:, None],
                         velocities)
-    return new_pos, new_vel
+    return new_pos, new_vel, runaway
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +432,10 @@ def make_step(static: StaticSpec,
 
         # -- hard wall -------------------------------------------------------
         if static.has_hardwall and static.has_pairs:
-            pos, v = apply_hardwall(spec, static, pos, v, dt)
+            pos, v, runaway = apply_hardwall(spec, static, pos, v, dt)
+            if state.hardwall_runaway is not None:
+                state = state._replace(
+                    hardwall_runaway=state.hardwall_runaway | runaway)
 
         # -- virtual sites + force pass --------------------------------------
         pos = apply_vsites(spec, static, pos)

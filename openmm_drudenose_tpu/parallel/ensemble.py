@@ -91,20 +91,20 @@ class ReplicaEnsemble:
 
     def __init__(self, context, n_replicas: int, mesh: Optional[Mesh] = None,
                  seed: int = 0):
-        if context._neighbor_fn is not None:
-            raise NotImplementedError(
-                "replica ensembles currently require the dense pair "
-                "strategy (per-replica neighbor structures land with the "
-                "sharded domain decomposition)")
         context._ensure_forces()
         self._ctx = context
         self._spec = context._spec
         self._static = context._static
         self._mesh = mesh
-        self.state = replicate_state(context._state, n_replicas, seed=seed)
+        self._n_replicas = n_replicas
+        # neighbor structures are rebuilt per replica (vmapped cellsort) at
+        # chunk boundaries, mirroring Context.step's host-chunked rebuilds
+        self.state = replicate_state(
+            context._state._replace(neighbors=None), n_replicas, seed=seed)
         if mesh is not None:
             self.state = shard_ensemble(mesh, self.state)
         self._step_fns = {}
+        self._nbl_fn = None
 
     def setVelocitiesToTemperature(self, temperature: float, seed: int = 0):
         from ..units import BOLTZ
@@ -130,12 +130,57 @@ class ReplicaEnsemble:
             self._step_fns[inner] = fn
         return fn
 
+    def _rebuild_neighbors(self) -> None:
+        """Per-replica neighbor rebuild (vmapped cellsort / cell list),
+        growing the shared capacity when any replica overflows — same
+        escape hatch as Context._ensure_neighbors."""
+        ctx = self._ctx
+        for _ in range(8):
+            if self._nbl_fn is None:
+                self._nbl_fn = jax.jit(jax.vmap(ctx._neighbor_fn))
+            nbl = self._nbl_fn(self.state.positions, self.state.box)
+            if not bool(jnp.any(nbl.overflow)):
+                break
+            if ctx._cp_cfg is not None:
+                from ..forces import cellpair
+                ctx._nb_kwargs["capacity"] = cellpair.grow(
+                    ctx._cp_cfg, self._static.n_atoms).capacity
+            else:
+                from ..forces import neighborlist
+                ctx._nbl_cfg = neighborlist.grow(ctx._nbl_cfg,
+                                                 self._static.n_atoms)
+                ctx._rebind_neighbor_fn()
+            ctx._build_potential()
+            self._nbl_fn = None
+            self._step_fns.clear()
+        else:
+            raise RuntimeError("replica neighbor structure capacity still "
+                               "overflowing after growth")
+        self.state = self.state._replace(neighbors=nbl)
+
+    def _step_inner(self, steps: int) -> None:
+        if self._ctx._neighbor_fn is None:
+            self.state = self._get_step(int(steps))(self.state)
+            return
+        # chunked: rebuild per-replica neighbors every rebuild_interval
+        # steps on the host boundary, scan rebuild-free steps in between
+        # (a lax.cond rebuild would degrade to a select under vmap and
+        # rebuild every step)
+        interval = self._ctx._rebuild_interval
+        remaining = int(steps)
+        while remaining > 0:
+            k = min(interval, remaining)
+            self.state = self.state._replace(neighbors=None)
+            self._rebuild_neighbors()
+            self.state = self._get_step(k)(self.state)
+            remaining -= k
+
     def step(self, steps: int) -> None:
         if self._mesh is not None:
             with self._mesh:
-                self.state = self._get_step(int(steps))(self.state)
+                self._step_inner(steps)
         else:
-            self.state = self._get_step(int(steps))(self.state)
+            self._step_inner(steps)
 
     def kinetic_energies(self):
         return np.asarray(self.state.ke_sum)

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Per-component timing of the 100k-atom benchmark step on the current
+device: full step, block sweep (energy+forces), PME reciprocal (fwd and
+grad), exceptions, kinematics-only step.  Guides the perf work — run on the
+real TPU."""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / n * 1e3  # ms
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--atoms", type=int, default=100_000)
+    p.add_argument("--steps", type=int, default=16)
+    args = p.parse_args()
+
+    import openmm_drudenose_tpu as dn
+    from openmm_drudenose_tpu.io import builders
+    from openmm_drudenose_tpu.integrators import tgnh
+
+    n_mol = args.atoms // 5
+    system, positions = builders.build_water_box(n_mol)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(300.0, seed=0)
+    ctx._ensure_forces()
+    spec, static, st = ctx._spec, ctx._static, ctx._state
+    cfg = ctx._cp_cfg
+    print(f"atoms={static.n_atoms} grid={cfg.grid} capacity={cfg.capacity} "
+          f"n_offsets={cfg.n_offsets} half={cfg.half_stencil}")
+
+    nb_fn, nb_params = next(t for t in ctx._terms
+                            if hasattr(t[0], "cellpair_cfg"))
+    pme = nb_fn.pme_setup
+    print(f"pme grid={pme.grid} alpha={pme.alpha:.3f}")
+
+    box_diag = jnp.diagonal(st.box)
+
+    # full multi-step (per-step cost amortizing dispatch)
+    multi = jax.jit(tgnh.make_multi_step(static, ctx._energy_and_forces,
+                                         args.steps))
+    t = timeit(lambda: multi(spec, st), n=3)
+    print(f"full step            : {t / args.steps:8.2f} ms/step "
+          f"({args.steps}-step scan)")
+
+    # energy+forces (the whole force pass incl. vsites + autodiff)
+    eaf = jax.jit(ctx._energy_and_forces)
+    t = timeit(lambda: eaf(st.positions, st.box, st.neighbors))
+    print(f"energy+forces        : {t:8.2f} ms")
+
+    # sweep alone: fwd (energy+forces in one pass)
+    from openmm_drudenose_tpu.forces import cellpair as cp
+    sweep = jax.jit(lambda: cp.pair_energy_forces(
+        nb_params, st.positions, box_diag, st.neighbors, cfg,
+        nb_fn.pair_eg, nb_fn.coulomb_scale))
+    t = timeit(sweep)
+    print(f"block sweep (e+f)    : {t:8.2f} ms")
+
+    # PME reciprocal: energy only and value_and_grad
+    recip = jax.jit(lambda pos: pme.reciprocal_energy(
+        nb_params["charge"], pos, box_diag))
+    t = timeit(recip, st.positions)
+    print(f"pme recip (energy)   : {t:8.2f} ms")
+    recip_g = jax.jit(lambda pos: jax.value_and_grad(
+        lambda p: pme.reciprocal_energy(nb_params["charge"], p, box_diag))(pos))
+    t = timeit(recip_g, st.positions)
+    print(f"pme recip (e+grad)   : {t:8.2f} ms")
+
+    # extras (exceptions, self, dispersion) e+grad
+    extras_g = jax.jit(lambda pos: jax.value_and_grad(
+        lambda p: nb_fn.extras_energy(nb_params, p, st.box))(pos))
+    t = timeit(extras_g, st.positions)
+    print(f"extras (e+grad)      : {t:8.2f} ms")
+
+    # kinematics-only step (force pass replaced by cached forces)
+    fake_eaf = lambda pos, box, nbl: (st.potential_energy, st.forces)
+    kin = jax.jit(tgnh.make_multi_step(static, fake_eaf, args.steps))
+    t = timeit(lambda: kin(spec, st), n=3)
+    print(f"kinematics-only step : {t / args.steps:8.2f} ms/step")
+
+    # neighbor rebuild
+    nbl_fn = jax.jit(ctx._neighbor_fn)
+    t = timeit(nbl_fn, st.positions, st.box)
+    print(f"cellsort rebuild     : {t:8.2f} ms (every "
+          f"{cfg.rebuild_interval} steps)")
+
+
+if __name__ == "__main__":
+    main()

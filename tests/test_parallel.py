@@ -95,3 +95,35 @@ def test_replica_ensemble_api():
     assert ke.shape == (3,)
     assert np.all(np.isfinite(ke))
     assert not np.allclose(ens.positions()[0], ens.positions()[1])
+
+
+def test_replica_ensemble_cellpair():
+    """Replica ensembles over a cell-pair (neighbor-structure) system:
+    per-replica cellsorts rebuilt at chunk boundaries must evolve each
+    member like an independent simulation (round-1 gap: ensembles refused
+    any neighbor-list strategy)."""
+    system, positions = swm4_water_box(grid_size=2, add_cm_motion=False)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005, 20, 2)
+    integ.setMaxDrudeDistance(0.05)
+    ctx = dn.Context(system, integ, precision="double", strategy="cellpair")
+    ctx.setPositions(positions)
+    ctx.applyConstraints(1e-6)
+    ctx.setVelocitiesToTemperature(200.0, seed=0)
+    ctx._ensure_forces()
+    assert ctx._neighbor_fn is not None  # really exercising the cell path
+
+    from openmm_drudenose_tpu.parallel.ensemble import ReplicaEnsemble
+    ens = ReplicaEnsemble(ctx, n_replicas=3, seed=5)
+    ens.setVelocitiesToTemperature(200.0, seed=9)
+    v2 = np.asarray(ens.state.velocities[2]).copy()
+    ens.step(20)
+    ke = ens.kinetic_energies()
+    assert ke.shape == (3,)
+    assert np.all(np.isfinite(ke))
+    assert not np.allclose(ens.positions()[0], ens.positions()[1])
+
+    # replica 2 vs the same run through the plain Context path
+    ctx.setVelocities(v2)
+    integ.step(20)
+    np.testing.assert_allclose(ens.positions()[2], ctx.getPositions(),
+                               atol=1e-10)

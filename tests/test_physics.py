@@ -133,3 +133,41 @@ def test_conserved_energy_drift():
     scale = max(abs(e0), 1.0)
     drift = max(abs(s - e0) for s in samples) / scale
     assert drift < 2e-3, (e0, samples)
+
+
+def test_hardwall_runaway_raises():
+    """A Drude flung >2x past the hard wall in one step must raise on the
+    host — parity with the Reference platform's throw
+    (ReferenceDrudeTGNHKernels.cpp:311-312).  The CUDA platform silently
+    proceeds; we follow the stricter Reference semantics."""
+    system = single_pair_system()
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 10.0, 0.005, 0.001, 20, 2,
+                                   False)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision="double",
+                     hardwall_strict=True)
+    # deliberately exploded pair: the shell starts 0.1 nm from the core,
+    # far beyond 2 x 0.02 nm (the NH chain damps injected velocities, so a
+    # displaced start is the reliable way to exercise the error path)
+    ctx.setPositions([[0, 0, 0], [0, 0, 0.1]])
+    ctx.setVelocities([[0, 0, 0], [0, 0, 0]])
+    with pytest.raises(RuntimeError, match="hard wall"):
+        integ.step(5)
+    # the latch resets on raise so a recovered simulation can continue
+    ctx.setPositions([[0, 0, 0], [0, 0, 0.01]])
+    ctx.setVelocities([[1, 0, 0], [1, 0, 0.01]])
+    integ.step(5)
+    assert not ctx.hardwallRunaway
+
+    # default (CUDA-platform parity): same explosion only warns + latches
+    integ2 = dn.DrudeTGNHIntegrator(300.0, 0.1, 10.0, 0.005, 0.001, 20, 2,
+                                    False)
+    integ2.setMaxDrudeDistance(0.02)
+    ctx2 = dn.Context(system, integ2, precision="double")
+    ctx2.setPositions([[0, 0, 0], [0, 0, 0.1]])
+    ctx2.setVelocities([[0, 0, 0], [0, 0, 0]])
+    with pytest.warns(RuntimeWarning, match="hard wall"):
+        integ2.step(5)
+    assert ctx2.hardwallRunaway
+    ctx2.clearHardwallRunaway()
+    assert not ctx2.hardwallRunaway
