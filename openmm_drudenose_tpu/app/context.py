@@ -241,7 +241,7 @@ class Context:
         if static.n_settle:
             v = settle_mod.apply_velocity_constraints(
                 self._state.positions, v, spec.inv_mass, spec.settle_idx,
-                spec.settle_dist)
+                spec.settle_dist, spec.settle_gather)
         if static.n_shake:
             v = shake_mod.apply_velocity_constraints(
                 self._state.positions, v, spec.inv_mass, spec.shake_idx,

@@ -59,8 +59,20 @@ def _coef_matrix(wa, wb, wc):
             (-wb, wc, wb + wc))
 
 
+def _apply_corrections(target, corr_abc, settle_gather):
+    """Add per-role cluster corrections to the per-atom array without a
+    scatter: rows are fetched through the precomputed atom -> (role, cluster)
+    gather table (spec.settle_gather; roles are disjoint by construction)."""
+    if settle_gather is None:
+        # fallback: index-based scatter (unique indices)
+        return None
+    flat = jnp.concatenate(list(corr_abc)
+                           + [jnp.zeros((1, 3), corr_abc[0].dtype)])
+    return target + flat[settle_gather]
+
+
 def apply_position_constraints(positions, delta, inv_mass, settle_idx,
-                               settle_dist):
+                               settle_dist, settle_gather=None):
     """Adjust `delta` so positions+delta satisfies the triangle constraints
     (positions must satisfy them already — they supply the SHAKE reference
     directions)."""
@@ -93,14 +105,20 @@ def apply_position_constraints(positions, delta, inv_mass, settle_idx,
         lam = lam - _solve33(J, f)
 
     la, lb, lc = lam[:, 0:1], lam[:, 1:2], lam[:, 2:3]
-    delta = delta.at[ia].add(wa * (la * u[0] + lb * u[1]))
-    delta = delta.at[ib].add(wb * (-la * u[0] + lc * u[2]))
-    delta = delta.at[ic].add(wc * (-lb * u[1] - lc * u[2]))
+    corr = (wa * (la * u[0] + lb * u[1]),
+            wb * (-la * u[0] + lc * u[2]),
+            wc * (-lb * u[1] - lc * u[2]))
+    out = _apply_corrections(delta, corr, settle_gather)
+    if out is not None:
+        return out
+    delta = delta.at[ia].add(corr[0])
+    delta = delta.at[ib].add(corr[1])
+    delta = delta.at[ic].add(corr[2])
     return delta
 
 
 def apply_velocity_constraints(positions, velocities, inv_mass, settle_idx,
-                               settle_dist):
+                               settle_dist, settle_gather=None):
     """Exact (single 3x3 solve) velocity projection: bond-direction relative
     velocities are zeroed."""
     if settle_idx.shape[0] == 0:
@@ -124,7 +142,13 @@ def apply_velocity_constraints(positions, velocities, inv_mass, settle_idx,
     lam = _solve33(J, -f)
 
     la, lb, lc = lam[:, 0:1], lam[:, 1:2], lam[:, 2:3]
-    velocities = velocities.at[ia].add(wa * (la * u[0] + lb * u[1]))
-    velocities = velocities.at[ib].add(wb * (-la * u[0] + lc * u[2]))
-    velocities = velocities.at[ic].add(wc * (-lb * u[1] - lc * u[2]))
+    corr = (wa * (la * u[0] + lb * u[1]),
+            wb * (-la * u[0] + lc * u[2]),
+            wc * (-lb * u[1] - lc * u[2]))
+    out = _apply_corrections(velocities, corr, settle_gather)
+    if out is not None:
+        return out
+    velocities = velocities.at[ia].add(corr[0])
+    velocities = velocities.at[ib].add(corr[1])
+    velocities = velocities.at[ic].add(corr[2])
     return velocities

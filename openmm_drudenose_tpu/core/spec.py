@@ -88,6 +88,9 @@ class SystemSpec(NamedTuple):
     # constraints
     settle_idx: jax.Array      # (S, 3) int32 [central, sat1, sat2]
     settle_dist: jax.Array     # (S, 2) [d_central_sat, d_sat_sat]
+    settle_gather: jax.Array   # (N,) int32 into flattened (3S+1) correction
+                               # rows (role*S + cluster; 3S = zero row) —
+                               # scatter-free constraint application
     shake_idx: jax.Array       # (C, 2) int32
     shake_dist: jax.Array      # (C,)
     # constraint membership per atom (for velocity-constraint projection)
@@ -276,6 +279,13 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
     settle_dist = np.array([[s[3], s[4]] for s in settle], np.float64).reshape(-1, 2)
     shake_idx = np.array([[c[0], c[1]] for c in shake], np.int32).reshape(-1, 2)
     shake_dist = np.array([c[2] for c in shake], np.float64)
+    # scatter-free settle application: atom -> row of the flattened
+    # (role * S + cluster) correction table; non-settle atoms -> zero row
+    n_settle = len(settle)
+    settle_gather = np.full(n, 3 * n_settle, np.int32)
+    for k in range(n_settle):
+        for role in range(3):
+            settle_gather[settle_idx[k, role]] = role * n_settle + k
 
     # ---- virtual sites ----------------------------------------------------
     from ..system import (OutOfPlaneSite, ThreeParticleAverageSite,
@@ -342,6 +352,7 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
             np.sqrt(BOLTZ * integrator.getDrudeTemperature()), r),
         settle_idx=jnp.asarray(settle_idx),
         settle_dist=jnp.asarray(settle_dist, r),
+        settle_gather=jnp.asarray(settle_gather),
         shake_idx=jnp.asarray(shake_idx),
         shake_dist=jnp.asarray(shake_dist, r),
         vs_avg_idx=jnp.asarray(np.array(avg_idx, np.int32)),

@@ -40,6 +40,11 @@ class CellSort(NamedTuple):
     inv_slot: jax.Array    # (N,) int32 slot of each atom
     overflow: jax.Array    # () bool
     ref_positions: jax.Array  # (N, 3) at last rebuild
+    image: jax.Array       # (N, 3) int32 floor(pos/box) at last rebuild —
+    #  positions minus image*box are continuous "box frame" coordinates
+    #  consistent with the cell assignment (atoms drifting across the box
+    #  boundary between rebuilds stay continuous, so the static per-cell
+    #  image shifts below remain exact)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +59,10 @@ class CellPairConfig:
     excl_window: int         # W
     excl_words: int          # ceil((2W+1)/31)
     half_stencil: bool = False
+    inv_map: tuple = None    # inverse permutation per offset (half stencil)
+    offsets: tuple = None    # the (n_off, 3) stencil offsets
+    regular: bool = False    # all dims have >= 2w+1 cells: shift tables +
+                             # box-frame coords replace per-pair round()
 
     @property
     def r_list(self) -> float:
@@ -97,19 +106,24 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
     # Newton's-3rd-law half stencil when the full stencil is +/- symmetric
     # (all dims have >= 2w+1 cells): keep the self offset plus one of each
     # +/-o pair; the block sweep then credits forces to both sides.
-    half = allow_half and all(g >= 2 * w + 1 for g, w in zip(grid, window))
+    regular = all(g >= 2 * w + 1 for g, w in zip(grid, window))
+    half = allow_half and regular
     if half:
         sel = [o for o in offsets.tolist()
                if (o[0], o[1], o[2]) > (0, 0, 0)]
         offsets = np.array([[0, 0, 0]] + sel, np.int32)
 
-    # static neighbor-cell map (n_cells, n_off)
+    # static neighbor-cell map (n_cells, n_off) and its per-offset inverse
+    # permutation (cell that has c as its o-th neighbor), used to credit
+    # Newton's-third-law reaction forces by gather instead of scatter
     cz = np.arange(n_cells)
     c3 = np.stack([cz // (grid[1] * grid[2]),
                    (cz // grid[2]) % grid[1],
                    cz % grid[2]], axis=1)
     nb3 = (c3[:, None, :] + offsets[None, :, :]) % np.array(grid)
     nbr = (nb3[..., 0] * grid[1] + nb3[..., 1]) * grid[2] + nb3[..., 2]
+    ib3 = (c3[:, None, :] - offsets[None, :, :]) % np.array(grid)
+    inv = (ib3[..., 0] * grid[1] + ib3[..., 1]) * grid[2] + ib3[..., 2]
 
     # exclusion window
     exc_i = np.asarray(exc_i, np.int64)
@@ -122,7 +136,26 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
         capacity=int(capacity),
         nbr_map=(tuple(nbr.reshape(-1).tolist()), nbr.shape),
         n_offsets=len(offsets), rebuild_interval=int(rebuild_interval),
-        excl_window=W, excl_words=n_words, half_stencil=half)
+        excl_window=W, excl_words=n_words, half_stencil=half,
+        inv_map=(tuple(inv.reshape(-1).tolist()), inv.shape),
+        offsets=tuple(map(tuple, offsets.tolist())), regular=regular)
+
+
+def _shift_table(cfg: CellPairConfig) -> np.ndarray:
+    """(n_off, 3, n_cells) int8 periodic-image shift of each offset's
+    neighbor cell relative to the row cell: +1 when the stencil wraps the
+    high box face, -1 the low face.  With box-frame coordinates (positions
+    minus rebuild image*box) the pair separation is exactly
+    a - (b + shift*box): no per-pair round() min-imaging needed."""
+    grid = np.array(cfg.grid)
+    n_cells = int(np.prod(grid))
+    cz = np.arange(n_cells)
+    c3 = np.stack([cz // (grid[1] * grid[2]),
+                   (cz // grid[2]) % grid[1],
+                   cz % grid[2]], axis=1)                     # (n_cells, 3)
+    off = np.array(cfg.offsets, np.int64)                     # (n_off, 3)
+    sh = (c3[None, :, :] + off[:, None, :]) // grid           # floor div
+    return sh.transpose(0, 2, 1).astype(np.int8)              # (n_off,3,nc)
 
 
 def grow(cfg: CellPairConfig, n_atoms: int) -> CellPairConfig:
@@ -147,8 +180,8 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
     n_cells = cfg.n_cells
     C = cfg.capacity
 
-    frac = positions / box_diag
-    frac = frac - jnp.floor(frac)
+    image = jnp.floor(positions / box_diag)
+    frac = positions / box_diag - image
     cell3 = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
     flat = (cell3[:, 0] * cfg.grid[1] + cell3[:, 1]) * cfg.grid[2] + cell3[:, 2]
 
@@ -164,7 +197,8 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
     slot_atom = slot_atom.at[slot].set(order.astype(jnp.int32), mode="drop")
     inv_slot = jnp.zeros((n,), jnp.int32).at[order].set(slot, mode="drop")
     return CellSort(slot_atom=slot_atom, inv_slot=inv_slot,
-                    overflow=overflow, ref_positions=positions)
+                    overflow=overflow, ref_positions=positions,
+                    image=image.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -200,20 +234,24 @@ def erfc_approx(x):
 def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
                  krf: float = 0.0, crf: float = 0.0,
                  use_switch: bool = False, r_switch: float = 0.0,
-                 erfc_fn=None):
-    """Returns f(qq, sig, eps, r2, inv_r2, excl) -> (e, dE/dr^2).
+                 erfc_fn=None, excl_in_sweep: bool = True):
+    """Returns f(qq, sig, eps, r2, inv_r, inv_r2, excl) -> (e, dE/dr^2).
 
-    `excl` marks excluded (intramolecular) pairs.  For Ewald/PME these
-    contribute the reciprocal-space exclusion correction
-    E = qq (erfc(ar)/r - 1/r) = -qq erf(ar)/r directly in the block sweep
-    (reusing the erfc already computed), so no separate correction term with
-    its own gathers/scatters is needed.  Other methods contribute nothing on
-    excluded pairs."""
+    `excl` marks excluded (intramolecular) pairs, which contribute nothing
+    to the sweep.  With excl_in_sweep (legacy/sharded paths) the Ewald
+    reciprocal-exclusion correction E = -qq erf(ar)/r is folded in here;
+    the fast path computes it in the O(n_exclusions) pair-list term
+    (forces/pairterms.py) instead, keeping ~6 vector passes out of the
+    O(N * stencil * C^2) tile.
+
+    In f32 erfc is the Abramowitz-Stegun 7.1.26 rational (|err| < 1.5e-7,
+    i.e. below f32 epsilon) — jax.scipy.special.erfc lowers to ~40 vector
+    ops per tile, the single most expensive part of the pair math."""
     two_over_sqrt_pi = 2.0 / np.sqrt(np.pi)
-    erfc = erfc_fn or jax.scipy.special.erfc
 
-    def f(qq, sig, eps, r2, inv_r2, excl):
-        inv_r = jnp.sqrt(inv_r2)
+    def f(qq, sig, eps, r2, inv_r, inv_r2, excl):
+        erfc = erfc_fn or (erfc_approx if r2.dtype == jnp.float32
+                           else jax.scipy.special.erfc)
         e_lj, g_lj = _lj_e_g(sig, eps, inv_r2)
         if use_switch:
             s, ds = _switch(r2, inv_r, r_switch, cutoff)
@@ -227,10 +265,15 @@ def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
             g_c = -0.5 * qq * inv_r2 * (erfc_ar * inv_r
                                         + two_over_sqrt_pi * alpha
                                         * jnp.exp(-ar * ar))
-            e_plain = qq * inv_r
-            g_plain = -0.5 * qq * inv_r2 * inv_r
-            e = jnp.where(excl, e_c - e_plain, e_lj + e_c)
-            g = jnp.where(excl, g_c - g_plain, g_lj + g_c)
+            if excl_in_sweep:
+                e_plain = qq * inv_r
+                g_plain = -0.5 * qq * inv_r2 * inv_r
+                e = jnp.where(excl, e_c - e_plain, e_lj + e_c)
+                g = jnp.where(excl, g_c - g_plain, g_lj + g_c)
+            else:
+                zero = jnp.zeros_like(e_c)
+                e = jnp.where(excl, zero, e_lj + e_c)
+                g = jnp.where(excl, zero, g_lj + g_c)
             return e, g
         elif method == "rf":
             e_c = qq * (inv_r + krf * r2 - crf)
@@ -249,14 +292,23 @@ def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
 # the block sweep: energy + forces in one pass
 # ---------------------------------------------------------------------------
 
-def _sorted_arrays(params, positions, cellsort, cfg, n):
-    """Gather per-atom data into cell-major order (padded slots -> inert)."""
+def _sorted_arrays(params, positions, cellsort, cfg, n, box_diag=None):
+    """Gather per-atom data into cell-major order (padded slots -> inert).
+
+    When `box_diag` is given, coordinates are rebased to the box frame
+    (position - rebuild_image * box): continuous across rebuild-interval
+    drift and consistent with the cell assignment, so the static per-cell
+    shift table replaces per-pair round() min-imaging."""
     sa = cellsort.slot_atom
     pad = sa >= n
     safe = jnp.where(pad, 0, sa)
     out = {}
+    if box_diag is None:
+        pos = positions
+    else:
+        pos = positions - cellsort.image.astype(positions.dtype) * box_diag
     for c, name in enumerate("xyz"):
-        out[name] = jnp.where(pad, 1e6 * (1 + c), positions[safe, c])
+        out[name] = jnp.where(pad, 1e6 * (1 + c), pos[safe, c])
     out["q"] = jnp.where(pad, 0.0, params["charge"][safe])
     out["sig"] = jnp.where(pad, 1.0, params["sigma"][safe])
     out["eps"] = jnp.where(pad, 0.0, params["eps"][safe])
@@ -270,52 +322,88 @@ def _sorted_arrays(params, positions, cellsort, cfg, n):
 
 def make_block_eg(blocks, box_diag, cfg: CellPairConfig, pair_eg,
                   coulomb_scale, a_blocks=None):
-    """Build block_eg(b): pair energies/force-factors between the a-side
-    cell blocks (all of `blocks`, or the row-slice `a_blocks` — used by the
-    slab-sharded sweep in parallel/sharded.py) and the b-indexed neighbor
-    blocks gathered from the full `blocks`.
+    """Build block_eg(b, shift): pair energies/force-factors between the
+    a-side cell blocks (all of `blocks`, or the row-slice `a_blocks` — used
+    by the slab-sharded sweep in parallel/sharded.py) and the b-indexed
+    neighbor blocks gathered from the full `blocks`.
 
-    Returns (e (rows,C,C), g2 = -2 dE/dr^2 masked, d components)."""
+    `b` is (rows, P): P neighbor cells are concatenated along the lane axis
+    so the (rows, C, P*C) pair tile fills the 128-wide vector lanes (P = 2
+    at typical capacities).  `shift`, when given, is a (3,)-tuple of
+    (rows, P) periodic-image counts (from _shift_table) applied to the
+    gathered coordinates — exact minimum imaging with zero per-pair round()
+    work; when None, per-pair round() min-imaging is used (wrapped/small
+    grids).
+
+    Returns (e (rows,C,P*C), g2 = -2 dE/dr^2 masked, d components)."""
     cutoff2 = cfg.cutoff * cfg.cutoff
     W = cfg.excl_window
     A = a_blocks if a_blocks is not None else blocks
+    # per-slot (2D, cheap) precomputation: scaled charge on the a side,
+    # sqrt(eps) on both sides — saves one tile multiply and one multi-pass
+    # tile sqrt per block
+    qa_scaled = coulomb_scale * A["q"]
+    seps_a = jnp.sqrt(A["eps"])
+    seps_b_all = jnp.sqrt(blocks["eps"])
+    single_word = cfg.excl_words == 1 and 2 * W + 1 <= 31
 
-    def block_eg(b):
+    def bgather(arr, b):
+        v = arr[b]                             # (rows, P, C)
+        return v.reshape(v.shape[0], -1)       # (rows, P*C)
+
+    def block_eg(b, shift=None, self_block=False):
+        """self_block: mask the slot diagonal (an atom against itself);
+        offset blocks pair distinct cells, and padded slots are inert by
+        construction (sentinel coords put real-pad pairs beyond the cutoff;
+        pad-pad pairs have q = eps = 0 and a clamped r^2)."""
+        if b.ndim == 1:
+            b = b[:, None]
+        rows, P = b.shape
         d = []
         r2 = jnp.zeros((), A["x"].dtype)
         for c, k in enumerate("xyz"):
-            dc = A[k][:, :, None] - blocks[k][b][:, None, :]
-            dc = dc - box_diag[c] * jnp.round(dc / box_diag[c])
+            bk = blocks[k][b]                  # (rows, P, C)
+            if shift is not None:
+                bk = bk + (shift[c].astype(bk.dtype)
+                           * box_diag[c])[:, :, None]
+            dc = A[k][:, :, None] - bk.reshape(rows, -1)[:, None, :]
+            if shift is None:
+                dc = dc - box_diag[c] * jnp.round(dc / box_diag[c])
             d.append(dc)
             r2 = r2 + dc * dc
-        gid_a = A["gid"][:, :, None]
-        gid_b = blocks["gid"][b][:, None, :]
-        base_ok = (gid_a >= 0) & (gid_b >= 0) & (gid_a != gid_b)
+        valid = r2 < cutoff2
+        if self_block:
+            C = A["x"].shape[1]
+            diag = (np.arange(C)[:, None] == np.arange(P * C)[None, :])
+            valid = valid & jnp.asarray(~diag)
         if W > 0:
-            dg = gid_b - gid_a
+            gid_a = A["gid"][:, :, None]
+            dg = bgather(blocks["gid"], b)[:, None, :] - gid_a
             in_win = jnp.abs(dg) <= W
             bit = jnp.where(in_win, dg + W, 0)
-            excl = jnp.zeros_like(base_ok)
-            for w in range(cfg.excl_words):
-                ew = A[f"ew{w}"][:, :, None]  # row atom a's words
-                hit = (bit // 31 == w) & (((ew >> (bit % 31)) & 1) == 1)
-                excl = excl | hit
-            excl = base_ok & in_win & excl
+            if single_word:
+                ew = A["ew0"][:, :, None]
+                excl = in_win & (((ew >> bit) & 1) == 1)
+            else:
+                excl = jnp.zeros_like(in_win)
+                for w in range(cfg.excl_words):
+                    ew = A[f"ew{w}"][:, :, None]  # row atom a's words
+                    hit = (bit // 31 == w) & (((ew >> (bit % 31)) & 1) == 1)
+                    excl = excl | hit
+                excl = in_win & excl
         else:
-            excl = jnp.zeros_like(base_ok)
-        valid = base_ok & (r2 < cutoff2)
+            excl = jnp.zeros_like(valid)
         # clamp r^2: excluded pairs can sit at r = 0 (shell on core at
         # setup); the clamped Ewald difference qq(erfc-1)/r then lands on
         # the correct -qq 2a/sqrt(pi) limit instead of inf - inf = NaN
         r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
-        inv_r2 = 1.0 / r2s
-        qq = (coulomb_scale * A["q"][:, :, None]
-              * blocks["q"][b][:, None, :])
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+        qq = qa_scaled[:, :, None] * bgather(blocks["q"], b)[:, None, :]
         sig = 0.5 * (A["sig"][:, :, None]
-                     + blocks["sig"][b][:, None, :])
-        eps = jnp.sqrt(A["eps"][:, :, None]
-                       * blocks["eps"][b][:, None, :])
-        e, g = pair_eg(qq, sig, eps, r2s, inv_r2, excl)
+                     + bgather(blocks["sig"], b)[:, None, :])
+        eps = seps_a[:, :, None] * bgather(seps_b_all, b)[:, None, :]
+        e, g = pair_eg(qq, sig, eps, r2s, inv_r, inv_r2, excl)
         e = jnp.where(valid, e, 0.0)
         g2 = jnp.where(valid, -2.0 * g, 0.0)
         return e, g2, d
@@ -325,44 +413,88 @@ def make_block_eg(blocks, box_diag, cfg: CellPairConfig, pair_eg,
 
 def pair_energy_forces(params, positions, box_diag, cellsort,
                        cfg: CellPairConfig, pair_eg, coulomb_scale):
-    """Returns (energy, forces (N,3)) for the direct-space sum."""
+    """Returns (energy, forces (N,3)) for the direct-space sum.
+
+    Half-stencil path: offsets are processed two at a time (P = 2) so the
+    pair tile is (n_cells, C, 2C) — near-full 128-lane occupancy — with
+    static shift tables instead of per-pair round() imaging, and the
+    Newton's-third-law reaction credited by an inverse-permutation row
+    GATHER (each stencil offset is a cyclic shift of the cell grid, so the
+    scatter fc[b] += r is exactly fc += r[inv_b])."""
     n = positions.shape[0]
     n_cells, C = cfg.n_cells, cfg.capacity
     nbr_flat, nbr_shape = cfg.nbr_map
     nbr_map = np.array(nbr_flat, np.int32).reshape(nbr_shape)
 
-    s = _sorted_arrays(params, positions, cellsort, cfg, n)
+    s = _sorted_arrays(params, positions, cellsort, cfg, n,
+                       box_diag=box_diag if cfg.regular else None)
     blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
     nbr = jnp.asarray(nbr_map)  # (n_cells, n_off)
 
     block_eg = make_block_eg(blocks, box_diag, cfg, pair_eg, coulomb_scale)
 
-    zero = jnp.zeros((n_cells, C), positions.dtype)
+    if cfg.regular:
+        shifts_np = _shift_table(cfg)                  # (n_off, 3, n_cells)
+        shifts = jnp.asarray(shifts_np)
+        half = cfg.half_stencil
+        if half:
+            inv_flat, inv_shape = cfg.inv_map
+            inv = jnp.asarray(
+                np.array(inv_flat, np.int32).reshape(inv_shape))
+        # full stencil: every ordered pair appears once per direction
+        # -> 0.5x energy, row sums only (one reduction axis: fuses);
+        # offset 0 (the self block) runs standalone in both modes so the
+        # slot-diagonal mask stays out of the paired scan
+        rest = list(range(1, cfg.n_offsets))
+        pairs = [rest[i:i + 2] for i in range(0, len(rest) - 1, 2)]
+        leftover = [rest[-1]] if len(rest) % 2 else []
 
-    # self block: both orders present -> half the energy, row forces only
-    e_s, g2_s, d_s = block_eg(nbr[:, 0])
-    e_total = 0.5 * jnp.sum(e_s)
-    f = [jnp.sum(g2_s * dc, axis=2) for dc in d_s]
+        def one(carry, ob, P):
+            e_total, fx, fy, fz = carry
+            b = jnp.take(nbr, ob, axis=1)              # (n_cells, P)
+            sh = jnp.take(shifts, ob, axis=0)          # (P, 3, n_cells)
+            sh = tuple(jnp.transpose(sh[:, c, :]) for c in range(3))
+            e, g2, d = block_eg(b, shift=sh)
+            e_total = e_total + (1.0 if half else 0.5) * jnp.sum(e)
+            fs = [fx + jnp.sum(g2 * d[0], axis=2),
+                  fy + jnp.sum(g2 * d[1], axis=2),
+                  fz + jnp.sum(g2 * d[2], axis=2)]
+            if half:
+                # reaction on the b-side cells: the offset is a cyclic
+                # shift of the grid, so credit by gathering with the
+                # inverse permutation instead of scattering
+                iv = jnp.take(inv, ob, axis=1)         # (n_cells, P)
+                out = []
+                for fc, dc in zip(fs, d):
+                    r = -jnp.sum((g2 * dc).reshape(n_cells, C, P, C),
+                                 axis=1)
+                    for p in range(P):
+                        fc = fc + r[:, p, :][iv[:, p]]
+                    out.append(fc)
+                fs = out
+            return (e_total, *fs)
 
-    if cfg.n_offsets > 1:
-        if cfg.half_stencil:
-            # each +/- pair visited once: full energy; Newton's third law
-            # credits the b-side blocks with the reaction forces
-            def body(carry, o):
-                e_total, fx, fy, fz = carry
-                b = nbr[:, o]
-                e, g2, d = block_eg(b)
-                e_total = e_total + jnp.sum(e)
-                fs = [fx + jnp.sum(g2 * d[0], axis=2),
-                      fy + jnp.sum(g2 * d[1], axis=2),
-                      fz + jnp.sum(g2 * d[2], axis=2)]
-                # reaction on b-side: -sum over the a (row) axis
-                fs = [fc.at[b].add(-jnp.sum(g2 * dc, axis=1))
-                      for fc, dc in zip(fs, d)]
-                return (e_total, *fs), None
-        else:
-            # wrapped/small grids: every ordered cell pair appears once in
-            # the stencil -> half energy, row forces only
+        # self block: both orders present -> half energy, row sums only
+        zero3 = tuple(jnp.zeros((n_cells, 1), jnp.int8) for _ in range(3))
+        e_s, g2_s, d_s = block_eg(nbr[:, 0:1], shift=zero3, self_block=True)
+        carry = (0.5 * jnp.sum(e_s),
+                 *[jnp.sum(g2_s * dc, axis=2) for dc in d_s])
+        if pairs:
+            def body(carry, ob):
+                return one(carry, ob, 2), None
+            carry, _ = jax.lax.scan(
+                body, carry, jnp.asarray(pairs, jnp.int32), unroll=2)
+        for o in leftover:
+            carry = one(carry, jnp.asarray([o], jnp.int32), 1)
+        e_total, *f = carry
+    else:
+        # wrapped/small grids: every ordered cell pair appears once in
+        # the stencil -> half energy, row forces only
+        e_s, g2_s, d_s = block_eg(nbr[:, 0], self_block=True)
+        e_total = 0.5 * jnp.sum(e_s)
+        f = [jnp.sum(g2_s * dc, axis=2) for dc in d_s]
+
+        if cfg.n_offsets > 1:
             def body(carry, o):
                 e_total, fx, fy, fz = carry
                 b = nbr[:, o]
@@ -372,9 +504,9 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
                         fy + jnp.sum(g2 * d[1], axis=2),
                         fz + jnp.sum(g2 * d[2], axis=2)), None
 
-        (e_total, *f), _ = jax.lax.scan(
-            body, (e_total, f[0], f[1], f[2]),
-            jnp.arange(1, cfg.n_offsets), unroll=4)
+            (e_total, *f), _ = jax.lax.scan(
+                body, (e_total, f[0], f[1], f[2]),
+                jnp.arange(1, cfg.n_offsets), unroll=4)
 
     # unsort forces back to atom order
     f_slots = jnp.stack([fc.reshape(-1) for fc in f], axis=1)  # (S, 3)

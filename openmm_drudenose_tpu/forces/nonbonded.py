@@ -330,16 +330,33 @@ class NonbondedForce:
                 np.array(system.getDefaultPeriodicBoxVectors(), np.float64))
             cp_cfg = cp.make_config(
                 cutoff, box0, n, exc_i, exc_j,
-                allow_half=not use_pallas,  # pallas sweep is full-stencil
+                # pallas sweep is full-stencil; the XLA sweep default is
+                # decided by measurement (nb_kwargs {"allow_half": ...})
+                allow_half=(not use_pallas
+                            and nb_kwargs.get("allow_half", True)),
                 **{k: v for k, v in nb_kwargs.items()
                    if k in ("skin", "rebuild_interval", "cells_per_cutoff",
                             "capacity", "density_margin")})
+            if method in (self.Ewald, self.PME):
+                # re-plan the reciprocal grid as a multiple of the cell
+                # grid: the pencil spread (pme.spread_pencils) reuses the
+                # sweep's cell-sorted slots for local-window spreading
+                from . import pme as pme_mod
+                alpha0, gx0, _, _ = self._pme_params
+                pme = pme_mod.setup_pme(
+                    cutoff=cutoff, tol=self._ewald_tol, box_diag=box0,
+                    alpha=alpha0 or None,
+                    grid=pme.grid if gx0 > 0 else None,
+                    cell_grid=cp_cfg.grid)
             params["excl_words"] = jnp.asarray(cp.build_exclusion_words(
                 n, exc_i, exc_j, cp_cfg.excl_window, cp_cfg.excl_words))
             if method in (self.Ewald, self.PME):
+                # the reciprocal exclusion correction runs as an
+                # O(n_exclusions) pair-list term (below), not in the sweep
                 pair_eg = cp.make_pair_eg("ewald", cutoff, alpha=pme.alpha,
                                           use_switch=use_switch,
-                                          r_switch=r_switch)
+                                          r_switch=r_switch,
+                                          excl_in_sweep=False)
             elif method in (self.CutoffPeriodic, self.CutoffNonPeriodic):
                 pair_eg = cp.make_pair_eg("rf", cutoff, krf=krf, crf=crf,
                                           use_switch=use_switch,
@@ -349,17 +366,38 @@ class NonbondedForce:
             pair_term = cp.make_custom_energy(cp_cfg, pair_eg, ONE_4PI_EPS0,
                                               impl=impl)
 
+            # exceptions + Ewald exclusion corrections as scatter-free
+            # custom-vjp pair-list terms (forces/pairterms.py)
+            from . import pairterms
+            exc_term = None
+            if n_active_exc:
+                exc_term = pairterms.make_pair_list_term(
+                    n, exc_i[act], exc_j[act], pairterms.exception_eg(
+                        jnp.asarray(ONE_4PI_EPS0 * exc_qq[act], dtype),
+                        jnp.asarray(exc_sigma[act], dtype),
+                        jnp.asarray(exc_eps[act], dtype)),
+                    periodic=periodic)
+            corr_term = None
+            if len(self._exceptions) and method in (self.Ewald, self.PME):
+                qq_full = ONE_4PI_EPS0 * charge[exc_i] * charge[exc_j]
+                corr_term = pairterms.make_pair_list_term(
+                    n, exc_i, exc_j, pairterms.ewald_correction_eg(
+                        jnp.asarray(qq_full, dtype), pme.alpha),
+                    periodic=periodic)
+
             def extras_energy(params, positions, box):
                 """Everything but the sweep and the PME reciprocal sum:
-                explicit exceptions, Ewald self term, dispersion tail.
-                Exposed separately so the work-sharded engine
-                (parallel/sharded.py) can replicate the cheap bits while
-                sharding the sweep and the spreading."""
+                explicit exceptions, reciprocal exclusion corrections,
+                Ewald self term, dispersion tail.  Exposed separately so
+                the work-sharded engine (parallel/sharded.py) can replicate
+                the cheap bits while sharding the sweep and the
+                spreading."""
                 box_diag = jnp.diagonal(box)
                 e = jnp.zeros((), positions.dtype)
-                if n_active_exc:
-                    e = e + exceptions_energy(params, positions, box_diag,
-                                              include_recip_corr=False)
+                if exc_term is not None:
+                    e = e + exc_term(positions, box_diag)
+                if corr_term is not None:
+                    e = e + corr_term(positions, box_diag)
                 if method in (self.Ewald, self.PME):
                     e = e + params["pme_self"]
                 if disp is not None:
@@ -372,8 +410,13 @@ class NonbondedForce:
                 e = pair_term(params, positions, box_diag, neighbors)
                 e = e + extras_energy(params, positions, box)
                 if method in (self.Ewald, self.PME):
-                    e = e + pme.reciprocal_energy(params["charge"], positions,
-                                                  box_diag)
+                    if pme.cell_grid is not None:
+                        e = e + pme.reciprocal_energy_sorted(
+                            params["charge"], positions, box_diag,
+                            neighbors, cp_cfg.capacity)
+                    else:
+                        e = e + pme.reciprocal_energy(
+                            params["charge"], positions, box_diag)
                 return e
             energy.needs_neighbors = True
             energy.cellpair_cfg = cp_cfg

@@ -99,12 +99,25 @@ class PmeSetup:
     bm2x: np.ndarray
     bm2y: np.ndarray
     bm2z: np.ndarray
+    cell_grid: tuple = None  # cellsort grid the K's are multiples of
 
     def reciprocal_energy(self, charges, positions, box_diag):
         return _reciprocal_energy(self.grid, self.alpha,
                                   jnp.asarray(self.bm2x), jnp.asarray(self.bm2y),
                                   jnp.asarray(self.bm2z),
                                   charges, positions, box_diag)
+
+    def reciprocal_energy_sorted(self, charges, positions, box_diag,
+                                 cellsort, capacity: int):
+        """Pencil-spread variant: uses the cell-sorted slot structure (the
+        sweep's CellSort) so spreading is per-(x,y)-cell-column local-window
+        matmuls instead of full-grid one-hots — ~10x less HBM traffic.
+        Requires setup_pme(..., cell_grid=...)."""
+        Q = spread_pencils(self.grid, self.cell_grid, capacity,
+                           charges, positions, box_diag, cellsort)
+        return grid_energy(self.grid, self.alpha,
+                           jnp.asarray(self.bm2x), jnp.asarray(self.bm2y),
+                           jnp.asarray(self.bm2z), Q, box_diag)
 
     def spread(self, charges, positions, box_diag):
         return spread_charge_grid(self.grid, charges, positions, box_diag)
@@ -115,13 +128,24 @@ class PmeSetup:
                            jnp.asarray(self.bm2z), Q, box_diag)
 
 
-def setup_pme(cutoff: float, tol: float, box_diag, alpha=None, grid=None) -> PmeSetup:
+def setup_pme(cutoff: float, tol: float, box_diag, alpha=None, grid=None,
+              cell_grid=None) -> PmeSetup:
     a = alpha if alpha else choose_alpha(cutoff, tol)
     g = grid if grid else choose_grid(a, box_diag, tol)
-    return PmeSetup(alpha=a, grid=tuple(int(k) for k in g),
+    g = tuple(int(k) for k in g)
+    if cell_grid is not None:
+        # round each K up to a multiple of the cell grid so the pencil
+        # spread's local windows are cell-aligned (denser grid = only more
+        # accurate); keep pencils viable (window < K) or drop the hint
+        g = tuple(-(-k // c) * c for k, c in zip(g, cell_grid))
+        plan = _pencil_plan(g, cell_grid)
+        if plan is None:
+            cell_grid = None
+    return PmeSetup(alpha=a, grid=g,
                     bm2x=_bspline_moduli(PME_ORDER, g[0]),
                     bm2y=_bspline_moduli(PME_ORDER, g[1]),
-                    bm2z=_bspline_moduli(PME_ORDER, g[2]))
+                    bm2z=_bspline_moduli(PME_ORDER, g[2]),
+                    cell_grid=tuple(cell_grid) if cell_grid else None)
 
 
 def _reciprocal_energy(grid, alpha, bm2x, bm2y, bm2z, charges, positions, box_diag):
@@ -201,6 +225,147 @@ def spread_charge_grid(grid, charges, positions, box_diag):
     Q, _ = jax.lax.scan(body, jnp.zeros((K1, K2 * K3), dtype),
                         jnp.arange(n_chunks))
     return Q.reshape(K1, K2, K3)
+
+
+def _pencil_plan(grid, cell_grid, order: int = PME_ORDER):
+    """Static plan for the pencil spread: per-dim points-per-cell, local
+    window width (a multiple of ppc so same-color tiles tile contiguously),
+    and color count for x/y.  Returns None when the box is too small for
+    local windows (fall back to the generic spread)."""
+    K1, K2, K3 = grid
+    gx, gy = cell_grid[0], cell_grid[1]
+    if K1 % gx or K2 % gy:
+        return None
+    plan = []
+    for K, g in ((K1, gx), (K2, gy)):
+        ppc = K // g
+        # the symmetric window offset (lw - ppc) // 2 must cover the
+        # order-1 left tap spill plus >= 1 point of inter-rebuild drift
+        # margin on each side: lw >= ppc + 2 * order
+        need = ppc + 2 * order
+        ncolor = -(-need // ppc)
+        lw = ncolor * ppc
+        if lw >= K:
+            return None
+        plan.append((ppc, lw, ncolor))
+    return tuple(plan)
+
+
+def spread_pencils(grid, cell_grid, capacity, charges, positions, box_diag,
+                   cellsort):
+    """Charge spreading using the sweep's cell-sorted slot structure.
+
+    Atoms are gathered into (x,y)-pencil-major slot order (exactly the
+    CellSort layout: cells are (cx, cy, cz)-major, so a pencil's gz*C slots
+    are contiguous).  Each pencil spreads onto a local (LWx, LWy, K3)
+    window via one batched MXU matmul; windows are assembled into the full
+    grid by an (ncolor_x * ncolor_y)-pass reshape + roll (same-color tiles
+    are disjoint and contiguous by construction).  Against the generic
+    spread_charge_grid this avoids the (N, K2*K3) one-hot materialization:
+    traffic drops from O(N*K2*K3) to O(S*LWx*LWy).
+
+    Fully differentiable: interpolation forces arrive by autodiff through
+    the weight polynomials and matmuls."""
+    K1, K2, K3 = grid
+    gx, gy, gz = cell_grid
+    (ppcx, lwx, ncx), (ppcy, lwy, ncy) = _pencil_plan(grid, cell_grid)
+    n = positions.shape[0]
+    dtype = positions.dtype
+    C = capacity
+    n_pencils = gx * gy
+    sp = gz * C  # slots per pencil
+
+    # slot-ordered charge and box-frame coordinates (pads: q = 0)
+    sa = cellsort.slot_atom
+    pad = sa >= n
+    safe = jnp.where(pad, 0, sa)
+    qs = jnp.where(pad, 0.0, charges[safe])
+    pos_bf = positions - cellsort.image.astype(dtype) * box_diag
+
+    # per-dim scaled coordinates, integer parts, B-spline weights
+    Ks = jnp.asarray([K1, K2, K3], dtype)
+    u = (pos_bf / box_diag * Ks)[safe]               # (S, 3)
+    u = jnp.where(pad[:, None], -1e6, u)             # pads: outside windows
+    ti = jnp.floor(u)
+    w = u - ti
+    ti = ti.astype(jnp.int32)
+
+    wx = _bspline_weights(w[:, 0], PME_ORDER)        # (S, order)
+    wy = _bspline_weights(w[:, 1], PME_ORDER)
+    wz = _bspline_weights(w[:, 2], PME_ORDER)
+
+    # local window bases per slot (static per pencil)
+    S = sa.shape[0]
+    slot = np.arange(S)
+    cx = (slot // (gy * sp)).astype(np.int32)
+    cy = ((slot // sp) % gy).astype(np.int32)
+    offx = (lwx - ppcx) // 2
+    offy = (lwy - ppcy) // 2
+    base_x = jnp.asarray(cx * ppcx - offx)
+    base_y = jnp.asarray(cy * ppcy - offy)
+
+    j = jnp.arange(PME_ORDER, dtype=jnp.int32)
+
+    def one_hot_local(ti_d, w_d, base, lw):
+        # (S, lw): sum over taps of w * [k == ti - j - base]
+        col = ti_d[:, None] - j[None, :] - base[:, None]   # (S, order)
+        k = jnp.arange(lw, dtype=jnp.int32)
+        acc = jnp.zeros((S, lw), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_d[:, t:t + 1] * (col[:, t:t + 1] == k[None, :])
+        return acc
+
+    def one_hot_wrap(ti_d, w_d, K):
+        col = jnp.mod(ti_d[:, None] - j[None, :], K)
+        k = jnp.arange(K, dtype=jnp.int32)
+        acc = jnp.zeros((S, K), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_d[:, t:t + 1] * (col[:, t:t + 1] == k[None, :])
+        return acc
+
+    Wx = one_hot_local(ti[:, 0], wx, base_x, lwx)     # (S, lwx)
+    Wy = one_hot_local(ti[:, 1], wy, base_y, lwy)     # (S, lwy)
+    Wz = one_hot_wrap(ti[:, 2], qs[:, None] * wz, K3)  # (S, K3), q-weighted
+
+    Wx = Wx.reshape(n_pencils, sp, lwx)
+    Wy = Wy.reshape(n_pencils, sp, lwy)
+    Wz = Wz.reshape(n_pencils, sp, K3)
+    Wxy = (Wx[:, :, :, None] * Wy[:, :, None, :]).reshape(
+        n_pencils, sp, lwx * lwy)
+    # batched MXU contraction over slots: (P, lwx*lwy, K3)
+    T = jnp.einsum("pse,psz->pez", Wxy, Wz,
+                   preferred_element_type=dtype)
+    T = T.reshape(gx, gy, lwx, lwy, K3)
+
+    # color assembly: same-color tiles (stride ncolor cells = lw points)
+    # tile contiguously; fold the wrap-around tail and roll into place
+    gxp = -(-gx // ncx) * ncx
+    gyp = -(-gy // ncy) * ncy
+    if gxp != gx or gyp != gy:
+        T = jnp.pad(T, ((0, gxp - gx), (0, gyp - gy), (0, 0), (0, 0), (0, 0)))
+
+    def fold(A, K, axis):
+        # A longer than K along axis: wrap the tail back onto the front
+        L = A.shape[axis]
+        if L == K:
+            return A
+        head = jax.lax.slice_in_dim(A, 0, K, axis=axis)
+        tail = jax.lax.slice_in_dim(A, K, L, axis=axis)
+        pads = [(0, 0)] * A.ndim
+        pads[axis] = (0, 2 * K - L)
+        return head + jnp.pad(tail, pads)
+
+    Q = jnp.zeros((K1, K2, K3), dtype)
+    for r in range(ncx):
+        for s in range(ncy):
+            sub = T[r::ncx, s::ncy]                  # (gxp/ncx, gyp/ncy, ...)
+            A = sub.transpose(0, 2, 1, 3, 4).reshape(
+                gxp // ncx * lwx, gyp // ncy * lwy, K3)
+            A = fold(A, K1, 0)
+            A = fold(A, K2, 1)
+            Q = Q + jnp.roll(A, ((r * ppcx - offx) % K1,
+                                 (s * ppcy - offy) % K2), axis=(0, 1))
+    return Q
 
 
 def grid_energy(grid, alpha, bm2x, bm2y, bm2z, Q, box_diag):

@@ -125,11 +125,12 @@ def _kernel(n_off, C, offc, slot, cutoff2, W, n_words, pair_eg,
                 excl = jnp.zeros_like(base_ok)
             valid = base_ok & (r2 < cutoff2)
             r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
-            inv_r2 = 1.0 / r2s
+            inv_r = jax.lax.rsqrt(r2s)
+            inv_r2 = inv_r * inv_r
             qq = qa * qs[0, :].reshape(1, -1)
             sig = 0.5 * (siga + sigs[0, :].reshape(1, -1))
             eps = jnp.sqrt(epsa * epss[0, :].reshape(1, -1))
-            e, g = pair_eg(qq, sig, eps, r2s, inv_r2, excl)
+            e, g = pair_eg(qq, sig, eps, r2s, inv_r, inv_r2, excl)
             e = jnp.where(valid, e, 0.0)
             g2 = jnp.where(valid, -2.0 * g, 0.0)
             return (e_acc + 0.5 * jnp.sum(e, axis=1),

@@ -145,11 +145,12 @@ def make_sharded_pair_sweep(mesh: Mesh, axis: str, cfg: cp.CellPairConfig,
             excl = jnp.zeros_like(base_ok)
         valid = base_ok & (r2 < cutoff2)
         r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
-        inv_r2 = 1.0 / r2s
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
         qq = coulomb_scale * blocks["q"][:, :, None] * ext["q"][b][:, None, :]
         sig = 0.5 * (blocks["sig"][:, :, None] + ext["sig"][b][:, None, :])
         eps = jnp.sqrt(blocks["eps"][:, :, None] * ext["eps"][b][:, None, :])
-        e, g = pair_eg(qq, sig, eps, r2s, inv_r2, excl)
+        e, g = pair_eg(qq, sig, eps, r2s, inv_r, inv_r2, excl)
         e = jnp.where(valid, e, 0.0)
         g2 = jnp.where(valid, -2.0 * g, 0.0)
         return e, g2, d

@@ -95,7 +95,7 @@ def make_slab_sweep(axis: str, n_dev: int):
                                     coulomb_scale, a_blocks=a_blocks)
 
         # self block: both orders present within the slab row -> half energy
-        e_s, g2_s, d_s = block_eg(nbr_loc[:, 0])
+        e_s, g2_s, d_s = block_eg(nbr_loc[:, 0], self_block=True)
         e_total = 0.5 * jnp.sum(e_s)
         f_loc = [jnp.sum(g2_s * dc, axis=2) for dc in d_s]
         f_full = [jnp.zeros((n_cells, C), positions.dtype) for _ in range(3)]

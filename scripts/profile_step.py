@@ -30,6 +30,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--atoms", type=int, default=100_000)
     p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--full-stencil", action="store_true",
+                   help="row-sum-only full-stencil sweep (no reactions)")
+    p.add_argument("--sweep-only", action="store_true")
     args = p.parse_args()
 
     import openmm_drudenose_tpu as dn
@@ -41,6 +44,9 @@ def main():
     integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
     integ.setMaxDrudeDistance(0.02)
     ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
+    if args.full_stencil:
+        ctx._nb_kwargs = {"allow_half": False}
+        ctx._build_potential()
     ctx.setPositions(positions)
     ctx.setVelocitiesToTemperature(300.0, seed=0)
     ctx._ensure_forces()
@@ -56,6 +62,21 @@ def main():
 
     box_diag = jnp.diagonal(st.box)
 
+    if args.sweep_only:
+        from openmm_drudenose_tpu.forces import cellpair as cp
+
+        def sweep_scan(positions):
+            def body(p, _):
+                e, f = cp.pair_energy_forces(
+                    nb_params, p, box_diag, st.neighbors, cfg,
+                    nb_fn.pair_eg, nb_fn.coulomb_scale)
+                return p + 0.0 * f, e
+            _, es = jax.lax.scan(body, positions, None, length=8)
+            return es
+        t = timeit(jax.jit(sweep_scan), st.positions, n=3)
+        print(f"block sweep (e+f)    : {t / 8:8.2f} ms (8-sweep scan)")
+        return
+
     # full multi-step (per-step cost amortizing dispatch)
     multi = jax.jit(tgnh.make_multi_step(static, ctx._energy_and_forces,
                                          args.steps))
@@ -64,27 +85,51 @@ def main():
           f"({args.steps}-step scan)")
 
     # energy+forces (the whole force pass incl. vsites + autodiff)
-    eaf = jax.jit(ctx._energy_and_forces)
-    t = timeit(lambda: eaf(st.positions, st.box, st.neighbors))
-    print(f"energy+forces        : {t:8.2f} ms")
+    def eaf_scan(positions):
+        def body(p, _):
+            pe, f = ctx._energy_and_forces(p, st.box, st.neighbors)
+            return p + 0.0 * f, pe
+        _, es = jax.lax.scan(body, positions, None, length=8)
+        return es
+    eaf = jax.jit(eaf_scan)
+    t = timeit(eaf, st.positions, n=3)
+    print(f"energy+forces        : {t / 8:8.2f} ms (8-eaf scan)")
 
-    # sweep alone: fwd (energy+forces in one pass)
+    # sweep alone: fwd (energy+forces in one pass), scan-chained so the
+    # per-call dispatch floor is amortized like the real step
     from openmm_drudenose_tpu.forces import cellpair as cp
-    sweep = jax.jit(lambda: cp.pair_energy_forces(
-        nb_params, st.positions, box_diag, st.neighbors, cfg,
-        nb_fn.pair_eg, nb_fn.coulomb_scale))
-    t = timeit(sweep)
-    print(f"block sweep (e+f)    : {t:8.2f} ms")
 
-    # PME reciprocal: energy only and value_and_grad
-    recip = jax.jit(lambda pos: pme.reciprocal_energy(
-        nb_params["charge"], pos, box_diag))
-    t = timeit(recip, st.positions)
-    print(f"pme recip (energy)   : {t:8.2f} ms")
-    recip_g = jax.jit(lambda pos: jax.value_and_grad(
-        lambda p: pme.reciprocal_energy(nb_params["charge"], p, box_diag))(pos))
-    t = timeit(recip_g, st.positions)
-    print(f"pme recip (e+grad)   : {t:8.2f} ms")
+    def sweep_scan(positions):
+        def body(p, _):
+            e, f = cp.pair_energy_forces(
+                nb_params, p, box_diag, st.neighbors, cfg,
+                nb_fn.pair_eg, nb_fn.coulomb_scale)
+            return p + 0.0 * f, e
+        _, es = jax.lax.scan(body, positions, None, length=8)
+        return es
+    sweep = jax.jit(sweep_scan)
+    t = timeit(sweep, st.positions, n=3)
+    print(f"block sweep (e+f)    : {t / 8:8.2f} ms (8-sweep scan)")
+
+    # PME reciprocal: energy only and value_and_grad (scan-chained)
+    def recip_scan(positions):
+        def body(p, _):
+            e = pme.reciprocal_energy(nb_params["charge"], p, box_diag)
+            return p + 0.0 * e, e
+        _, es = jax.lax.scan(body, positions, None, length=8)
+        return es
+    t = timeit(jax.jit(recip_scan), st.positions, n=3)
+    print(f"pme recip (energy)   : {t / 8:8.2f} ms (8-scan)")
+
+    def recipg_scan(positions):
+        def body(p, _):
+            e, g = jax.value_and_grad(lambda q: pme.reciprocal_energy(
+                nb_params["charge"], q, box_diag))(p)
+            return p + 0.0 * g, e
+        _, es = jax.lax.scan(body, positions, None, length=8)
+        return es
+    t = timeit(jax.jit(recipg_scan), st.positions, n=3)
+    print(f"pme recip (e+grad)   : {t / 8:8.2f} ms (8-scan)")
 
     # extras (exceptions, self, dispersion) e+grad
     extras_g = jax.jit(lambda pos: jax.value_and_grad(

@@ -111,7 +111,7 @@ def _mini_spec(G, M, eta_mass, nkbt, real_kbt, drude_kbt, use_drude_chains):
         nh_kbt_chain=jnp.asarray(kbt_chain),
         nh_link_active=jnp.asarray(link), dt=dummy,
         max_drude_distance=dummy, hardwall_scale=dummy, settle_idx=dummy,
-        settle_dist=dummy, shake_idx=dummy, shake_dist=dummy,
+        settle_dist=dummy, settle_gather=dummy, shake_idx=dummy, shake_dist=dummy,
         vs_avg_idx=dummy, vs_avg_p=dummy, vs_avg_w=dummy, vs_oop_idx=dummy,
         vs_oop_p=dummy, vs_oop_w=dummy, baro_pressure=dummy, baro_kt=dummy)
 
