@@ -157,19 +157,21 @@ class Context:
                 self._rebind_neighbor_fn()
                 self._rebuild_interval = self._nbl_cfg.rebuild_interval
 
-        def potential(positions, box, neighbors):
+        def potential(positions, box, neighbors, pos_err):
             pos = apply_vsites(spec, static, positions)
             e = jnp.zeros((), positions.dtype)
             for fn, params in terms:
                 if getattr(fn, "needs_neighbors", False):
                     e = e + fn(params, pos, box, neighbors)
+                elif getattr(fn, "wants_pos_err", False):
+                    e = e + fn(params, pos, box, pos_err=pos_err)
                 else:
                     e = e + fn(params, pos, box)
             return e
 
-        def energy_and_forces(positions, box, neighbors=None):
+        def energy_and_forces(positions, box, neighbors=None, pos_err=None):
             pe, grad = jax.value_and_grad(potential)(positions, box,
-                                                     neighbors)
+                                                     neighbors, pos_err)
             return pe, -grad
 
         self._energy_and_forces = energy_and_forces
@@ -181,12 +183,22 @@ class Context:
 
     # -- state manipulation ---------------------------------------------------
     def setPositions(self, positions) -> None:
-        pos = jnp.asarray(np.asarray(positions, np.float64), self._prec.real)
+        pos64 = np.asarray(positions, np.float64)
+        pos = jnp.asarray(pos64, self._prec.real)
         if pos.shape != (self._static.n_atoms, 3):
             raise ValueError(f"positions must have shape "
                              f"({self._static.n_atoms}, 3)")
         pos = apply_vsites(self._spec, self._static, pos)
-        self._state = self._state._replace(positions=pos, neighbors=None)
+        pos_err = None
+        if self._prec.real == jnp.float32 and self._static.has_pairs:
+            # two-float compensated positions (core/state.py pos_err):
+            # start from the exact f64 rounding residual (vsite rows were
+            # recomputed above, so their residual is meaningless — zero it)
+            res = pos64 - np.asarray(pos, np.float64)
+            res[np.abs(res) > 1e-5] = 0.0
+            pos_err = jnp.asarray(res, jnp.float32)
+        self._state = self._state._replace(positions=pos, neighbors=None,
+                                           pos_err=pos_err)
         self._forces_valid = False
         self._ke_valid = False
 
@@ -292,7 +304,7 @@ class Context:
             self._ensure_neighbors()
             pe, f = jax.jit(self._energy_and_forces)(
                 self._state.positions, self._state.box,
-                self._state.neighbors)
+                self._state.neighbors, self._state.pos_err)
             self._state = self._state._replace(
                 forces=f, potential_energy=pe.astype(self._prec.accum))
             self._forces_valid = True
@@ -414,7 +426,7 @@ class Context:
         def fire(pos, box, neighbors):
             def body(carry):
                 pos, vel, dt, alpha, n_pos, it, _ = carry
-                pe, f = eaf(pos, box, neighbors)
+                pe, f = eaf(pos, box, neighbors, None)
                 f = jnp.where(movable, f, 0.0)
                 p = jnp.sum(f * vel)
                 f_norm = jnp.sqrt(jnp.sum(f * f))
@@ -458,7 +470,10 @@ class Context:
                                    self._state.neighbors)
         if not bool(pe_after < pe_before):
             return  # never make things worse (already near a minimum)
-        self._state = self._state._replace(positions=pos)
+        self._state = self._state._replace(
+            positions=pos,
+            pos_err=(None if self._state.pos_err is None
+                     else jnp.zeros_like(self._state.pos_err)))
         self.applyConstraints(self._integrator.getConstraintTolerance())
         if static.has_hardwall and static.has_pairs:
             # the minimizer knows nothing about the integrator-time hard
@@ -572,7 +587,8 @@ class Context:
         if preserveState and old.positions.shape == st.positions.shape:
             st = st._replace(positions=old.positions,
                              velocities=old.velocities, box=old.box,
-                             time=old.time, step=old.step, key=old.key)
+                             time=old.time, step=old.step, key=old.key,
+                             pos_err=old.pos_err)
             if old.eta.shape == st.eta.shape:
                 st = st._replace(eta=old.eta, eta_dot=old.eta_dot,
                                  eta_dot_dot=old.eta_dot_dot)

@@ -31,4 +31,19 @@ def apply_vsites(spec, static, positions):
         site = (p1 + w[:, 0:1] * r12 + w[:, 1:2] * r13
                 + w[:, 2:3] * jnp.cross(r12, r13))
         positions = positions.at[spec.vs_oop_idx].set(site)
+    if static.n_vsites_lc:
+        # LocalCoordinatesSite (OpenMM semantics; lone pairs of
+        # CHARMM-Drude systems): weighted origin/axes, orthonormal frame
+        p = positions[spec.vs_lc_p]                   # (Vl, K, 3)
+        origin = jnp.sum(spec.vs_lc_ow[:, :, None] * p, axis=1)
+        xdir = jnp.sum(spec.vs_lc_xw[:, :, None] * p, axis=1)
+        ydir = jnp.sum(spec.vs_lc_yw[:, :, None] * p, axis=1)
+        zdir = jnp.cross(xdir, ydir)
+        xhat = xdir / jnp.linalg.norm(xdir, axis=-1, keepdims=True)
+        zhat = zdir / jnp.linalg.norm(zdir, axis=-1, keepdims=True)
+        yhat = jnp.cross(zhat, xhat)
+        local = spec.vs_lc_local
+        site = (origin + local[:, 0:1] * xhat + local[:, 1:2] * yhat
+                + local[:, 2:3] * zhat)
+        positions = positions.at[spec.vs_lc_idx].set(site)
     return positions

@@ -52,6 +52,7 @@ class StaticSpec:
     n_shake: int
     n_vsites_avg: int           # 2/3-particle average sites
     n_vsites_oop: int           # out-of-plane sites
+    n_vsites_lc: int            # local-coordinates sites
     cm_freq: int                # 0 = no CMMotionRemover
     baro_freq: int              # 0 = no barostat
     constraint_tol: float
@@ -101,6 +102,12 @@ class SystemSpec(NamedTuple):
     vs_oop_idx: jax.Array      # (Vo,) int32
     vs_oop_p: jax.Array        # (Vo, 3)
     vs_oop_w: jax.Array        # (Vo, 3)
+    vs_lc_idx: jax.Array       # (Vl,) int32
+    vs_lc_p: jax.Array         # (Vl, K) int32 parents (padded with 0)
+    vs_lc_ow: jax.Array        # (Vl, K) origin weights (padded with 0)
+    vs_lc_xw: jax.Array        # (Vl, K) x-direction weights
+    vs_lc_yw: jax.Array        # (Vl, K) y-direction weights
+    vs_lc_local: jax.Array     # (Vl, 3) local position
     # barostat
     baro_pressure: jax.Array   # scalar, kJ/mol/nm^3
     baro_kt: jax.Array         # scalar, kB * T_baro
@@ -288,10 +295,11 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
             settle_gather[settle_idx[k, role]] = role * n_settle + k
 
     # ---- virtual sites ----------------------------------------------------
-    from ..system import (OutOfPlaneSite, ThreeParticleAverageSite,
-                          TwoParticleAverageSite)
+    from ..system import (LocalCoordinatesSite, OutOfPlaneSite,
+                          ThreeParticleAverageSite, TwoParticleAverageSite)
     avg_idx, avg_p, avg_w = [], [], []
     oop_idx, oop_p, oop_w = [], [], []
+    lc = []
     for i in range(n):
         if not system.isVirtualSite(i):
             continue
@@ -308,8 +316,24 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
             oop_idx.append(i)
             oop_p.append(vs.particles)
             oop_w.append(vs.weights)
+        elif isinstance(vs, LocalCoordinatesSite):
+            lc.append((i, vs))
         else:
             raise SpecError(f"Unsupported virtual site type {type(vs).__name__}")
+    lc_k = max((len(v.particles) for _, v in lc), default=1)
+    lc_idx = np.array([i for i, _ in lc], np.int32)
+    lc_p = np.zeros((len(lc), lc_k), np.int32)
+    lc_ow = np.zeros((len(lc), lc_k), np.float64)
+    lc_xw = np.zeros((len(lc), lc_k), np.float64)
+    lc_yw = np.zeros((len(lc), lc_k), np.float64)
+    lc_local = np.zeros((len(lc), 3), np.float64)
+    for row, (i, vs) in enumerate(lc):
+        k = len(vs.particles)
+        lc_p[row, :k] = vs.particles
+        lc_ow[row, :k] = vs.origin_weights
+        lc_xw[row, :k] = vs.x_weights
+        lc_yw[row, :k] = vs.y_weights
+        lc_local[row] = vs.local_position
 
     static = StaticSpec(
         n_atoms=n,
@@ -325,6 +349,7 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         n_shake=len(shake),
         n_vsites_avg=len(avg_idx),
         n_vsites_oop=len(oop_idx),
+        n_vsites_lc=len(lc),
         cm_freq=cm_freq,
         baro_freq=baro_freq,
         constraint_tol=float(integrator.getConstraintTolerance()),
@@ -361,6 +386,12 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         vs_oop_idx=jnp.asarray(np.array(oop_idx, np.int32)),
         vs_oop_p=jnp.asarray(np.array(oop_p, np.int32).reshape(-1, 3)),
         vs_oop_w=jnp.asarray(np.array(oop_w, np.float64).reshape(-1, 3), r),
+        vs_lc_idx=jnp.asarray(lc_idx),
+        vs_lc_p=jnp.asarray(lc_p),
+        vs_lc_ow=jnp.asarray(lc_ow, r),
+        vs_lc_xw=jnp.asarray(lc_xw, r),
+        vs_lc_yw=jnp.asarray(lc_yw, r),
+        vs_lc_local=jnp.asarray(lc_local, r),
         baro_pressure=jnp.asarray(baro_pressure, a),
         baro_kt=jnp.asarray(BOLTZ * baro_temp, a),
     )

@@ -37,6 +37,13 @@ class SimState(NamedTuple):
     # 311-312); on device we latch a flag and raise on the host
     hardwall_runaway: Any = None
     neighbors: Any = None     # Optional[forces.neighborlist.Neighbors]
+    # two-float compensated positions (f32 + Drude pairs only): the true
+    # position is positions + pos_err.  Restores the low bits of the tiny
+    # Drude-parent displacement that f32 absolute coordinates quantize away
+    # (~1e-4 relative at a 0.01 nm displacement in an ~8 nm box), which
+    # otherwise noise-heats the stiff Drude springs by ~0.3 K on a 1 K bath
+    # (OpenMM's posqCorrection plays the same role in mixed precision).
+    pos_err: Any = None
 
 
 def zeros_state(n_atoms: int, n_groups: int, n_chains: int, box,

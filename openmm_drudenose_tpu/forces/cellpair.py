@@ -87,7 +87,7 @@ def _neighbor_offsets(grid, window) -> np.ndarray:
 
 def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
                 skin: float = 0.1, rebuild_interval: int = 16,
-                cells_per_cutoff: int = 2, density_margin: float = 1.6,
+                cells_per_cutoff: int = 2, density_margin: float = 1.35,
                 capacity: int | None = None,
                 allow_half: bool = True) -> CellPairConfig:
     box_diag = np.asarray(box_diag, np.float64)
@@ -292,6 +292,165 @@ def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
 # the block sweep: energy + forces in one pass
 # ---------------------------------------------------------------------------
 
+def _sweep_regular(params, positions, box_diag, cellsort,
+                   cfg: CellPairConfig, pair_eg, coulomb_scale):
+    """Matmul-form sweep for regular grids (all dims >= 2w+1 cells).
+
+    Coordinates are cell-local (box-frame position minus the cell center),
+    so for stencil offset o the pair displacement is exactly
+    a_loc - (b_loc + o*h): wraps and shifts vanish into the per-offset
+    constant o*h, and the |a|^2 + |b|^2 - 2 a.b expansion is free of
+    cancellation (|loc| <= half a cell + drift).  The cross term and both
+    force contractions run as batched MXU dot_generals:
+
+        f_a = a_loc * rowsum(g2) - g2 @ b'     (per row block)
+        f_b = b' * colsum(g2) - g2^T @ a_loc   (reaction, half stencil)
+
+    which removes the three per-component (rows, C, P*C) g2*dc tiles and
+    their mixed-axis reductions from the VPU entirely."""
+    n = positions.shape[0]
+    n_cells, C = cfg.n_cells, cfg.capacity
+    grid = np.array(cfg.grid)
+    dtype = positions.dtype
+    cutoff2 = cfg.cutoff * cfg.cutoff
+    W = cfg.excl_window
+    single_word = cfg.excl_words == 1 and 2 * W + 1 <= 31
+
+    s = _sorted_arrays(params, positions, cellsort, cfg, n,
+                       box_diag=box_diag)
+    blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
+
+    nbr_flat, nbr_shape = cfg.nbr_map
+    nbr = jnp.asarray(np.array(nbr_flat, np.int32).reshape(nbr_shape))
+    inv_flat, inv_shape = cfg.inv_map
+    inv = jnp.asarray(np.array(inv_flat, np.int32).reshape(inv_shape))
+    offs = jnp.asarray(np.array(cfg.offsets, np.float64), dtype)  # (n_off,3)
+
+    # cell centers (static index grid x traced cell size: NPT-safe)
+    h = box_diag.astype(dtype) / jnp.asarray(grid, dtype)
+    cz = np.arange(n_cells)
+    c3 = np.stack([cz // (grid[1] * grid[2]),
+                   (cz // grid[2]) % grid[1],
+                   cz % grid[2]], axis=1).astype(np.float64) + 0.5
+    centers = [jnp.asarray(c3[:, d], dtype) * h[d] for d in range(3)]
+
+    loc = [blocks[k] - centers[d][:, None]
+           for d, k in enumerate("xyz")]                    # 3 x (nc, C)
+    a_mat = jnp.stack(loc, axis=2)                          # (nc, C, 3)
+    na = loc[0] ** 2 + loc[1] ** 2 + loc[2] ** 2            # (nc, C)
+    qa = coulomb_scale * blocks["q"]
+    seps = jnp.sqrt(blocks["eps"])
+
+    half = cfg.half_stencil
+    gid = blocks["gid"]
+
+    def one(carry, ob, P, self_block=False):
+        e_total, fx, fy, fz = carry
+        b = jnp.take(nbr, ob, axis=1)                       # (nc, P)
+        t = jnp.take(offs, ob, axis=0) * h[None, :]         # (P, 3)
+        bl = [loc[d][b] + t[None, :, d:d + 1] for d in range(3)]  # (nc,P,C)
+        nb = (na[b] + 2.0 * (t[None, :, 0:1] * loc[0][b]
+                             + t[None, :, 1:2] * loc[1][b]
+                             + t[None, :, 2:3] * loc[2][b])
+              + jnp.sum(t * t, axis=1)[None, :, None])      # (nc, P, C)
+        b_mat = jnp.stack([x.reshape(n_cells, P * C) for x in bl],
+                          axis=1)                           # (nc, 3, P*C)
+        cross = jax.lax.dot_general(
+            a_mat, b_mat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype)                   # (nc, C, P*C)
+        r2 = (na[:, :, None] + nb.reshape(n_cells, P * C)[:, None, :]
+              - (cross + cross))
+        valid = r2 < cutoff2
+        if self_block:
+            diag = (np.arange(C)[:, None] == np.arange(P * C)[None, :])
+            valid = valid & jnp.asarray(~diag)
+        if W > 0:
+            dg = (gid[b].reshape(n_cells, P * C)[:, None, :]
+                  - gid[:, :, None])
+            in_win = jnp.abs(dg) <= W
+            bit = jnp.where(in_win, dg + W, 0)
+            if single_word:
+                excl = in_win & (((blocks["ew0"][:, :, None] >> bit) & 1)
+                                 == 1)
+            else:
+                excl = jnp.zeros_like(in_win)
+                for w in range(cfg.excl_words):
+                    hit = ((bit // 31 == w)
+                           & (((blocks[f"ew{w}"][:, :, None]
+                                >> (bit % 31)) & 1) == 1))
+                    excl = excl | hit
+                excl = in_win & excl
+        else:
+            excl = jnp.zeros_like(valid)
+        # clamp large enough that LJ x6^2 cannot overflow f32 (see
+        # make_block_eg); pad-pad pairs land here with eps = q = 0
+        r2s = jnp.where(valid, jnp.maximum(r2, 1e-6), 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+        qq = qa[:, :, None] * blocks["q"][b].reshape(n_cells, P * C)[:, None, :]
+        sig = 0.5 * (blocks["sig"][:, :, None]
+                     + blocks["sig"][b].reshape(n_cells, P * C)[:, None, :])
+        eps = seps[:, :, None] * seps[b].reshape(n_cells, P * C)[:, None, :]
+        e, g = pair_eg(qq, sig, eps, r2s, inv_r, inv_r2, excl)
+        e = jnp.where(valid, e, 0.0)
+        g2 = jnp.where(valid, -2.0 * g, 0.0)
+        # NOTE: g2 has 3 consumer fusions (energy reduce + two force
+        # contractions) and XLA rebuilds the pair chain inside each;
+        # forcing materialization with an optimization_barrier was measured
+        # SLOWER (49 vs 38 ms at 100k atoms) — the HBM round-trips cost
+        # more than the duplicated VPU work, so leave fusion to XLA
+
+        factor = 1.0 if (half and not self_block) else 0.5
+        e_total = e_total + factor * jnp.sum(e)
+        # row forces: one MXU contraction gives both g2 @ b' and rowsum(g2)
+        # (ones column appended)
+        ones_b = jnp.ones((n_cells, 1, P * C), dtype)
+        gb = jax.lax.dot_general(
+            g2, jnp.concatenate([b_mat, ones_b], axis=1),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=dtype)                   # (nc, C, 4)
+        s_a = gb[:, :, 3]
+        fx = fx + loc[0] * s_a - gb[:, :, 0]
+        fy = fy + loc[1] * s_a - gb[:, :, 1]
+        fz = fz + loc[2] * s_a - gb[:, :, 2]
+        if half and not self_block:
+            iv = jnp.take(inv, ob, axis=1)                  # (nc, P)
+            ones_a = jnp.ones((n_cells, C, 1), dtype)
+            ha = jax.lax.dot_general(
+                g2, jnp.concatenate([a_mat, ones_a], axis=2),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=dtype)               # (nc, P*C, 4)
+            s_b = ha[:, :, 3]
+            out = []
+            for d, fc in enumerate((fx, fy, fz)):
+                r = (b_mat[:, d, :] * s_b - ha[:, :, d]).reshape(
+                    n_cells, P, C)
+                for p in range(P):
+                    fc = fc + r[:, p, :][iv[:, p]]
+                out.append(fc)
+            fx, fy, fz = out
+        return (e_total, fx, fy, fz)
+
+    zero = jnp.zeros((n_cells, C), dtype)
+    carry = (jnp.zeros((), dtype), zero, zero, zero)
+    carry = one(carry, jnp.asarray([0], jnp.int32), 1, self_block=True)
+
+    rest = list(range(1, cfg.n_offsets))
+    pairs = [rest[i:i + 2] for i in range(0, len(rest) - 1, 2)]
+    leftover = [rest[-1]] if len(rest) % 2 else []
+    if pairs:
+        def body(carry, ob):
+            return one(carry, ob, 2), None
+        carry, _ = jax.lax.scan(body, carry,
+                                jnp.asarray(pairs, jnp.int32), unroll=2)
+    for o in leftover:
+        carry = one(carry, jnp.asarray([o], jnp.int32), 1)
+    e_total, *f = carry
+
+    f_slots = jnp.stack([fc.reshape(-1) for fc in f], axis=1)
+    forces = f_slots[cellsort.inv_slot]
+    return e_total, forces
+
 def _sorted_arrays(params, positions, cellsort, cfg, n, box_diag=None):
     """Gather per-atom data into cell-major order (padded slots -> inert).
 
@@ -394,9 +553,12 @@ def make_block_eg(blocks, box_diag, cfg: CellPairConfig, pair_eg,
         else:
             excl = jnp.zeros_like(valid)
         # clamp r^2: excluded pairs can sit at r = 0 (shell on core at
-        # setup); the clamped Ewald difference qq(erfc-1)/r then lands on
-        # the correct -qq 2a/sqrt(pi) limit instead of inf - inf = NaN
-        r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
+        # setup), and pad-pad slot pairs sit at exactly 0 (identical
+        # sentinels).  The clamp must be large enough that the LJ x6^2
+        # term cannot overflow f32 (sig^2/r2s <= 1e6 -> x6^2 <= 1e36),
+        # else 0 * inf = NaN leaks through the eps = 0 pad masking;
+        # clamped pairs are all masked or physically exploded anyway
+        r2s = jnp.where(valid, jnp.maximum(r2, 1e-6), 1.0)
         inv_r = jax.lax.rsqrt(r2s)
         inv_r2 = inv_r * inv_r
         qq = qa_scaled[:, :, None] * bgather(blocks["q"], b)[:, None, :]
@@ -415,79 +577,28 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
                        cfg: CellPairConfig, pair_eg, coulomb_scale):
     """Returns (energy, forces (N,3)) for the direct-space sum.
 
-    Half-stencil path: offsets are processed two at a time (P = 2) so the
-    pair tile is (n_cells, C, 2C) — near-full 128-lane occupancy — with
-    static shift tables instead of per-pair round() imaging, and the
-    Newton's-third-law reaction credited by an inverse-permutation row
-    GATHER (each stencil offset is a cyclic shift of the cell grid, so the
-    scatter fc[b] += r is exactly fc += r[inv_b])."""
+    Regular grids (all dims >= 2w+1 cells) use the matmul-form sweep
+    (_sweep_regular): cell-local coordinates, MXU cross-term and force
+    contractions, Newton's-third-law reactions credited by an
+    inverse-permutation row GATHER (each stencil offset is a cyclic shift
+    of the cell grid, so the scatter fc[b] += r is exactly
+    fc += r[inv_b])."""
+    if cfg.regular:
+        return _sweep_regular(params, positions, box_diag, cellsort, cfg,
+                              pair_eg, coulomb_scale)
+
     n = positions.shape[0]
     n_cells, C = cfg.n_cells, cfg.capacity
     nbr_flat, nbr_shape = cfg.nbr_map
     nbr_map = np.array(nbr_flat, np.int32).reshape(nbr_shape)
 
-    s = _sorted_arrays(params, positions, cellsort, cfg, n,
-                       box_diag=box_diag if cfg.regular else None)
+    s = _sorted_arrays(params, positions, cellsort, cfg, n)
     blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
     nbr = jnp.asarray(nbr_map)  # (n_cells, n_off)
 
     block_eg = make_block_eg(blocks, box_diag, cfg, pair_eg, coulomb_scale)
 
-    if cfg.regular:
-        shifts_np = _shift_table(cfg)                  # (n_off, 3, n_cells)
-        shifts = jnp.asarray(shifts_np)
-        half = cfg.half_stencil
-        if half:
-            inv_flat, inv_shape = cfg.inv_map
-            inv = jnp.asarray(
-                np.array(inv_flat, np.int32).reshape(inv_shape))
-        # full stencil: every ordered pair appears once per direction
-        # -> 0.5x energy, row sums only (one reduction axis: fuses);
-        # offset 0 (the self block) runs standalone in both modes so the
-        # slot-diagonal mask stays out of the paired scan
-        rest = list(range(1, cfg.n_offsets))
-        pairs = [rest[i:i + 2] for i in range(0, len(rest) - 1, 2)]
-        leftover = [rest[-1]] if len(rest) % 2 else []
-
-        def one(carry, ob, P):
-            e_total, fx, fy, fz = carry
-            b = jnp.take(nbr, ob, axis=1)              # (n_cells, P)
-            sh = jnp.take(shifts, ob, axis=0)          # (P, 3, n_cells)
-            sh = tuple(jnp.transpose(sh[:, c, :]) for c in range(3))
-            e, g2, d = block_eg(b, shift=sh)
-            e_total = e_total + (1.0 if half else 0.5) * jnp.sum(e)
-            fs = [fx + jnp.sum(g2 * d[0], axis=2),
-                  fy + jnp.sum(g2 * d[1], axis=2),
-                  fz + jnp.sum(g2 * d[2], axis=2)]
-            if half:
-                # reaction on the b-side cells: the offset is a cyclic
-                # shift of the grid, so credit by gathering with the
-                # inverse permutation instead of scattering
-                iv = jnp.take(inv, ob, axis=1)         # (n_cells, P)
-                out = []
-                for fc, dc in zip(fs, d):
-                    r = -jnp.sum((g2 * dc).reshape(n_cells, C, P, C),
-                                 axis=1)
-                    for p in range(P):
-                        fc = fc + r[:, p, :][iv[:, p]]
-                    out.append(fc)
-                fs = out
-            return (e_total, *fs)
-
-        # self block: both orders present -> half energy, row sums only
-        zero3 = tuple(jnp.zeros((n_cells, 1), jnp.int8) for _ in range(3))
-        e_s, g2_s, d_s = block_eg(nbr[:, 0:1], shift=zero3, self_block=True)
-        carry = (0.5 * jnp.sum(e_s),
-                 *[jnp.sum(g2_s * dc, axis=2) for dc in d_s])
-        if pairs:
-            def body(carry, ob):
-                return one(carry, ob, 2), None
-            carry, _ = jax.lax.scan(
-                body, carry, jnp.asarray(pairs, jnp.int32), unroll=2)
-        for o in leftover:
-            carry = one(carry, jnp.asarray([o], jnp.int32), 1)
-        e_total, *f = carry
-    else:
+    if True:
         # wrapped/small grids: every ordered cell pair appears once in
         # the stencil -> half energy, row forces only
         e_s, g2_s, d_s = block_eg(nbr[:, 0], self_block=True)

@@ -42,6 +42,7 @@ class DrudeForce:
     def __init__(self):
         self._particles: List[Tuple] = []
         self._screened_pairs: List[Tuple[int, int, float]] = []
+        self._nbthole: List[Tuple[int, int, float]] = []
 
     def addParticle(self, particle, particle1, particle2, particle3, particle4,
                     charge, polarizability, aniso12, aniso34) -> int:
@@ -61,6 +62,16 @@ class DrudeForce:
         self._particles[index] = (int(particle), int(particle1), int(particle2),
                                   int(particle3), int(particle4), float(charge),
                                   float(polarizability), float(aniso12), float(aniso34))
+
+    def addNBTholePair(self, particle1: int, particle2: int,
+                       thole: float) -> int:
+        """CHARMM NBTHOLE: Thole screening between NON-bonded core-shell
+        pairs (ion pairs in charmm_polar_2013).  particle1/particle2 index
+        the DrudeForce particle list (like addScreenedPair).  Only the
+        screening deficit qq (S(u) - 1)/r is added (the plain Coulomb is
+        already in the NonbondedForce sum); minimum-imaged."""
+        self._nbthole.append((int(particle1), int(particle2), float(thole)))
+        return len(self._nbthole) - 1
 
     def addScreenedPair(self, particle1: int, particle2: int, thole: float) -> int:
         """particle1/particle2 are indices into this force's Drude pair list."""
@@ -121,6 +132,20 @@ class DrudeForce:
             params["p4"] = jnp.asarray(np.maximum(p4, 0))
             params["k2"] = jnp.asarray(k2, dtype)
 
+        nnt = len(self._nbthole)
+        if nnt:
+            nt1 = np.array([t[0] for t in self._nbthole], np.int32)
+            nt2 = np.array([t[1] for t in self._nbthole], np.int32)
+            ntthole = np.array([t[2] for t in self._nbthole], np.float64)
+            params["nt_d1"] = jnp.asarray(drude[nt1])
+            params["nt_c1"] = jnp.asarray(parent[nt1])
+            params["nt_d2"] = jnp.asarray(drude[nt2])
+            params["nt_c2"] = jnp.asarray(parent[nt2])
+            params["nt_scale"] = jnp.asarray(
+                ntthole / (alpha[nt1] * alpha[nt2]) ** (1.0 / 6.0), dtype)
+            params["nt_qq"] = jnp.asarray(
+                ONE_4PI_EPS0 * charge[nt1] * charge[nt2], dtype)
+
         nsp = len(self._screened_pairs)
         if nsp:
             sp1 = np.array([s[0] for s in self._screened_pairs], np.int32)
@@ -135,10 +160,17 @@ class DrudeForce:
             params["sp_scale"] = jnp.asarray(screen_scale, dtype)
             params["sp_qq"] = jnp.asarray(qq, dtype)
 
-        def energy(params, positions, box):
+        def energy(params, positions, box, pos_err=None):
             pos_d = positions[params["drude"]]
             pos_c = positions[params["parent"]]
             delta = pos_d - pos_c
+            if pos_err is not None:
+                # two-float compensation (core/state.py pos_err): the tiny
+                # core-shell displacement loses ~1e-4 relative precision to
+                # f32 absolute-coordinate quantization, which noise-heats
+                # the stiff spring; the dropped bits live in pos_err
+                delta = delta + (pos_err[params["drude"]]
+                                 - pos_err[params["parent"]])
             r2 = jnp.sum(delta * delta, axis=-1)
             e = 0.5 * jnp.sum(params["k3"] * r2)
             if has_aniso1:
@@ -153,9 +185,38 @@ class DrudeForce:
                 e = e + 0.5 * jnp.sum(params["k2"] * rprime * rprime)
             if nsp:
                 e = e + _screened_energy(params, positions)
+            if nnt:
+                e = e + _nbthole_energy(params, positions,
+                                        jnp.diagonal(box))
             return e
 
+        energy.wants_pos_err = True
         return energy, params
+
+
+def _nbthole_energy(params, positions, box_diag):
+    """CHARMM NBTHOLE between non-bonded core-shell pairs: only the
+    screening deficit qq (S(u) - 1)/r = -qq (1 + u/2) e^{-u}/r over the 4
+    cross pairs (the plain Coulomb is already in the nonbonded sum),
+    minimum-imaged because the pairs live in different molecules."""
+    d1 = positions[params["nt_d1"]]
+    c1 = positions[params["nt_c1"]]
+    d2 = positions[params["nt_d2"]]
+    c2 = positions[params["nt_c2"]]
+    scale = params["nt_scale"]
+    qq = params["nt_qq"]
+
+    def pair_e(pa, pb, sign):
+        delta = pa - pb
+        delta = delta - box_diag * jnp.round(delta / box_diag)
+        r = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+        u = scale * r
+        deficit = -(1.0 + 0.5 * u) * jnp.exp(-u)
+        return sign * qq * deficit / r
+
+    e = (pair_e(d1, d2, 1.0) + pair_e(d1, c2, -1.0)
+         + pair_e(c1, d2, -1.0) + pair_e(c1, c2, 1.0))
+    return jnp.sum(e)
 
 
 def _screened_energy(params, positions):

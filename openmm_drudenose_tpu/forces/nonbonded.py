@@ -41,6 +41,7 @@ class NonbondedForce:
     def __init__(self):
         self._particles: List[Tuple[float, float, float]] = []  # charge, sigma, eps
         self._exceptions: List[Tuple[int, int, float, float, float]] = []
+        self._lj_overrides: List[Tuple] = []  # (set1, set2, sigma, eps)
         self._method = self.NoCutoff
         self._cutoff = 1.0
         self._use_switching = False
@@ -69,6 +70,19 @@ class NonbondedForce:
         self._exceptions.append((int(particle1), int(particle2), float(chargeProd),
                                  float(sigma), float(epsilon)))
         return len(self._exceptions) - 1
+
+    def addLJPairOverride(self, particles1, particles2, sigma: float,
+                          epsilon: float) -> int:
+        """NBFIX-style pair-specific LJ: every (i in particles1, j in
+        particles2) pair interacts with the given sigma/epsilon instead of
+        the Lorentz-Berthelot combination (CHARMM NBFIX semantics; the
+        reference example's charmm_polar_2013.xml carries these for ion
+        pairs).  Implemented as an explicit cutoff-masked correction term
+        over the cross pairs — exact, and O(n1*n2) is tiny for ion counts."""
+        self._lj_overrides.append((tuple(int(p) for p in particles1),
+                                   tuple(int(p) for p in particles2),
+                                   float(sigma), float(epsilon)))
+        return len(self._lj_overrides) - 1
 
     def getNumExceptions(self) -> int:
         return len(self._exceptions)
@@ -214,6 +228,41 @@ class NonbondedForce:
         elif strategy not in ("cell", "cellpair"):
             raise ValueError(f"unknown strategy {strategy!r}")
 
+        # NBFIX-style LJ pair overrides -> explicit correction terms
+        # (forces/pairterms.py), applied identically in every strategy
+        override_terms = []
+        if self._lj_overrides:
+            from . import pairterms
+            excluded = {(min(a, b), max(a, b))
+                        for a, b in zip(exc_i.tolist(), exc_j.tolist())}
+            for set1, set2, sig_o, eps_o in self._lj_overrides:
+                pi, pj = [], []
+                for a in set1:
+                    for b in set2:
+                        if a == b:
+                            continue
+                        key = (min(a, b), max(a, b))
+                        if key in excluded or key in {(p[0], p[1])
+                                                      for p in zip(pi, pj)}:
+                            continue
+                        pi.append(key[0])
+                        pj.append(key[1])
+                if not pi:
+                    continue
+                pi = np.array(pi, np.int32)
+                pj = np.array(pj, np.int32)
+                sig_mix = 0.5 * (sigma[pi] + sigma[pj])
+                eps_mix = np.sqrt(eps[pi] * eps[pj])
+                override_terms.append(pairterms.make_pair_list_term(
+                    n, pi, pj, pairterms.lj_override_eg(
+                        jnp.asarray(np.full(len(pi), sig_o), dtype),
+                        jnp.asarray(np.full(len(pi), eps_o), dtype),
+                        jnp.asarray(sig_mix, dtype),
+                        jnp.asarray(eps_mix, dtype),
+                        cutoff if use_cutoff else np.inf,
+                        use_switch, r_switch),
+                    periodic=periodic))
+
         has_exceptions = n_active_exc > 0 or (
             len(self._exceptions) > 0 and method in (self.Ewald, self.PME))
         disp = None
@@ -300,6 +349,8 @@ class NonbondedForce:
                 ep = jnp.sqrt(params["eps"][:, None] * params["eps"][None, :])
                 valid = params["pair_mask"]
                 e = 0.5 * jnp.sum(pair_energy(qq, sig, ep, r2, valid))
+                for t in override_terms:
+                    e = e + t(positions, box_diag)
                 if has_exceptions:
                     e = e + exceptions_energy(params, positions, box_diag)
                 if method in (self.Ewald, self.PME):
@@ -398,6 +449,8 @@ class NonbondedForce:
                     e = e + exc_term(positions, box_diag)
                 if corr_term is not None:
                     e = e + corr_term(positions, box_diag)
+                for t in override_terms:
+                    e = e + t(positions, box_diag)
                 if method in (self.Ewald, self.PME):
                     e = e + params["pme_self"]
                 if disp is not None:
@@ -452,6 +505,8 @@ class NonbondedForce:
                 sig = 0.5 * (params["sigma"][:, None] + params["sigma"][safe_idx])
                 ep = jnp.sqrt(params["eps"][:, None] * params["eps"][safe_idx])
                 e = 0.5 * jnp.sum(pair_energy(qq, sig, ep, r2, valid))
+                for t in override_terms:
+                    e = e + t(positions, box_diag)
                 if has_exceptions:
                     e = e + exceptions_energy(params, positions, box_diag)
                 if method in (self.Ewald, self.PME):

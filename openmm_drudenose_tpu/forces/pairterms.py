@@ -103,6 +103,71 @@ def exception_eg(qq, sigma, eps):
     return eg
 
 
+def lj_override_eg(sig_new, eps_new, sig_old, eps_old, cutoff: float,
+                   use_switch: bool = False, r_switch: float = 0.0):
+    """NBFIX correction: LJ(new params) - LJ(combination-rule params),
+    truncated and switched exactly like the main pair sum so the override
+    replaces (not augments) the combined interaction inside the cutoff."""
+    sig_new = jnp.asarray(sig_new)
+    eps_new = jnp.asarray(eps_new)
+    sig_old = jnp.asarray(sig_old)
+    eps_old = jnp.asarray(eps_old)
+
+    def lj(sig, eps, inv_r2):
+        x6 = (sig * sig * inv_r2) ** 3
+        e = 4.0 * eps * x6 * (x6 - 1.0)
+        g = -4.0 * eps * (6.0 * x6 * x6 - 3.0 * x6) * inv_r2
+        return e, g
+
+    def eg(r2s, r2):
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+        e_n, g_n = lj(sig_new, eps_new, inv_r2)
+        e_o, g_o = lj(sig_old, eps_old, inv_r2)
+        e, g = e_n - e_o, g_n - g_o
+        if use_switch:
+            r = r2s * inv_r
+            t = jnp.clip((r - r_switch) / (cutoff - r_switch), 0.0, 1.0)
+            s = 1.0 + t * t * t * (-10.0 + t * (15.0 - 6.0 * t))
+            ds_dt = t * t * (-30.0 + t * (60.0 - 30.0 * t))
+            ds_dr2 = ds_dt / (cutoff - r_switch) * 0.5 * inv_r
+            g = g * s + e * ds_dr2
+            e = e * s
+        inside = r2 < cutoff * cutoff
+        return jnp.where(inside, e, 0.0), jnp.where(inside, g, 0.0)
+
+    return eg
+
+
+def nbthole_eg(qq, scale):
+    """NBTHOLE correction between non-bonded core-shell pairs (CHARMM
+    semantics): the plain qq/r is already in the main sum, so only the
+    screening deficit qq (S(u) - 1)/r = -qq (1 + u/2) e^{-u} / r is added;
+    u = scale * r with scale = thole / (alpha1 alpha2)^(1/6)."""
+    qq = jnp.asarray(qq)
+    scale = jnp.asarray(scale)
+
+    def eg(r2s, r2):
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+        r = r2s * inv_r
+        u = scale * r
+        expu = jnp.exp(-u)
+        e = -qq * (1.0 + 0.5 * u) * expu * inv_r
+        # dE/dr = qq e^{-u} [ (1+u/2)(1/r^2) + (u/2)(1/r)... ]:
+        # d/dr [-(1+u/2)e^{-u}/r] =
+        #   e^{-u} [ (1+u/2)/r^2 - s/2 e^{0}... ] -> derive via product rule:
+        #   f = (1+u/2) e^{-u} / r; df/dr = [s/2 e^{-u} - s(1+u/2)e^{-u}]/r
+        #                                   - (1+u/2)e^{-u}/r^2
+        dfdr = (expu * (0.5 * scale - scale * (1.0 + 0.5 * u)) * inv_r
+                - (1.0 + 0.5 * u) * expu * inv_r2)
+        dedr = -qq * dfdr
+        g = 0.5 * dedr * inv_r
+        return e, g
+
+    return eg
+
+
 def ewald_correction_eg(qq, alpha: float):
     """Reciprocal-space exclusion correction -qq erf(ar)/r (qq pre-scaled
     by ONE_4PI_EPS0); r -> 0 limit -qq 2a/sqrt(pi), zero force."""

@@ -306,13 +306,14 @@ def spread_pencils(grid, cell_grid, capacity, charges, positions, box_diag,
 
     j = jnp.arange(PME_ORDER, dtype=jnp.int32)
 
-    def one_hot_local(ti_d, w_d, base, lw):
-        # (S, lw): sum over taps of w * [k == ti - j - base]
-        col = ti_d[:, None] - j[None, :] - base[:, None]   # (S, order)
-        k = jnp.arange(lw, dtype=jnp.int32)
-        acc = jnp.zeros((S, lw), dtype)
+    def one_hot_local_t(ti_d, w_d, base, lw):
+        # transposed (lw, S) layout: slots on the lane axis, so the batched
+        # contraction below needs no relayout of the big operand
+        col = ti_d[None, :] - base[None, :]                # (1, S)
+        k = jnp.arange(lw, dtype=jnp.int32)[:, None]       # (lw, 1)
+        acc = jnp.zeros((lw, S), dtype)
         for t in range(PME_ORDER):
-            acc = acc + w_d[:, t:t + 1] * (col[:, t:t + 1] == k[None, :])
+            acc = acc + w_d[None, :, t] * (col - t == k)
         return acc
 
     def one_hot_wrap(ti_d, w_d, K):
@@ -323,18 +324,20 @@ def spread_pencils(grid, cell_grid, capacity, charges, positions, box_diag,
             acc = acc + w_d[:, t:t + 1] * (col[:, t:t + 1] == k[None, :])
         return acc
 
-    Wx = one_hot_local(ti[:, 0], wx, base_x, lwx)     # (S, lwx)
-    Wy = one_hot_local(ti[:, 1], wy, base_y, lwy)     # (S, lwy)
+    WxT = one_hot_local_t(ti[:, 0], wx, base_x, lwx)   # (lwx, S)
+    WyT = one_hot_local_t(ti[:, 1], wy, base_y, lwy)   # (lwy, S)
     Wz = one_hot_wrap(ti[:, 2], qs[:, None] * wz, K3)  # (S, K3), q-weighted
 
-    Wx = Wx.reshape(n_pencils, sp, lwx)
-    Wy = Wy.reshape(n_pencils, sp, lwy)
+    WxT = jnp.moveaxis(WxT.reshape(lwx, n_pencils, sp), 1, 0)
+    WyT = jnp.moveaxis(WyT.reshape(lwy, n_pencils, sp), 1, 0)
     Wz = Wz.reshape(n_pencils, sp, K3)
-    Wxy = (Wx[:, :, :, None] * Wy[:, :, None, :]).reshape(
-        n_pencils, sp, lwx * lwy)
+    # (P, lwx*lwy, S): outer product built directly in contraction layout
+    WxyT = (WxT[:, :, None, :] * WyT[:, None, :, :]).reshape(
+        n_pencils, lwx * lwy, sp)
     # batched MXU contraction over slots: (P, lwx*lwy, K3)
-    T = jnp.einsum("pse,psz->pez", Wxy, Wz,
-                   preferred_element_type=dtype)
+    T = jax.lax.dot_general(
+        WxyT, Wz, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtype)
     T = T.reshape(gx, gy, lwx, lwy, K3)
 
     # color assembly: same-color tiles (stride ncolor cells = lw points)

@@ -36,7 +36,8 @@ def maybe_attempt_mc_move(spec, static, state, energy_and_forces):
         new_box = state.box * ls.astype(r)
 
         pe_new, forces_new = energy_and_forces(new_pos, new_box,
-                                               state.neighbors)
+                                               state.neighbors,
+                                               state.pos_err)
         pe_new = pe_new.astype(accum)
         kt = spec.baro_kt
         n_mol = static.n_residues

@@ -266,7 +266,7 @@ def half_kick(spec: SystemSpec, static: StaticSpec, velocities, forces, dt):
 
 
 def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
-                   velocities, dt):
+                   velocities, dt, pos_err=None):
     """Elastic bounce of the Drude-parent distance off the hard wall
     (drudeTGNH.cu:471-574).  Dense per-atom: each pair member computes the
     full two-body solution and writes only its own row."""
@@ -285,6 +285,12 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
     m_p = jnp.where(i_is_parent, spec.mass, spec.mass[j])
 
     delta = pos_d - pos_p
+    if pos_err is not None:
+        # compensate the tiny pair displacement (the hi-hi difference is
+        # exact by Sterbenz; the dropped bits live in pos_err)
+        err_d = jnp.where(i_is_parent[:, None], pos_err[j], pos_err)
+        err_p = jnp.where(i_is_parent[:, None], pos_err, pos_err[j])
+        delta = delta + (err_d - err_p)
     r2 = jnp.sum(delta * delta, axis=-1)
     rdist = jnp.sqrt(jnp.where(spec.is_pair, r2, 1.0))
     violated = spec.is_pair & (rdist > max_dist)
@@ -426,19 +432,29 @@ def make_step(static: StaticSpec,
                 static.shake_max_iter)
 
         # -- position update; velocity from constrained displacement --------
-        pos = state.positions + delta
+        if state.pos_err is not None:
+            # compensated (two-float) update: keep the bits of the true
+            # position that f32 storage drops (state.pos_err docs)
+            total = state.pos_err + delta
+            pos = state.positions + total
+            state = state._replace(
+                pos_err=(state.positions - pos) + total)
+        else:
+            pos = state.positions + delta
         v = jnp.where(movable, delta / dt, v)
 
         # -- hard wall -------------------------------------------------------
         if static.has_hardwall and static.has_pairs:
-            pos, v, runaway = apply_hardwall(spec, static, pos, v, dt)
+            pos, v, runaway = apply_hardwall(spec, static, pos, v, dt,
+                                             pos_err=state.pos_err)
             if state.hardwall_runaway is not None:
                 state = state._replace(
                     hardwall_runaway=state.hardwall_runaway | runaway)
 
         # -- virtual sites + force pass --------------------------------------
         pos = apply_vsites(spec, static, pos)
-        pe, forces = energy_and_forces(pos, state.box, state.neighbors)
+        pe, forces = energy_and_forces(pos, state.box, state.neighbors,
+                                       state.pos_err)
 
         # -- second half kick -------------------------------------------------
         v = half_kick(spec, static, v, forces, dt)

@@ -16,9 +16,13 @@ parameters are built in code:
   * Drude masses 0.4 Da repartitioned off the parent (the reference example
     does the same by hand, example/nacl_tg.py:49-53).
 
-NBFIX pair-specific LJ overrides and Thole screening between ions are not
-included (charmm_polar_2013 carries a handful; they shift ion-pairing
-equilibria slightly but not the thermostat physics this engine is about).
+NBFIX pair-specific LJ overrides and NBTHOLE screening between ions are
+supported mechanically (NonbondedForce.addLJPairOverride,
+DrudeForce.addNBTholePair) and applied when parameter tables are passed to
+load_nacl_swm4 (nbfix= / nbthole= dicts keyed by residue-name pairs).  The
+numeric values live in charmm_polar_2013.xml, which the reference pulls
+from the host OpenMM installation (example/nacl_tg.py:37) and is not
+bundled here; supply the XML's values to reproduce it exactly.
 """
 
 from __future__ import annotations
@@ -66,9 +70,16 @@ IONS = {
 
 def load_nacl_swm4(pdb_path: str, cutoff: float = 1.0,
                    nonbonded_method: int = NonbondedForce.PME,
-                   ewald_tol: float = 5e-4, add_cm_motion: bool = True):
+                   ewald_tol: float = 5e-4, add_cm_motion: bool = True,
+                   nbfix: dict | None = None, nbthole: dict | None = None):
     """Returns (system, positions, topology).  Expects the Drude-including
-    position file (nacl_1m_pos.pdb layout)."""
+    position file (nacl_1m_pos.pdb layout).
+
+    nbfix   : {("SOD", "CLA"): (rmin_angstrom, eps_kcal), ...} pair-specific
+              LJ overrides between ion cores (CHARMM NBFIX; values from
+              charmm_polar_2013.xml).
+    nbthole : {("SOD", "CLA"): a_thole, ...} pair-specific Thole screening
+              between ion Drude pairs (CHARMM NBTHOLE)."""
     pdb = pdbfile.PDBFile(pdb_path)
     atoms = pdb.topology.atoms
     positions = pdb.positions
@@ -134,6 +145,35 @@ def load_nacl_swm4(pdb_path: str, cutoff: float = 1.0,
             i += 2
         else:
             raise ValueError(f"unknown residue {res!r} at atom {i}")
+    # NBFIX / NBTHOLE between ion species (pair tables keyed by residue
+    # names, order-insensitive)
+    if nbfix or nbthole:
+        cores_by_res: dict[str, list[int]] = {}
+        drude_rows_by_res: dict[str, list[int]] = {}
+        row = 0
+        k = 0
+        while k < len(atoms):
+            res = atoms[k].res_name
+            if res == "HOH":
+                row += 1  # one Drude pair per water
+                k += 5
+            elif res in IONS:
+                cores_by_res.setdefault(res, []).append(k)
+                drude_rows_by_res.setdefault(res, []).append(row)
+                row += 1
+                k += 2
+            else:
+                k += 1
+        for (ra, rb), val in (nbfix or {}).items():
+            rmin_a, eps_kcal = val
+            nonbonded.addLJPairOverride(
+                cores_by_res.get(ra, []), cores_by_res.get(rb, []),
+                _sigma_from_rmin2(rmin_a / 2.0), eps_kcal * KCAL_PER_MOL)
+        for (ra, rb), a_thole in (nbthole or {}).items():
+            for i in drude_rows_by_res.get(ra, []):
+                for j in drude_rows_by_res.get(rb, []):
+                    if i < j or ra != rb:
+                        drude.addNBTholePair(i, j, a_thole)
     if add_cm_motion:
         system.addForce(CMMotionRemover())
     return system, positions, pdb.topology

@@ -124,7 +124,7 @@ def _kernel(n_off, C, offc, slot, cutoff2, W, n_words, pair_eg,
             else:
                 excl = jnp.zeros_like(base_ok)
             valid = base_ok & (r2 < cutoff2)
-            r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
+            r2s = jnp.where(valid, jnp.maximum(r2, 1e-6), 1.0)
             inv_r = jax.lax.rsqrt(r2s)
             inv_r2 = inv_r * inv_r
             qq = qa * qs[0, :].reshape(1, -1)

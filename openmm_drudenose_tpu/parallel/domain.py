@@ -144,7 +144,7 @@ def make_sharded_pair_sweep(mesh: Mesh, axis: str, cfg: cp.CellPairConfig,
         else:
             excl = jnp.zeros_like(base_ok)
         valid = base_ok & (r2 < cutoff2)
-        r2s = jnp.where(valid, jnp.maximum(r2, 1e-8), 1.0)
+        r2s = jnp.where(valid, jnp.maximum(r2, 1e-6), 1.0)
         inv_r = jax.lax.rsqrt(r2s)
         inv_r2 = inv_r * inv_r
         qq = coulomb_scale * blocks["q"][:, :, None] * ext["q"][b][:, None, :]

@@ -191,7 +191,7 @@ def make_sharded_energy_and_forces(context, mesh: Mesh,
 
     psum_grid.defvjp(_psum_grid_fwd, _psum_grid_bwd)
 
-    def local_eaf(positions, box, neighbors):
+    def local_eaf(positions, box, neighbors, pos_err):
         d = jax.lax.axis_index(axis)
         box_diag = jnp.diagonal(box)
 
@@ -202,7 +202,10 @@ def make_sharded_energy_and_forces(context, mesh: Mesh,
             # replicated cheap terms, divided so the psum is exact
             e_rep = extras(nb_params, posv, box)
             for fn, p in others:
-                e_rep = e_rep + fn(p, posv, box)
+                if getattr(fn, "wants_pos_err", False):
+                    e_rep = e_rep + fn(p, posv, box, pos_err=pos_err)
+                else:
+                    e_rep = e_rep + fn(p, posv, box)
             e_var = e_var + e_rep / n_dev
             # sharded PME spreading; replicated FFT of the psum'd grid
             if pme is not None:
@@ -234,10 +237,11 @@ def make_sharded_energy_and_forces(context, mesh: Mesh,
         return pe, forces
 
     sharded = _shard_map(local_eaf, mesh,
-                         in_specs=(P(), P(), P()), out_specs=(P(), P()))
+                         in_specs=(P(), P(), P(), P()),
+                         out_specs=(P(), P()))
 
-    def energy_and_forces(positions, box, neighbors=None):
-        return sharded(positions, box, neighbors)
+    def energy_and_forces(positions, box, neighbors=None, pos_err=None):
+        return sharded(positions, box, neighbors, pos_err)
 
     return energy_and_forces
 

@@ -49,6 +49,32 @@ class OutOfPlaneSite(VirtualSite):
         self.weights = (weight12, weight13, weightCross)
 
 
+class LocalCoordinatesSite(VirtualSite):
+    """Site at a fixed position in a local frame defined by weighted sums of
+    parent positions (OpenMM semantics; CHARMM-Drude lone pairs are built
+    from these by the reference workflow's ForceField pass,
+    /root/reference/example/nacl_tg.py:37-42):
+
+      origin = sum_i ow_i p_i
+      xdir   = sum_i xw_i p_i,  ydir = sum_i yw_i p_i
+      x^ = xdir/|xdir|; z^ = (xdir x ydir)/|...|; y^ = z^ x x^
+      pos = origin + local[0] x^ + local[1] y^ + local[2] z^
+    """
+
+    def __init__(self, particles: Sequence[int],
+                 originWeights: Sequence[float],
+                 xWeights: Sequence[float], yWeights: Sequence[float],
+                 localPosition: Sequence[float]):
+        if not (len(particles) == len(originWeights) == len(xWeights)
+                == len(yWeights)):
+            raise ValueError("particles and weight lists must match")
+        self.particles = tuple(int(p) for p in particles)
+        self.origin_weights = tuple(float(w) for w in originWeights)
+        self.x_weights = tuple(float(w) for w in xWeights)
+        self.y_weights = tuple(float(w) for w in yWeights)
+        self.local_position = tuple(float(w) for w in localPosition)
+
+
 class System:
     """Container for the physical description of a simulated system."""
 

@@ -87,7 +87,7 @@ def main():
     # energy+forces (the whole force pass incl. vsites + autodiff)
     def eaf_scan(positions):
         def body(p, _):
-            pe, f = ctx._energy_and_forces(p, st.box, st.neighbors)
+            pe, f = ctx._energy_and_forces(p, st.box, st.neighbors, st.pos_err)
             return p + 0.0 * f, pe
         _, es = jax.lax.scan(body, positions, None, length=8)
         return es
@@ -111,23 +111,27 @@ def main():
     t = timeit(sweep, st.positions, n=3)
     print(f"block sweep (e+f)    : {t / 8:8.2f} ms (8-sweep scan)")
 
-    # PME reciprocal: energy only and value_and_grad (scan-chained)
+    # PME reciprocal (the pencil path the step actually uses), scan-chained
+    if pme.cell_grid is not None:
+        recip = lambda p: pme.reciprocal_energy_sorted(
+            nb_params["charge"], p, box_diag, st.neighbors, cfg.capacity)
+    else:
+        recip = lambda p: pme.reciprocal_energy(
+            nb_params["charge"], p, box_diag)
+
     def recip_scan(positions):
         def body(p, _):
-            e = pme.reciprocal_energy(nb_params["charge"], p, box_diag)
-            return p + 0.0 * e, e
-        _, es = jax.lax.scan(body, positions, None, length=8)
-        return es
+            return p + 0.0 * recip(p), None
+        p, _ = jax.lax.scan(body, positions, None, length=8)
+        return p
     t = timeit(jax.jit(recip_scan), st.positions, n=3)
     print(f"pme recip (energy)   : {t / 8:8.2f} ms (8-scan)")
 
     def recipg_scan(positions):
         def body(p, _):
-            e, g = jax.value_and_grad(lambda q: pme.reciprocal_energy(
-                nb_params["charge"], q, box_diag))(p)
-            return p + 0.0 * g, e
-        _, es = jax.lax.scan(body, positions, None, length=8)
-        return es
+            return p + 0.0 * jax.grad(recip)(p), None
+        p, _ = jax.lax.scan(body, positions, None, length=8)
+        return p
     t = timeit(jax.jit(recipg_scan), st.positions, n=3)
     print(f"pme recip (e+grad)   : {t / 8:8.2f} ms (8-scan)")
 
@@ -138,7 +142,7 @@ def main():
     print(f"extras (e+grad)      : {t:8.2f} ms")
 
     # kinematics-only step (force pass replaced by cached forces)
-    fake_eaf = lambda pos, box, nbl: (st.potential_energy, st.forces)
+    fake_eaf = lambda pos, box, nbl, err=None: (st.potential_energy, st.forces)
     kin = jax.jit(tgnh.make_multi_step(static, fake_eaf, args.steps))
     t = timeit(lambda: kin(spec, st), n=3)
     print(f"kinematics-only step : {t / args.steps:8.2f} ms/step")

@@ -113,7 +113,9 @@ def _mini_spec(G, M, eta_mass, nkbt, real_kbt, drude_kbt, use_drude_chains):
         max_drude_distance=dummy, hardwall_scale=dummy, settle_idx=dummy,
         settle_dist=dummy, settle_gather=dummy, shake_idx=dummy, shake_dist=dummy,
         vs_avg_idx=dummy, vs_avg_p=dummy, vs_avg_w=dummy, vs_oop_idx=dummy,
-        vs_oop_p=dummy, vs_oop_w=dummy, baro_pressure=dummy, baro_kt=dummy)
+        vs_oop_p=dummy, vs_oop_w=dummy, vs_lc_idx=dummy, vs_lc_p=dummy,
+        vs_lc_ow=dummy, vs_lc_xw=dummy, vs_lc_yw=dummy, vs_lc_local=dummy,
+        baro_pressure=dummy, baro_kt=dummy)
 
 
 @pytest.mark.parametrize("use_drude_chains", [False, True])
@@ -144,7 +146,7 @@ def test_matches_serial_reference(G, M, steps, use_drude_chains):
         n_atoms=1, n_residues=1, n_temp_groups=G, n_chains=M,
         drude_steps=steps, use_drude_nh_chains=use_drude_chains,
         use_com_temp_group=True, has_pairs=True, has_hardwall=False,
-        n_settle=0, n_shake=0, n_vsites_avg=0, n_vsites_oop=0, cm_freq=0,
+        n_settle=0, n_shake=0, n_vsites_avg=0, n_vsites_oop=0, n_vsites_lc=0, cm_freq=0,
         baro_freq=0, constraint_tol=1e-5)
     spec = _mini_spec(G, M, eta_mass, nkbt, real_kbt, drude_kbt,
                       use_drude_chains)
@@ -175,7 +177,8 @@ def test_equilibrium_is_fixed_point():
         n_atoms=1, n_residues=1, n_temp_groups=G, n_chains=M, drude_steps=20,
         use_drude_nh_chains=True, use_com_temp_group=True, has_pairs=True,
         has_hardwall=False, n_settle=0, n_shake=0, n_vsites_avg=0,
-        n_vsites_oop=0, cm_freq=0, baro_freq=0, constraint_tol=1e-5)
+        n_vsites_oop=0, n_vsites_lc=0, cm_freq=0, baro_freq=0,
+        constraint_tol=1e-5)
     spec = _mini_spec(G, M, eta_mass, nkbt, real_kbt, drude_kbt, True)
     vscale, eta, eta_dot, edd = propagate_nh_chain(
         spec, static, jnp.asarray(ke), jnp.zeros((nb, M)),
