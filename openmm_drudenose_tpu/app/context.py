@@ -175,8 +175,46 @@ class Context:
             return pe, -grad
 
         self._energy_and_forces = energy_and_forces
+        self._potential = potential
+
+        # force-only fast path: the sweep's pair chain is evaluated once
+        # per force contraction instead of once more for the energy
+        # reduction (the in-step pipeline never reads the potential energy;
+        # it is recomputed on demand by _ensure_pe / the barostat)
+        nb_split = next((t for t in terms
+                         if hasattr(t[0], "sweep_forces")), None)
+        self._forces_only = None
+        if nb_split is not None:
+            nb_fn, nb_params = nb_split
+
+            def potential_rest(positions, box, neighbors, pos_err):
+                pos = apply_vsites(spec, static, positions)
+                e = nb_fn.rest_energy(nb_params, pos, box, neighbors)
+                for fn, params in terms:
+                    if fn is nb_fn:
+                        continue
+                    if getattr(fn, "needs_neighbors", False):
+                        e = e + fn(params, pos, box, neighbors)
+                    elif getattr(fn, "wants_pos_err", False):
+                        e = e + fn(params, pos, box, pos_err=pos_err)
+                    else:
+                        e = e + fn(params, pos, box)
+                return e
+
+            def forces_only(positions, box, neighbors=None, pos_err=None):
+                pos_comp, vjp_fn = jax.vjp(
+                    lambda p: apply_vsites(spec, static, p), positions)
+                f_sweep = nb_fn.sweep_forces(nb_params, pos_comp,
+                                             jnp.diagonal(box), neighbors)
+                grad = jax.grad(potential_rest)(positions, box, neighbors,
+                                                pos_err)
+                return vjp_fn(f_sweep)[0] - grad
+
+            self._forces_only = forces_only
         self._step_fns: Dict[int, callable] = {}
         self._jit_neighbor_fn = None
+        self._jit_potential = None
+        self._pe_valid = False
         if getattr(self, "_state", None) is not None:
             self._state = self._state._replace(neighbors=None)
             self._forces_valid = False
@@ -308,14 +346,30 @@ class Context:
             self._state = self._state._replace(
                 forces=f, potential_energy=pe.astype(self._prec.accum))
             self._forces_valid = True
+            self._pe_valid = True
 
     def _get_step_fn(self, inner: int):
         fn = self._step_fns.get(inner)
         if fn is None:
             fn = jax.jit(tgnh.make_multi_step(
-                self._static, self._energy_and_forces, inner))
+                self._static, self._energy_and_forces, inner,
+                forces_fn=self._forces_only))
             self._step_fns[inner] = fn
         return fn
+
+    def _ensure_pe(self) -> None:
+        """Recompute the potential energy when the force-only step left it
+        stale (jitted energy-only pass, run once per host-level request)."""
+        if self._pe_valid:
+            return
+        self._ensure_neighbors()
+        if self._jit_potential is None:
+            self._jit_potential = jax.jit(self._potential)
+        pe = self._jit_potential(self._state.positions, self._state.box,
+                                 self._state.neighbors, self._state.pos_err)
+        self._state = self._state._replace(
+            potential_energy=pe.astype(self._prec.accum))
+        self._pe_valid = True
 
     def step(self, steps: int) -> None:
         """Advance the simulation.
@@ -344,6 +398,8 @@ class Context:
                 self._state = self._get_step_fn(k)(self._spec, self._state)
                 remaining -= k
         self._ke_valid = True
+        if self._forces_only is not None:
+            self._pe_valid = False
         self._check_hardwall_runaway()
 
     def _check_hardwall_runaway(self) -> None:
@@ -391,6 +447,7 @@ class Context:
         Its drift measures integrator/thermostat fidelity — a diagnostic
         the reference never exposes."""
         self._ensure_forces()
+        self._ensure_pe()
         st = self._state
         spec = self._spec
         m = np.asarray(spec.mass, np.float64)
@@ -543,6 +600,7 @@ class Context:
             kwargs["forces"] = np.asarray(self._state.forces, np.float64)
         if energy or groups:
             self._ensure_forces()
+            self._ensure_pe()
             kwargs["potential_energy"] = float(self._state.potential_energy)
             if self._ke_valid:
                 ke = float(st.ke_sum)

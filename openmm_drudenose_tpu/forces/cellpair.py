@@ -293,7 +293,8 @@ def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
 # ---------------------------------------------------------------------------
 
 def _sweep_regular(params, positions, box_diag, cellsort,
-                   cfg: CellPairConfig, pair_eg, coulomb_scale):
+                   cfg: CellPairConfig, pair_eg, coulomb_scale,
+                   with_energy: bool = True):
     """Matmul-form sweep for regular grids (all dims >= 2w+1 cells).
 
     Coordinates are cell-local (box-frame position minus the cell center),
@@ -400,8 +401,9 @@ def _sweep_regular(params, positions, box_diag, cellsort,
         # SLOWER (49 vs 38 ms at 100k atoms) — the HBM round-trips cost
         # more than the duplicated VPU work, so leave fusion to XLA
 
-        factor = 1.0 if (half and not self_block) else 0.5
-        e_total = e_total + factor * jnp.sum(e)
+        if with_energy:
+            factor = 1.0 if (half and not self_block) else 0.5
+            e_total = e_total + factor * jnp.sum(e)
         # row forces: one MXU contraction gives both g2 @ b' and rowsum(g2)
         # (ones column appended)
         ones_b = jnp.ones((n_cells, 1, P * C), dtype)
@@ -574,7 +576,8 @@ def make_block_eg(blocks, box_diag, cfg: CellPairConfig, pair_eg,
 
 
 def pair_energy_forces(params, positions, box_diag, cellsort,
-                       cfg: CellPairConfig, pair_eg, coulomb_scale):
+                       cfg: CellPairConfig, pair_eg, coulomb_scale,
+                       with_energy: bool = True):
     """Returns (energy, forces (N,3)) for the direct-space sum.
 
     Regular grids (all dims >= 2w+1 cells) use the matmul-form sweep
@@ -584,8 +587,12 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
     of the cell grid, so the scatter fc[b] += r is exactly
     fc += r[inv_b])."""
     if cfg.regular:
+        # with_energy=False drops the energy reduction; XLA then dead-code
+        # eliminates the e-tile chain inside that consumer fusion, leaving
+        # one pair-chain evaluation per force contraction instead of three
         return _sweep_regular(params, positions, box_diag, cellsort, cfg,
-                              pair_eg, coulomb_scale)
+                              pair_eg, coulomb_scale,
+                              with_energy=with_energy)
 
     n = positions.shape[0]
     n_cells, C = cfg.n_cells, cfg.capacity

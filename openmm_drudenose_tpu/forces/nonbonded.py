@@ -471,15 +471,39 @@ class NonbondedForce:
                         e = e + pme.reciprocal_energy(
                             params["charge"], positions, box_diag)
                 return e
+            def rest_energy(params, positions, box, neighbors):
+                """Everything except the direct-space sweep (extras + PME
+                reciprocal): the force-only step evaluates the sweep's
+                analytic forces separately and autodiffs only this part."""
+                box_diag = jnp.diagonal(box)
+                e = extras_energy(params, positions, box)
+                if method in (self.Ewald, self.PME):
+                    if pme.cell_grid is not None:
+                        e = e + pme.reciprocal_energy_sorted(
+                            params["charge"], positions, box_diag,
+                            neighbors, cp_cfg.capacity)
+                    else:
+                        e = e + pme.reciprocal_energy(
+                            params["charge"], positions, box_diag)
+                return e
+
+            def sweep_forces(params, positions, box_diag, neighbors):
+                _, f = cp.pair_energy_forces(
+                    params, positions, box_diag, neighbors, cp_cfg,
+                    pair_eg, ONE_4PI_EPS0, with_energy=False)
+                return f
+
             energy.needs_neighbors = True
             energy.cellpair_cfg = cp_cfg
             energy.nbl_cutoff = cutoff
             energy.nbl_exclusions = (exc_i, exc_j)
-            # hooks for the sharded engine
+            # hooks for the sharded engine and the force-only step
             energy.pair_eg = pair_eg
             energy.coulomb_scale = ONE_4PI_EPS0
             energy.pme_setup = pme if method in (self.Ewald, self.PME) else None
             energy.extras_energy = extras_energy
+            energy.rest_energy = rest_energy
+            energy.sweep_forces = sweep_forces
         else:
             # neighbor lists arrive pre-filtered for exclusions
             # (forces/neighborlist.py), padded with index N; a sentinel row

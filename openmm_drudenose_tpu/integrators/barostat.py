@@ -15,7 +15,11 @@ import jax.numpy as jnp
 from ..constraints.vsites import apply_vsites
 
 
-def maybe_attempt_mc_move(spec, static, state, energy_and_forces):
+def maybe_attempt_mc_move(spec, static, state, energy_and_forces,
+                          recompute_current: bool = False):
+    """recompute_current: the force-only step leaves
+    state.potential_energy stale, so the MC branch re-evaluates the
+    current-configuration energy itself (only at attempt steps)."""
     def attempt(state):
         accum = state.eta.dtype
         r = state.positions.dtype
@@ -39,9 +43,15 @@ def maybe_attempt_mc_move(spec, static, state, energy_and_forces):
                                                state.neighbors,
                                                state.pos_err)
         pe_new = pe_new.astype(accum)
+        if recompute_current:
+            pe_old, _ = energy_and_forces(state.positions, state.box,
+                                          state.neighbors, state.pos_err)
+            pe_old = pe_old.astype(accum)
+        else:
+            pe_old = state.potential_energy
         kt = spec.baro_kt
         n_mol = static.n_residues
-        w = (pe_new - state.potential_energy + spec.baro_pressure * dv
+        w = (pe_new - pe_old + spec.baro_pressure * dv
              - n_mol * kt * jnp.log(new_vol / vol))
         accept = (w <= 0) | (jax.random.uniform(k_acc, dtype=accum)
                              < jnp.exp(-w / kt))

@@ -356,6 +356,7 @@ def make_step(static: StaticSpec,
               energy_and_forces: Callable,
               neighbor_fn: Callable = None,
               rebuild_interval: int = 16,
+              forces_fn: Callable = None,
               ) -> Callable[[SystemSpec, SimState], SimState]:
     """Build step(spec, state) -> state.
 
@@ -364,6 +365,12 @@ def make_step(static: StaticSpec,
     forces on massless sites are zero and parents carry the redistributed
     force).  neighbor_fn(positions, box) -> Neighbors, when given, refreshes
     the cell-list neighbor state every `rebuild_interval` steps inside jit.
+
+    forces_fn(positions, box, neighbors, pos_err) -> forces, when given, is
+    the in-step force pass (energy-free: ~1/3 less pair-chain work on the
+    sweep); state.potential_energy then goes stale between host-level
+    energy requests (Context._ensure_pe recomputes it on demand, and the
+    barostat re-evaluates the current energy inside its MC branch).
     """
     G = static.n_temp_groups
 
@@ -408,7 +415,8 @@ def make_step(static: StaticSpec,
         if static.baro_freq > 0:
             from . import barostat
             state = barostat.maybe_attempt_mc_move(
-                spec, static, state, energy_and_forces)
+                spec, static, state, energy_and_forces,
+                recompute_current=forces_fn is not None)
 
         # -- first NH half step + velocity scaling -------------------------
         state, v = nh_half(spec, state, state.velocities)
@@ -453,8 +461,13 @@ def make_step(static: StaticSpec,
 
         # -- virtual sites + force pass --------------------------------------
         pos = apply_vsites(spec, static, pos)
-        pe, forces = energy_and_forces(pos, state.box, state.neighbors,
-                                       state.pos_err)
+        if forces_fn is not None:
+            forces = forces_fn(pos, state.box, state.neighbors,
+                               state.pos_err)
+            pe = state.potential_energy  # stale; recomputed on demand
+        else:
+            pe, forces = energy_and_forces(pos, state.box, state.neighbors,
+                                           state.pos_err)
 
         # -- second half kick -------------------------------------------------
         v = half_kick(spec, static, v, forces, dt)
@@ -484,10 +497,10 @@ def make_step(static: StaticSpec,
 
 def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
                     inner_steps: int, neighbor_fn: Callable = None,
-                    rebuild_interval: int = 16):
+                    rebuild_interval: int = 16, forces_fn: Callable = None):
     """lax.scan over `inner_steps` steps per host call."""
     step = make_step(static, energy_and_forces, neighbor_fn,
-                     rebuild_interval)
+                     rebuild_interval, forces_fn=forces_fn)
 
     def multi(spec: SystemSpec, state: SimState) -> SimState:
         def body(s, _):

@@ -20,7 +20,14 @@ from ..forces.nonbonded import NonbondedForce
 from ..system import System, ThreeParticleAverageSite
 from ..units import ONE_4PI_EPS0
 
-# SWM4-NDP site parameters (as used by the reference testWater)
+# SWM4-NDP site parameters (Lamoureux, Harder, Vorobyov, Roux, MacKerell,
+# Chem. Phys. Lett. 418 (2006) 245).  NOTE the M-site weights: the
+# reference's testWater uses TIP4P-Ew's weights (0.786646558/0.106676721,
+# r_OM = 0.125 A — Test*DrudeTGNHIntegrator.cpp:148, a toy choice its
+# temperature-only assertions never notice), but SWM4-NDP places M at
+# r_OM = 0.24034 A.  With the toy weights the static dipole comes out
+# ~2.5 D instead of 1.85 D and NPT water equilibrates ~17% too dense
+# (measured); the weights below reproduce the published geometry.
 SWM4_O_MASS = 15.6
 SWM4_D_MASS = 0.4
 SWM4_H_MASS = 1.0
@@ -32,8 +39,11 @@ SWM4_O_EPS = 0.21094 * 4.184
 SWM4_ALPHA = ONE_4PI_EPS0 * SWM4_Q_D**2 / (100000 * 4.184)
 SWM4_D_OH = 0.09572
 SWM4_D_HH = 0.15139
-SWM4_M_W1 = 0.786646558
-SWM4_M_W23 = 0.106676721
+SWM4_R_OM = 0.024034  # nm
+# |H1 + H2 - 2 O| = 2 sqrt(d_OH^2 - (d_HH/2)^2) -> per-H weight
+_D_OHMID = float(np.sqrt(SWM4_D_OH**2 - (SWM4_D_HH / 2.0) ** 2))
+SWM4_M_W23 = SWM4_R_OM / (2.0 * _D_OHMID)
+SWM4_M_W1 = 1.0 - 2.0 * SWM4_M_W23
 
 # number density of water at ~1 g/cm3, molecules / nm^3
 WATER_NUMBER_DENSITY = 33.33

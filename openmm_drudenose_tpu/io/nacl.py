@@ -52,12 +52,16 @@ def _sigma_from_rmin2(rmin2_angstrom: float) -> float:
     return 2.0 * rmin2_angstrom * 0.1 / 2.0 ** (1.0 / 6.0)
 
 
+from .builders import SWM4_M_W1, SWM4_M_W23
+
 SWM4 = {
     "q_d": -1.71636, "q_h": 0.55733, "q_m": -1.11466,
     "sigma_o": _sigma_from_rmin2(1.78693),
     "eps_o": 0.21094 * KCAL_PER_MOL,
     "d_oh": 0.09572, "d_hh": 0.15139,
-    "m_w1": 0.786646558, "m_w23": 0.106676721,
+    # true SWM4-NDP M placement r_OM = 0.24034 A (see io/builders.py for
+    # why the reference test's TIP4P-Ew weights are not used here)
+    "m_w1": SWM4_M_W1, "m_w23": SWM4_M_W23,
     "mass_o": 15.9994, "mass_h": 1.008, "mass_d": 0.4,
 }
 

@@ -77,9 +77,10 @@ def main():
         print(f"block sweep (e+f)    : {t / 8:8.2f} ms (8-sweep scan)")
         return
 
-    # full multi-step (per-step cost amortizing dispatch)
+    # full multi-step (per-step cost amortizing dispatch), force-only path
     multi = jax.jit(tgnh.make_multi_step(static, ctx._energy_and_forces,
-                                         args.steps))
+                                         args.steps,
+                                         forces_fn=ctx._forces_only))
     t = timeit(lambda: multi(spec, st), n=3)
     print(f"full step            : {t / args.steps:8.2f} ms/step "
           f"({args.steps}-step scan)")
