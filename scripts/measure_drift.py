@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Per-group temperature drift over ~1 ns (BASELINE.md fidelity row).
+
+500-molecule SWM4-NDP water (2500 atoms), f32 cellpair + pencil PME, TGNH
+1 fs / 20 Drude substeps / hard wall, NVT.  Equilibrates, then samples the
+per-bath temperatures every ps for `--ns` nanoseconds and fits a linear
+drift with standard errors.  Run on the real TPU:
+
+    python scripts/measure_drift.py --ns 1.0 | tee drift_run.log
+"""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ns", type=float, default=1.0)
+    ap.add_argument("--molecules", type=int, default=500)
+    ap.add_argument("--equil-ps", type=float, default=50.0)
+    args = ap.parse_args()
+
+    import openmm_drudenose_tpu as dn
+    from openmm_drudenose_tpu.io import builders
+    from openmm_drudenose_tpu.units import BOLTZ
+
+    system, positions = builders.build_water_box(args.molecules)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
+    ctx.setPositions(positions)
+    ctx.minimizeEnergy(maxIterations=300)
+    ctx.setVelocitiesToTemperature(300.0, seed=7)
+
+    n_equil = int(args.equil_ps * 1000)
+    integ.step(n_equil)
+    print(f"equilibrated {args.equil_ps} ps")
+
+    spec = ctx._spec
+    nkbt = np.asarray(spec.nh_nkbt, np.float64)
+    dof = nkbt / BOLTZ / np.array([300.0, 300.0, 1.0])
+
+    n_ps = int(args.ns * 1000)
+    t0 = time.time()
+    temps = []
+    for k in range(n_ps):
+        integ.step(1000)  # 1 ps
+        two_ke = np.asarray(ctx._state.group_ke, np.float64)
+        temps.append(two_ke / (dof * BOLTZ))
+        if (k + 1) % 50 == 0:
+            el = time.time() - t0
+            rate = (k + 1) / el * 86.4  # ns/day
+            print(f"{k+1} ps  T = {np.mean(temps[-50:], axis=0).round(3)}"
+                  f"  ({el:.0f}s, {rate:.2f} ns/day)")
+
+    temps = np.array(temps)  # (n_ps, 3)
+    t = np.arange(n_ps) / 1000.0  # ns
+    print("\nper-bath mean temperatures:", temps.mean(axis=0).round(4))
+    print("targets: [300, 300, 1]")
+    for g, name in enumerate(["internal", "COM", "Drude"]):
+        A = np.vstack([t, np.ones_like(t)]).T
+        coef, res, *_ = np.linalg.lstsq(A, temps[:, g], rcond=None)
+        resid = temps[:, g] - A @ coef
+        se = np.sqrt(np.sum(resid**2) / (len(t) - 2)
+                     / np.sum((t - t.mean())**2))
+        print(f"{name:9s}: drift {coef[0]:+8.3f} +- {se:.3f} K/ns  "
+              f"mean {temps[:, g].mean():.4f} K")
+
+
+if __name__ == "__main__":
+    main()
