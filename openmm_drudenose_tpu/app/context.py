@@ -86,6 +86,7 @@ class Context:
         # latches the sticky hardwallRunaway flag and warns once
         self._hardwall_strict = bool(hardwall_strict)
         self._hardwall_warned = False
+        self._drift_warned = False
         self._prec = precision_mod.get_precision(precision)
         r, a = self._prec.real, self._prec.accum
 
@@ -318,6 +319,16 @@ class Context:
                 self._jit_neighbor_fn = jax.jit(self._neighbor_fn)
             nbl = self._jit_neighbor_fn(self._state.positions,
                                         self._state.box)
+            if (getattr(nbl, "stencil_invalid", None) is not None
+                    and bool(nbl.stencil_invalid)):
+                # NPT shrink invalidated the compile-time stencil: replan
+                # the cell grid (and the cell-aligned PME grid) at the
+                # current box
+                box = np.asarray(self._state.box, np.float64)
+                self._system.setDefaultPeriodicBoxVectors(
+                    tuple(box[0]), tuple(box[1]), tuple(box[2]))
+                self._build_potential()
+                continue
             if not bool(nbl.overflow):
                 break
             # capacity exceeded (clustered system): grow and rebuild
@@ -393,6 +404,7 @@ class Context:
                 k = min(interval, remaining)
                 # rebuild, growing capacity on overflow (the flag costs one
                 # bool readback per segment — noise next to the force work)
+                self._check_rebuild_drift()
                 self._state = self._state._replace(neighbors=None)
                 self._ensure_neighbors()
                 self._state = self._get_step_fn(k)(self._spec, self._state)
@@ -401,6 +413,36 @@ class Context:
         if self._forces_only is not None:
             self._pe_valid = False
         self._check_hardwall_runaway()
+
+    def _check_rebuild_drift(self) -> None:
+        """Warn once when an atom outran the FULL skin between neighbor
+        rebuilds — an unambiguous violation of the neighbor-structure
+        guarantee (the strict two-atom bound is skin/2, but healthy 300 K
+        velocity tails skirt that at the default 16 fs interval without a
+        meaningful miss; a full-skin breach is the violently
+        unequilibrated-start failure mode that silently corrupts
+        trajectories)."""
+        nbl = self._state.neighbors
+        if (nbl is None or self._drift_warned
+                or getattr(nbl, "ref_positions", None) is None):
+            return
+        skin = None
+        if self._cp_cfg is not None:
+            skin = self._cp_cfg.skin
+        elif self._nbl_cfg is not None:
+            skin = getattr(self._nbl_cfg, "skin", None)
+        if skin is None:
+            return
+        d = np.asarray(self._state.positions) - np.asarray(nbl.ref_positions)
+        if float(np.max(np.sum(d * d, axis=-1))) > skin * skin:
+            self._drift_warned = True
+            import warnings
+            warnings.warn(
+                "an atom moved further than the neighbor skin between "
+                "rebuilds — pair interactions may have been missed; "
+                "reduce the step size or the rebuild interval (usually a "
+                "sign of a violently unequilibrated start: minimize "
+                "first)", RuntimeWarning, stacklevel=3)
 
     def _check_hardwall_runaway(self) -> None:
         """Surface the device-latched runaway flag: a Drude moved >2x past

@@ -45,6 +45,13 @@ class CellSort(NamedTuple):
     #  consistent with the cell assignment (atoms drifting across the box
     #  boundary between rebuilds stay continuous, so the static per-cell
     #  image shifts below remain exact)
+    # the compile-time stencil no longer covers r_list at the current box
+    # (NPT shrink): Context replans the grid when latched
+    stencil_invalid: jax.Array = None
+    # an atom moved further than skin/2 since the previous rebuild: pairs
+    # may have been missed for up to rebuild_interval steps (diagnostic,
+    # latched by the in-step rebuild; surfaced as a warning)
+    drift_exceeded: jax.Array = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +70,7 @@ class CellPairConfig:
     offsets: tuple = None    # the (n_off, 3) stencil offsets
     regular: bool = False    # all dims have >= 2w+1 cells: shift tables +
                              # box-frame coords replace per-pair round()
+    window: tuple = None     # stencil half-width per dim (cells)
 
     @property
     def r_list(self) -> float:
@@ -138,7 +146,8 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
         n_offsets=len(offsets), rebuild_interval=int(rebuild_interval),
         excl_window=W, excl_words=n_words, half_stencil=half,
         inv_map=(tuple(inv.reshape(-1).tolist()), inv.shape),
-        offsets=tuple(map(tuple, offsets.tolist())), regular=regular)
+        offsets=tuple(map(tuple, offsets.tolist())), regular=regular,
+        window=window)
 
 
 def _shift_table(cfg: CellPairConfig) -> np.ndarray:
@@ -180,6 +189,16 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
     n_cells = cfg.n_cells
     C = cfg.capacity
 
+    # NPT guard: the static stencil covers r_list only while
+    # window_d * (box_d / grid_d) >= r_list; a shrinking box can violate
+    # this silently — latch a flag so the Context replans the grid
+    if cfg.window is not None:
+        wcell = (jnp.asarray(cfg.window, positions.dtype)
+                 * box_diag / jnp.asarray(cfg.grid, positions.dtype))
+        stencil_invalid = jnp.any(wcell < cfg.r_list)
+    else:
+        stencil_invalid = jnp.zeros((), jnp.bool_)
+
     image = jnp.floor(positions / box_diag)
     frac = positions / box_diag - image
     cell3 = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
@@ -198,7 +217,9 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
     inv_slot = jnp.zeros((n,), jnp.int32).at[order].set(slot, mode="drop")
     return CellSort(slot_atom=slot_atom, inv_slot=inv_slot,
                     overflow=overflow, ref_positions=positions,
-                    image=image.astype(jnp.int32))
+                    image=image.astype(jnp.int32),
+                    stencil_invalid=stencil_invalid,
+                    drift_exceeded=jnp.zeros((), jnp.bool_))
 
 
 # ---------------------------------------------------------------------------

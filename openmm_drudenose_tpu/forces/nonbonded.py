@@ -487,11 +487,29 @@ class NonbondedForce:
                             params["charge"], positions, box_diag)
                 return e
 
-            def sweep_forces(params, positions, box_diag, neighbors):
-                _, f = cp.pair_energy_forces(
-                    params, positions, box_diag, neighbors, cp_cfg,
-                    pair_eg, ONE_4PI_EPS0, with_energy=False)
-                return f
+            use_pallas_sweep = nb_kwargs.get("use_pallas") == 2
+            if use_pallas_sweep:
+                from ..ops import pallas_sweep
+                if not pallas_sweep.supports(cp_cfg, dtype):
+                    use_pallas_sweep = False
+
+            if use_pallas_sweep:
+                from ..ops import pallas_sweep
+                ps_method = ("ewald" if method in (self.Ewald, self.PME)
+                             else "rf")
+
+                def sweep_forces(params, positions, box_diag, neighbors):
+                    return pallas_sweep.pair_forces_pallas(
+                        params, positions, box_diag, neighbors, cp_cfg,
+                        ps_method,
+                        alpha=pme.alpha if ps_method == "ewald" else 0.0,
+                        krf=krf, crf=crf, coulomb_scale=ONE_4PI_EPS0)
+            else:
+                def sweep_forces(params, positions, box_diag, neighbors):
+                    _, f = cp.pair_energy_forces(
+                        params, positions, box_diag, neighbors, cp_cfg,
+                        pair_eg, ONE_4PI_EPS0, with_energy=False)
+                    return f
 
             energy.needs_neighbors = True
             energy.cellpair_cfg = cp_cfg

@@ -357,6 +357,7 @@ def make_step(static: StaticSpec,
               neighbor_fn: Callable = None,
               rebuild_interval: int = 16,
               forces_fn: Callable = None,
+              skin: float = None,
               ) -> Callable[[SystemSpec, SimState], SimState]:
     """Build step(spec, state) -> state.
 
@@ -396,8 +397,19 @@ def make_step(static: StaticSpec,
         if neighbor_fn is not None:
             def do_rebuild(st):
                 nbl = neighbor_fn(st.positions, st.box)
-                return nbl._replace(
+                nbl = nbl._replace(
                     overflow=nbl.overflow | st.neighbors.overflow)
+                if skin is not None and getattr(
+                        st.neighbors, "drift_exceeded", None) is not None:
+                    # an atom outran the full skin since the previous
+                    # rebuild: pairs may have been missed (latched)
+                    d = st.positions - st.neighbors.ref_positions
+                    d2 = jnp.sum(d * d, axis=-1)
+                    exceeded = jnp.max(d2) > skin * skin
+                    nbl = nbl._replace(
+                        drift_exceeded=exceeded
+                        | st.neighbors.drift_exceeded)
+                return nbl
             nbl = jax.lax.cond(state.step % rebuild_interval == 0,
                                do_rebuild, lambda st: st.neighbors, state)
             state = state._replace(neighbors=nbl)
@@ -497,10 +509,11 @@ def make_step(static: StaticSpec,
 
 def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
                     inner_steps: int, neighbor_fn: Callable = None,
-                    rebuild_interval: int = 16, forces_fn: Callable = None):
+                    rebuild_interval: int = 16, forces_fn: Callable = None,
+                    skin: float = None):
     """lax.scan over `inner_steps` steps per host call."""
     step = make_step(static, energy_and_forces, neighbor_fn,
-                     rebuild_interval, forces_fn=forces_fn)
+                     rebuild_interval, forces_fn=forces_fn, skin=skin)
 
     def multi(spec: SystemSpec, state: SimState) -> SimState:
         def body(s, _):

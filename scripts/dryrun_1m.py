@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""1M-atom sharded-step demonstration (BASELINE.md scale-out row).
+
+Builds a 1,000,000-atom (200k-molecule) SWM4-NDP water box, shards the
+force pass over an 8-device mesh (work-sharded engine: slab-sharded sweep,
+sharded PME spreading, psum-merged forces), and runs one full TGNH step.
+On a CPU host this uses 8 virtual devices (run directly:
+`python scripts/dryrun_1m.py`); on a v5e-8 slice the same code uses the
+real chips.  Memory: the replicated per-device state at 1M atoms is
+~100 MB — far below a v5e's 16 GB HBM, which is why the work-sharded
+(replicated-state) decomposition is the performance-correct cut at this
+scale (parallel/sharded.py docstring)."""
+
+import os
+import sys
+
+if "jax" not in sys.modules:
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    if "--cpu" in sys.argv:
+        # the axon plugin overrides JAX_PLATFORMS; force CPU after import
+        jax.config.update("jax_platforms", "cpu")
+    if jax.device_count() < 8:
+        raise SystemExit("need 8 devices (run with --cpu and "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=8"
+                         " set before jax initializes)")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import openmm_drudenose_tpu as dn
+    from openmm_drudenose_tpu.io import builders
+    from openmm_drudenose_tpu.parallel import sharded
+
+    n_mol = 200_000
+    t0 = time.time()
+    system, positions = builders.build_water_box(n_mol)
+    print(f"built 1M-atom system ({time.time()-t0:.0f}s)")
+
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(300.0, seed=0)
+    print(f"context ready: grid {ctx._cp_cfg.grid}, "
+          f"capacity {ctx._cp_cfg.capacity} ({time.time()-t0:.0f}s)")
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("atom",))
+    sctx = sharded.ShardedContext(ctx, mesh)
+    sctx.step(1)
+    pos = sctx.state.positions
+    assert bool(jnp.all(jnp.isfinite(pos))), "non-finite positions"
+    print(f"1M-atom sharded TGNH step OK over {mesh.shape} mesh "
+          f"({time.time()-t0:.0f}s total)")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--full-stencil", action="store_true",
                    help="row-sum-only full-stencil sweep (no reactions)")
     p.add_argument("--sweep-only", action="store_true")
+    p.add_argument("--pallas2", action="store_true",
+                   help="use the Pallas v2 force-only sweep kernel")
     args = p.parse_args()
 
     import openmm_drudenose_tpu as dn
@@ -46,6 +48,9 @@ def main():
     ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
     if args.full_stencil:
         ctx._nb_kwargs = {"allow_half": False}
+        ctx._build_potential()
+    if args.pallas2:
+        ctx._nb_kwargs = {"use_pallas": 2}
         ctx._build_potential()
     ctx.setPositions(positions)
     ctx.setVelocitiesToTemperature(300.0, seed=0)
@@ -76,6 +81,17 @@ def main():
         t = timeit(jax.jit(sweep_scan), st.positions, n=3)
         print(f"block sweep (e+f)    : {t / 8:8.2f} ms (8-sweep scan)")
         return
+
+    # forces-only pass (what the step actually runs)
+    if ctx._forces_only is not None:
+        def fo_scan(positions):
+            def body(p, _):
+                f = ctx._forces_only(p, st.box, st.neighbors, st.pos_err)
+                return p + 0.0 * f, None
+            p, _ = jax.lax.scan(body, positions, None, length=8)
+            return p
+        t = timeit(jax.jit(fo_scan), st.positions, n=3)
+        print(f"forces-only pass     : {t / 8:8.2f} ms (8-scan)")
 
     # full multi-step (per-step cost amortizing dispatch), force-only path
     multi = jax.jit(tgnh.make_multi_step(static, ctx._energy_and_forces,

@@ -1,0 +1,72 @@
+"""Pallas sweep v2 (ops/pallas_sweep.py) vs the XLA sweep, interpret mode.
+
+Force-only half-stencil kernel with bulk layer DMA and VMEM accumulators;
+must match forces/cellpair._sweep_regular(with_energy=False) to f32
+reduction-order noise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import openmm_drudenose_tpu as dn
+from openmm_drudenose_tpu.forces import cellpair as cp
+from openmm_drudenose_tpu.io import builders
+from openmm_drudenose_tpu.ops import pallas_sweep as ps
+
+
+@pytest.fixture(scope="module")
+def water_ctx():
+    system, positions = builders.build_water_box(1000)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
+    ctx.setPositions(positions)
+    ctx._ensure_neighbors()
+    return ctx
+
+
+def test_supports(water_ctx):
+    assert ps.supports(water_ctx._cp_cfg, jnp.float32)
+
+
+def test_forces_match_xla_sweep(water_ctx):
+    ctx = water_ctx
+    st = ctx._state
+    nb_fn, nb_params = next(t for t in ctx._terms
+                            if hasattr(t[0], "cellpair_cfg"))
+    cfg = ctx._cp_cfg
+    box_diag = jnp.diagonal(st.box)
+    _, f_ref = cp.pair_energy_forces(
+        nb_params, st.positions, box_diag, st.neighbors, cfg,
+        nb_fn.pair_eg, nb_fn.coulomb_scale, with_energy=False)
+    f_pl = ps.pair_forces_pallas(
+        nb_params, st.positions, box_diag, st.neighbors, cfg, "ewald",
+        alpha=nb_fn.pme_setup.alpha, interpret=True)
+    f_ref = np.asarray(f_ref)
+    f_pl = np.asarray(f_pl)
+    scale = np.abs(f_ref).max()
+    np.testing.assert_allclose(f_pl, f_ref, atol=2e-5 * scale)
+
+
+def test_forces_match_drifted(water_ctx):
+    """Positions moved since the rebuild (box-frame/local-coordinate
+    handling must stay consistent between the two sweeps)."""
+    ctx = water_ctx
+    st = ctx._state
+    nb_fn, nb_params = next(t for t in ctx._terms
+                            if hasattr(t[0], "cellpair_cfg"))
+    cfg = ctx._cp_cfg
+    rng = np.random.default_rng(3)
+    pos = st.positions + jnp.asarray(
+        rng.uniform(-0.04, 0.04, st.positions.shape), jnp.float32)
+    box_diag = jnp.diagonal(st.box)
+    _, f_ref = cp.pair_energy_forces(
+        nb_params, pos, box_diag, st.neighbors, cfg,
+        nb_fn.pair_eg, nb_fn.coulomb_scale, with_energy=False)
+    f_pl = ps.pair_forces_pallas(
+        nb_params, pos, box_diag, st.neighbors, cfg, "ewald",
+        alpha=nb_fn.pme_setup.alpha, interpret=True)
+    scale = float(jnp.max(jnp.abs(f_ref)))
+    np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_ref),
+                               atol=2e-5 * scale)
