@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import erfc
@@ -370,20 +371,24 @@ class NonbondedForce:
             use_pallas = nb_kwargs.get(
                 "use_pallas",
                 os.environ.get("OPENMM_DRUDENOSE_PALLAS") == "1")
+            # use_pallas == 2 selects the half-stencil force-only sweep
+            # kernel (ops/pallas_sweep.py, wired below); only the legacy
+            # full-stencil v1 kernel replaces the energy-path impl here
+            use_pallas_v1 = bool(use_pallas) and use_pallas != 2
             impl = None
-            if use_pallas:
+            if use_pallas_v1:
                 from ..ops import pallas_cellpair
                 if pallas_cellpair.HAVE_PALLAS:
                     impl = pallas_cellpair.pair_energy_forces_pallas
                 else:
-                    use_pallas = False
+                    use_pallas_v1 = False
             box0 = np.diagonal(
                 np.array(system.getDefaultPeriodicBoxVectors(), np.float64))
             cp_cfg = cp.make_config(
                 cutoff, box0, n, exc_i, exc_j,
-                # pallas sweep is full-stencil; the XLA sweep default is
-                # decided by measurement (nb_kwargs {"allow_half": ...})
-                allow_half=(not use_pallas
+                # the v1 pallas sweep is full-stencil; the XLA sweep default
+                # is decided by measurement (nb_kwargs {"allow_half": ...})
+                allow_half=(not use_pallas_v1
                             and nb_kwargs.get("allow_half", True)),
                 **{k: v for k, v in nb_kwargs.items()
                    if k in ("skin", "rebuild_interval", "cells_per_cutoff",
@@ -487,6 +492,10 @@ class NonbondedForce:
                             params["charge"], positions, box_diag)
                 return e
 
+            # the half-stencil force-only Pallas kernel (ops/pallas_sweep)
+            # is 1.5x the XLA sweep at 100k atoms but still miscompares on
+            # real hardware (scripts/check_pallas_tpu.py); opt-in until the
+            # on-chip numerics match: nb_kwargs {"use_pallas": 2}
             use_pallas_sweep = nb_kwargs.get("use_pallas") == 2
             if use_pallas_sweep:
                 from ..ops import pallas_sweep
@@ -515,6 +524,15 @@ class NonbondedForce:
             energy.cellpair_cfg = cp_cfg
             energy.nbl_cutoff = cutoff
             energy.nbl_exclusions = (exc_i, exc_j)
+            # active (non-excluded) exception pairs, exposed for the
+            # state-resident engine's per-molecule templates
+            energy.exc_active = ((exc_i[act], exc_j[act], exc_qq[act],
+                                  exc_sigma[act], exc_eps[act])
+                                 if n_active_exc else None)
+            energy.disp_const = disp        # dispersion tail numerator
+            energy.pme_self_const = (float(params["pme_self"])
+                                     if method in (self.Ewald, self.PME)
+                                     else 0.0)
             # hooks for the sharded engine and the force-only step
             energy.pair_eg = pair_eg
             energy.coulomb_scale = ONE_4PI_EPS0

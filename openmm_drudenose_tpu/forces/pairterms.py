@@ -54,17 +54,22 @@ def make_pair_list_term(n_atoms: int, i_idx, j_idx, eg_fn,
     jj = jnp.asarray(j_np)
 
     def e_and_f(positions, box_diag):
-        delta = positions[ii] - positions[jj]
+        # (3, .) layout throughout: pair and incidence gathers on 2D arrays
+        # with atoms/pairs on the lane axis (a trailing size-3 axis on a
+        # large gather costs ~42x in lane padding — CLAUDE.md perf rules)
+        pos_t = positions.T                           # (3, N)
+        delta = pos_t[:, ii] - pos_t[:, jj]           # (3, P)
         if periodic:
-            delta = delta - box_diag * jnp.round(delta / box_diag)
-        r2 = jnp.sum(delta * delta, axis=-1)
+            delta = delta - box_diag[:, None] * jnp.round(
+                delta / box_diag[:, None])
+        r2 = jnp.sum(delta * delta, axis=0)
         r2s = jnp.maximum(r2, 1e-10)
         e, g = eg_fn(r2s, r2)
         energy = jnp.sum(e)
-        fpair = (-2.0 * g)[:, None] * delta          # force on i; -f on j
+        fpair = (-2.0 * g)[None, :] * delta           # force on i; -f on j
         flat = jnp.concatenate(
-            [fpair, -fpair, jnp.zeros((1, 3), fpair.dtype)])
-        forces = jnp.sum(flat[inc], axis=1)          # (N, K, 3) -> (N, 3)
+            [fpair, -fpair, jnp.zeros((3, 1), fpair.dtype)], axis=1)
+        forces = jnp.sum(flat[:, inc], axis=2).T      # (3, N, K) -> (N, 3)
         return energy, forces
 
     @jax.custom_vjp

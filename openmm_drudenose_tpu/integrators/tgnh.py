@@ -45,6 +45,14 @@ def _safe_inv(x):
     return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
 
 
+def _gather_rows(x, idx):
+    """x[idx] for (N, 3) arrays via the (3, N) layout: the row gather runs
+    on 2D arrays with atoms on the lane axis (a trailing size-3 axis on a
+    large random gather costs ~42x in lane padding — CLAUDE.md perf
+    rules).  XLA folds the transposes into neighboring elementwise work."""
+    return x.T[:, idx].T
+
+
 def residue_sum(spec: SystemSpec, static: StaticSpec, per_atom):
     """Sum a per-atom (N, 3) quantity over residues -> (R, 3), via the
     padded member-gather table (TPU scatters/segment_sums are slow; a
@@ -66,7 +74,7 @@ def com_and_norm_velocities(spec: SystemSpec, static: StaticSpec, velocities):
         com_vel = mom * spec.res_inv_mass[:, None]
     else:
         com_vel = jnp.zeros((static.n_residues, 3), velocities.dtype)
-    norm_vel = velocities - com_vel[spec.resid]
+    norm_vel = velocities - _gather_rows(com_vel, spec.resid)
     return com_vel, norm_vel
 
 
@@ -97,7 +105,7 @@ def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
         m_j = mass[j]
         mtot = m_i + m_j
         inv_mtot = _safe_inv(mtot)
-        nv_j = nv[j]
+        nv_j = _gather_rows(nv, j)
         cm = (m_i[:, None] * nv + m_j[:, None] * nv_j) * inv_mtot[:, None]
         rel = nv - nv_j  # sign irrelevant for |rel|^2
         mu = m_i * m_j * inv_mtot
@@ -220,7 +228,7 @@ def apply_vscale(spec: SystemSpec, static: StaticSpec, velocities,
         m_i = spec.mass
         m_j = spec.mass[j]
         inv_mtot = _safe_inv(m_i + m_j)
-        nv_j = norm_vel[j]
+        nv_j = _gather_rows(norm_vel, j)
         sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[:, None]
         cm = ((m_i * inv_mtot)[:, None] * norm_vel
               + (m_j * inv_mtot)[:, None] * nv_j)
@@ -247,8 +255,8 @@ def half_kick(spec: SystemSpec, static: StaticSpec, velocities, forces, dt):
         mtot = m_i + m_j
         inv_mtot = _safe_inv(mtot)
         inv_red = mtot * spec.inv_mass * spec.inv_mass[j]  # M/(m_i m_j)
-        v_j = velocities[j]
-        f_j = forces[j]
+        v_j = _gather_rows(velocities, j)
+        f_j = _gather_rows(forces, j)
         sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[:, None]
         cm = ((m_i * inv_mtot)[:, None] * velocities
               + (m_j * inv_mtot)[:, None] * v_j)
@@ -277,10 +285,12 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
     i_is_parent = spec.is_parent
     j = spec.partner
     # role-resolved views: (drude, parent) per pair member
-    pos_d = jnp.where(i_is_parent[:, None], positions[j], positions)
-    pos_p = jnp.where(i_is_parent[:, None], positions, positions[j])
-    vel_d = jnp.where(i_is_parent[:, None], velocities[j], velocities)
-    vel_p = jnp.where(i_is_parent[:, None], velocities, velocities[j])
+    pos_j = _gather_rows(positions, j)
+    vel_j = _gather_rows(velocities, j)
+    pos_d = jnp.where(i_is_parent[:, None], pos_j, positions)
+    pos_p = jnp.where(i_is_parent[:, None], positions, pos_j)
+    vel_d = jnp.where(i_is_parent[:, None], vel_j, velocities)
+    vel_p = jnp.where(i_is_parent[:, None], velocities, vel_j)
     m_d = jnp.where(i_is_parent, spec.mass[j], spec.mass)
     m_p = jnp.where(i_is_parent, spec.mass, spec.mass[j])
 
@@ -288,8 +298,9 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
     if pos_err is not None:
         # compensate the tiny pair displacement (the hi-hi difference is
         # exact by Sterbenz; the dropped bits live in pos_err)
-        err_d = jnp.where(i_is_parent[:, None], pos_err[j], pos_err)
-        err_p = jnp.where(i_is_parent[:, None], pos_err, pos_err[j])
+        err_j = _gather_rows(pos_err, j)
+        err_d = jnp.where(i_is_parent[:, None], err_j, pos_err)
+        err_p = jnp.where(i_is_parent[:, None], pos_err, err_j)
         delta = delta + (err_d - err_p)
     r2 = jnp.sum(delta * delta, axis=-1)
     rdist = jnp.sqrt(jnp.where(spec.is_pair, r2, 1.0))
@@ -358,8 +369,14 @@ def make_step(static: StaticSpec,
               rebuild_interval: int = 16,
               forces_fn: Callable = None,
               skin: float = None,
+              reduce_axis: str = None,
               ) -> Callable[[SystemSpec, SimState], SimState]:
     """Build step(spec, state) -> state.
+
+    reduce_axis: mesh axis name when the step runs on device-LOCAL state
+    inside shard_map (parallel/resident.py): the per-bath KE vector and
+    the CM-removal momentum are psum'd over it — the only global
+    reductions TGNH needs (SURVEY.md section 2.8).
 
     energy_and_forces(positions, box, neighbors) -> (potential_energy,
     forces) must already include virtual-site position composition (so
@@ -379,6 +396,8 @@ def make_step(static: StaticSpec,
         accum = state.eta.dtype
         ke, com_vel, norm_vel = group_kinetic_energies(
             spec, static, velocities, accum)
+        if reduce_axis is not None:
+            ke = jax.lax.psum(ke, reduce_axis)
         vscale, eta, eta_dot, eta_dot_dot = propagate_nh_chain(
             spec, static, ke, state.eta, state.eta_dot, state.eta_dot_dot,
             spec.dt)
@@ -419,6 +438,9 @@ def make_step(static: StaticSpec,
             def remove_cm(v):
                 mom = jnp.sum(spec.mass[:, None] * v, axis=0)
                 total_mass = jnp.sum(spec.mass)
+                if reduce_axis is not None:
+                    mom = jax.lax.psum(mom, reduce_axis)
+                    total_mass = jax.lax.psum(total_mass, reduce_axis)
                 v_cm = mom / total_mass
                 return jnp.where((spec.inv_mass > 0)[:, None], v - v_cm, v)
             state = state._replace(velocities=jax.lax.cond(

@@ -53,7 +53,11 @@ def supports(cfg, dtype) -> bool:
     return (HAVE_PALLAS and cfg.regular and cfg.half_stencil
             and cfg.excl_words == 1 and 2 * cfg.excl_window + 1 <= 31
             and dtype == jnp.float32
-            and cfg.grid[0] >= 2 * cfg.window[0] + 1)
+            and cfg.grid[0] >= 2 * cfg.window[0] + 1
+            # Mosaic rejects dynamic-sublane loads narrower than one
+            # 128-lane tile ("dynamic load with unaligned indices"); the
+            # (y,z) plane is the kernel's lane axis
+            and cfg.grid[1] * cfg.grid[2] >= 128)
 
 
 def _make_pair_g(method, cutoff, alpha=0.0, krf=0.0, crf=0.0):
@@ -89,7 +93,21 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     """forces (N, 3) for the direct-space sum — Pallas half-stencil sweep.
 
     Same physics as forces/cellpair._sweep_regular with with_energy=False
-    (pinned by tests/test_pallas_sweep.py)."""
+    (pinned by tests/test_pallas_sweep.py).
+
+    Mosaic constraints shape the v3 design (v2 failed to lower):
+      * memref (DMA) slices must be lane-tile aligned (128) in offset and
+        width -> each x-layer is stored doubled (period n_yz, so wrapped
+        b-windows are contiguous) and padded to a 128-multiple stride by
+        XLA pre-work; the kernel then does one aligned full-stride DMA per
+        (field, layer)
+      * lane offsets of loads must be compile-time constants -> the
+        stencil-offset loop is statically unrolled (the offset table is
+        static anyway); in-layer shifts become static slice positions
+      * no dynamic-sublane stores -> Newton's-third-law reactions
+        accumulate in fori-carry VALUES via one-hot(b-slot) outer products
+        instead of scattered row writes
+    """
     from ..forces import cellpair as cp
 
     n = positions.shape[0]
@@ -105,7 +123,10 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
         from ..units import ONE_4PI_EPS0 as coulomb_scale
     pair_g = _make_pair_g(method, cfg.cutoff, alpha=alpha, krf=krf, crf=crf)
 
-    # ---- XLA pre-work: sorted fields, cell-local coords, transposes -----
+    lay_stride = -(-2 * n_yz // 128) * 128
+    fr_stride = -(-n_yz // 128) * 128
+
+    # ---- XLA pre-work: sorted fields, cell-local coords, layer doubling --
     s = cp._sorted_arrays(params, positions, cellsort, cfg, n,
                           box_diag=box_diag)
     blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
@@ -113,62 +134,60 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     cz_ = np.arange(n_cells)
     c3 = np.stack([cz_ // (gy * gz), (cz_ // gz) % gy, cz_ % gz],
                   axis=1).astype(np.float64) + 0.5
+
+    def layer_double(ft):
+        # (C, n_cells) -> (C, gx*lay_stride): per x-layer [cells|cells|pad]
+        v = ft.reshape(C, gx, n_yz)
+        v2 = jnp.concatenate([v, v], axis=2)
+        if lay_stride > 2 * n_yz:
+            v2 = jnp.pad(v2, ((0, 0), (0, 0), (0, lay_stride - 2 * n_yz)))
+        return v2.reshape(C, gx * lay_stride)
+
     fields = []
     for d, k in enumerate("xyz"):
         centers = jnp.asarray(c3[:, d], dtype) * h[d]
-        fields.append((blocks[k] - centers[:, None]).T)      # (C, n_cells)
-    fields.append(blocks["q"].T)
-    fields.append(blocks["sig"].T)
-    fields.append(jnp.sqrt(blocks["eps"]).T)
-    gid_t = blocks["gid"].T
-    ew_t = blocks["ew0"].T if W > 0 else jnp.zeros_like(gid_t)
+        fields.append(layer_double((blocks[k] - centers[:, None]).T))
+    fields.append(layer_double(blocks["q"].T))
+    fields.append(layer_double(blocks["sig"].T))
+    fields.append(layer_double(jnp.sqrt(blocks["eps"]).T))
+    fields.append(layer_double(blocks["gid"].T))
+    fields.append(layer_double(blocks["ew0"].T) if W > 0
+                  else jnp.zeros_like(fields[-1]))
 
     offsets = np.array(cfg.offsets, np.int32)
     n_off = len(offsets)
-    lay_idx = np.stack([(np.arange(gx)[:, None] + np.arange(-w, w + 1)[None])
-                        % gx], axis=0)[0].astype(np.int32)   # (gx, n_lay)
-    off_tab = jnp.asarray(offsets)                           # (n_off, 3)
+    lay_idx = ((np.arange(gx)[:, None] + np.arange(-w, w + 1)[None]) % gx
+               ).astype(np.int32)                            # (gx, n_lay)
     hvec = jnp.asarray([h[0], h[1], h[2]], dtype)
-
-    two_nyz = 2 * n_yz
     cutoff2 = cfg.cutoff * cfg.cutoff
 
-    def kernel(lay_ref, off_ref, hvec_ref,
+    def kernel(lay_ref, hvec_ref,
                x_ref, y_ref, z_ref, q_ref, sig_ref, seps_ref, gid_ref,
                ew_ref,
                fown_ref, freact_ref,
                xs, ys, zs, qs, sigs, sepss, gids, ews, sem):
         i = pl.program_id(0)
 
-        # ---- bulk DMA: layer columns into doubled slabs -----------------
-        # slab layout per field: (C, n_lay * 2 * n_yz); each layer stored
-        # twice back-to-back so wrapped b-views are single dynamic slices
-        def load(field_ref, slab):
+        # ---- bulk DMA: one aligned full-stride copy per (field, layer) --
+        copies = []
+        for field_ref, slab_ in ((x_ref, xs), (y_ref, ys), (z_ref, zs),
+                                 (q_ref, qs), (sig_ref, sigs),
+                                 (seps_ref, sepss), (gid_ref, gids)):
             for li in range(n_lay):
                 src = lay_ref[i, li]
-                for half in range(2):
-                    cp_ = pltpu.make_async_copy(
-                        field_ref.at[:, pl.ds(src * n_yz, n_yz)],
-                        slab.at[:, pl.ds(li * two_nyz + half * n_yz, n_yz)],
-                        sem)
-                    cp_.start()
-                    cp_.wait()
+                copies.append(pltpu.make_async_copy(
+                    field_ref.at[:, pl.ds(src * lay_stride, lay_stride)],
+                    slab_.at[:, pl.ds(li * lay_stride, lay_stride)],
+                    sem))
+        copies.append(pltpu.make_async_copy(
+            ew_ref.at[:, pl.ds(lay_ref[i, w] * lay_stride, lay_stride)],
+            ews.at[:, :], sem))
+        for cp_ in copies:
+            cp_.start()
+        for cp_ in copies:
+            cp_.wait()
 
-        load(x_ref, xs)
-        load(y_ref, ys)
-        load(z_ref, zs)
-        load(q_ref, qs)
-        load(sig_ref, sigs)
-        load(seps_ref, sepss)
-        load(gid_ref, gids)
-        # A-side exclusion words: own layer only
-        cp_ = pltpu.make_async_copy(
-            ew_ref.at[:, pl.ds(lay_ref[i, w] * n_yz, n_yz)],
-            ews.at[:, :], sem)
-        cp_.start()
-        cp_.wait()
-
-        own0 = w * two_nyz
+        own0 = w * lay_stride
         xa = xs[:, pl.ds(own0, n_yz)]
         ya = ys[:, pl.ds(own0, n_yz)]
         za = zs[:, pl.ds(own0, n_yz)]
@@ -176,15 +195,16 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
         siga = sigs[:, pl.ds(own0, n_yz)]
         sepsa = sepss[:, pl.ds(own0, n_yz)]
         gida = gids[:, pl.ds(own0, n_yz)]
-        ewa = ews[:, :]
+        ewa = ews[:, pl.ds(0, n_yz)]
 
         cz_lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_yz), 1) % gz
+        col = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
 
         hx = hvec_ref[0]
         hy = hvec_ref[1]
         hz = hvec_ref[2]
 
-        freact_ref[0, :, :] = jnp.zeros((3 * C, n_lay * n_yz), dtype)
+        freact_ref[0, :, :] = jnp.zeros((3 * C, n_lay * fr_stride), dtype)
 
         # ---- self block -------------------------------------------------
         rows = jax.lax.broadcasted_iota(jnp.int32, (C, n_yz), 0)
@@ -217,41 +237,39 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
         zero = jnp.zeros((C, n_yz), dtype)
         fx, fy, fz = jax.lax.fori_loop(0, C, self_body, (zero, zero, zero))
 
-        # ---- stencil offsets -------------------------------------------
-        def off_body(oi, acc):
-            fx, fy, fz = acc
-            ox = off_ref[oi, 0]
-            oy = off_ref[oi, 1]
-            oz = off_ref[oi, 2]
-            tx = ox.astype(dtype) * hx
-            ty = oy.astype(dtype) * hy
-            tz = oz.astype(dtype) * hz
-            lcol = (ox + w) * two_nyz
+        # ---- stencil offsets (statically unrolled) ----------------------
+        react_layers = {}
+        for oi in range(1, n_off):
+            ox, oy, oz = (int(offsets[oi, 0]), int(offsets[oi, 1]),
+                          int(offsets[oi, 2]))
+            tx = ox * hx
+            ty = oy * hy
+            tz = oz * hz
+            lcol = (ox + w) * lay_stride
             # forward view: src(l) = l + d0 (+-gz where cz+oz wraps),
             # modulo the doubled-layer trick
             d0 = oy * gz + oz
             mz_hi = (cz_lane + oz) >= gz
             mz_lo = (cz_lane + oz) < 0
-            dA = jnp.remainder(d0, n_yz)
-            dB = jnp.remainder(d0 - gz, n_yz)
-            dC = jnp.remainder(d0 + gz, n_yz)
+            dA = d0 % n_yz
+            dB = (d0 - gz) % n_yz
+            dC = (d0 + gz) % n_yz
             # inverse view (for the reaction): offsets negated
             d0i = -d0
             mzi_hi = (cz_lane - oz) >= gz
             mzi_lo = (cz_lane - oz) < 0
-            dAi = jnp.remainder(d0i, n_yz)
-            dBi = jnp.remainder(d0i - gz, n_yz)
-            dCi = jnp.remainder(d0i + gz, n_yz)
+            dAi = d0i % n_yz
+            dBi = (d0i - gz) % n_yz
+            dCi = (d0i + gz) % n_yz
 
-            def bview(slab, bj):
-                base = lcol
-                vA = slab[pl.ds(bj, 1), pl.ds(base + dA, n_yz)]
-                vB = slab[pl.ds(bj, 1), pl.ds(base + dB, n_yz)]
-                vC = slab[pl.ds(bj, 1), pl.ds(base + dC, n_yz)]
+            def bview(slab_, bj):
+                vA = slab_[pl.ds(bj, 1), pl.ds(lcol + dA, n_yz)]
+                vB = slab_[pl.ds(bj, 1), pl.ds(lcol + dB, n_yz)]
+                vC = slab_[pl.ds(bj, 1), pl.ds(lcol + dC, n_yz)]
                 return jnp.where(mz_hi, vB, jnp.where(mz_lo, vC, vA))
 
             def slot_body(bj, acc2):
-                fx, fy, fz = acc2
+                fx, fy, fz, rxa, rya, rza = acc2
                 dx = xa - (bview(xs, bj) + tx)
                 dy = ya - (bview(ys, bj) + ty)
                 dz = za - (bview(zs, bj) + tz)
@@ -269,74 +287,79 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                 eps = sepsa * bview(sepss, bj)
                 g = pair_g(qq, sig, eps, r2s, inv_r, inv_r2)
                 g2 = jnp.where(valid & ~excl, -2.0 * g, 0.0)
-                # reaction rows (1, n_yz) in the ROW frame -> inverse-map
-                # into the b frame and accumulate into the reaction slab
-                rx = jnp.asarray(-jnp.sum(g2 * dx, axis=0,
-                                          keepdims=True), dtype)
-                ry = jnp.asarray(-jnp.sum(g2 * dy, axis=0,
-                                          keepdims=True), dtype)
-                rz = jnp.asarray(-jnp.sum(g2 * dz, axis=0,
-                                          keepdims=True), dtype)
-
-                zero_i = jnp.int32(0)
-
-                def inv_map(r):
-                    r2x = jnp.concatenate([r, r], axis=1)
-                    vA = jax.lax.dynamic_slice(r2x, (zero_i, dAi), (1, n_yz))
-                    vB = jax.lax.dynamic_slice(r2x, (zero_i, dBi), (1, n_yz))
-                    vC = jax.lax.dynamic_slice(r2x, (zero_i, dCi), (1, n_yz))
-                    return jnp.where(mzi_hi, vB, jnp.where(mzi_lo, vC, vA))
-
-                rcol = (ox + w) * n_yz
-                for comp, r in enumerate((rx, ry, rz)):
-                    row = comp * C + bj
-                    cur = freact_ref[0, pl.ds(row, 1), pl.ds(rcol, n_yz)]
-                    freact_ref[0, pl.ds(row, 1), pl.ds(rcol, n_yz)] = (
-                        jnp.asarray(cur + inv_map(r), dtype))
+                # reaction rows (1, n_yz) in the ROW frame, accumulated
+                # into (C, n_yz) values via a one-hot(b-slot) outer
+                # product — no dynamic-sublane stores
+                onehot = (col == bj).astype(dtype)
+                rx = -jnp.sum(g2 * dx, axis=0, keepdims=True)
+                ry = -jnp.sum(g2 * dy, axis=0, keepdims=True)
+                rz = -jnp.sum(g2 * dz, axis=0, keepdims=True)
                 return (jnp.asarray(fx + g2 * dx, dtype),
                         jnp.asarray(fy + g2 * dy, dtype),
-                        jnp.asarray(fz + g2 * dz, dtype))
+                        jnp.asarray(fz + g2 * dz, dtype),
+                        jnp.asarray(rxa + onehot * rx, dtype),
+                        jnp.asarray(rya + onehot * ry, dtype),
+                        jnp.asarray(rza + onehot * rz, dtype))
 
-            return jax.lax.fori_loop(0, C, slot_body, (fx, fy, fz))
+            fx, fy, fz, rxa, rya, rza = jax.lax.fori_loop(
+                0, C, slot_body, (fx, fy, fz, zero, zero, zero))
 
-        fx, fy, fz = jax.lax.fori_loop(1, n_off, off_body, (fx, fy, fz))
+            # lane inverse-shift into the b frame (static value slices)
+            shifted = []
+            for r in (rxa, rya, rza):
+                r2x = jnp.concatenate([r, r], axis=1)     # (C, 2*n_yz)
+                vA = r2x[:, dAi:dAi + n_yz]
+                vB = r2x[:, dBi:dBi + n_yz]
+                vC = r2x[:, dCi:dCi + n_yz]
+                shifted.append(
+                    jnp.where(mzi_hi, vB, jnp.where(mzi_lo, vC, vA)))
+            L = ox + w
+            acc = react_layers.get(L)
+            react_layers[L] = (shifted if acc is None else
+                               [a + s_ for a, s_ in zip(acc, shifted)])
+
+        for L, acc in react_layers.items():
+            for comp in range(3):
+                freact_ref[0, pl.ds(comp * C, C),
+                           pl.ds(L * fr_stride, n_yz)] = jnp.asarray(
+                               acc[comp], dtype)
+
         fown_ref[0, pl.ds(0, C), :] = fx
         fown_ref[0, pl.ds(C, C), :] = fy
         fown_ref[0, pl.ds(2 * C, C), :] = fz
 
-    slab = lambda dt: pltpu.VMEM((C, n_lay * two_nyz), dt)
+    slab = lambda dt: pltpu.VMEM((C, n_lay * lay_stride), dt)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(gx,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
             out_specs=[
                 pl.BlockSpec((1, 3 * C, n_yz), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3 * C, n_lay * n_yz),
+                pl.BlockSpec((1, 3 * C, n_lay * fr_stride),
                              lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 slab(dtype), slab(dtype), slab(dtype), slab(dtype),
                 slab(dtype), slab(dtype), slab(jnp.int32),
-                pltpu.VMEM((C, n_yz), jnp.int32),
+                pltpu.VMEM((C, lay_stride), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((gx, 3 * C, n_yz), dtype),
-            jax.ShapeDtypeStruct((gx, 3 * C, n_lay * n_yz), dtype),
+            jax.ShapeDtypeStruct((gx, 3 * C, n_lay * fr_stride), dtype),
         ],
         interpret=interpret,
-    )(jnp.asarray(lay_idx), off_tab, hvec,
-      *fields, gid_t, ew_t)
+    )(jnp.asarray(lay_idx), hvec, *fields)
 
     fown, freact = out
     # overlap-add the reaction slabs: program i's layer block L belongs to
     # absolute layer (i + L - w) mod gx
-    fr = freact.reshape(gx, 3, C, n_lay, n_yz)
+    fr = freact.reshape(gx, 3, C, n_lay, fr_stride)[..., :n_yz]
     total = fown.reshape(gx, 3, C, n_yz)
     for L in range(n_lay):
         total = total + jnp.roll(fr[:, :, :, L, :], L - w, axis=0)

@@ -53,6 +53,17 @@ def main():
           f"capacity {ctx._cp_cfg.capacity} ({time.time()-t0:.0f}s)")
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("atom",))
+    if "--resident" in sys.argv:
+        # state-resident decomposition: molecule-sharded state + migration
+        # (box ~18 nm -> 32 cell planes = 4 planes/slab, the halo minimum)
+        from openmm_drudenose_tpu.parallel import resident
+        rctx = resident.ResidentContext(ctx, mesh)
+        rctx.step(1)
+        pos = rctx.positions()
+        assert bool(np.all(np.isfinite(pos))), "non-finite positions"
+        print(f"1M-atom STATE-RESIDENT TGNH step OK over {mesh.shape} mesh "
+              f"({time.time()-t0:.0f}s total)")
+        return
     sctx = sharded.ShardedContext(ctx, mesh)
     sctx.step(1)
     pos = sctx.state.positions

@@ -27,7 +27,15 @@ def water_ctx():
 
 
 def test_supports(water_ctx):
-    assert ps.supports(water_ctx._cp_cfg, jnp.float32)
+    import dataclasses
+
+    cfg = water_ctx._cp_cfg
+    # the small test box has a (y,z) plane below one 128-lane tile, which
+    # Mosaic's dynamic-sublane loads reject — supports() must gate on it
+    assert not ps.supports(cfg, jnp.float32)
+    big = dataclasses.replace(cfg, grid=(15, 15, 15))
+    assert ps.supports(big, jnp.float32)
+    assert not ps.supports(big, jnp.float64)
 
 
 def test_forces_match_xla_sweep(water_ctx):

@@ -1,0 +1,110 @@
+"""State-resident domain decomposition (parallel/resident.py) on the
+virtual CPU devices from conftest: the molecule-sharded trajectory must
+match the single-device trajectory to reduction-order rounding, and a
+migration/rebuild must be a pure relabeling of the state."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import openmm_drudenose_tpu as dn
+from openmm_drudenose_tpu.parallel import resident
+
+from util import swm4_water_box
+
+
+def _context(method=dn.NonbondedForce.PME):
+    system, positions = swm4_water_box(grid_size=6, cutoff=0.7,
+                                       add_cm_motion=False)
+    system.getForce(0).setNonbondedMethod(method)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005, 20, 2)
+    integ.setMaxDrudeDistance(0.05)
+    ctx = dn.Context(system, integ, precision="double", strategy="cellpair")
+    ctx.setPositions(positions)
+    ctx.applyConstraints(1e-6)
+    ctx.setVelocitiesToTemperature(200.0, seed=0)
+    ctx._ensure_forces()
+    return ctx
+
+
+def _mesh(n=2):
+    devices = jax.devices()
+    assert len(devices) >= n, "conftest must force 8 virtual devices"
+    return Mesh(np.array(devices[:n]), ("atom",))
+
+
+@pytest.mark.parametrize("method", [dn.NonbondedForce.PME,
+                                    dn.NonbondedForce.CutoffPeriodic])
+def test_resident_trajectory_matches_single(method):
+    """2 rebuild segments of resident stepping == plain stepping."""
+    ctx_plain = _context(method)
+    ctx_plain.getIntegrator().step(16)
+    ref_pos = ctx_plain.getPositions()
+    ref_eta = np.asarray(ctx_plain._state.eta)
+
+    ctx = _context(method)
+    rctx = resident.ResidentContext(ctx, _mesh(2))
+    rctx._rebuild_interval = 8
+    rctx.step(16)
+    np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(rctx.state["eta"]), ref_eta,
+                               atol=1e-11)
+
+
+def test_resident_migration_relabels_only():
+    """A rebuild (migration + local re-sort) must not change the gathered
+    physical state, even when every molecule's anchor is artificially
+    pushed toward the slab boundary."""
+    ctx = _context()
+    rctx = resident.ResidentContext(ctx, _mesh(2), Rc=200, Ec=96)
+    with rctx._mesh:
+        st0 = rctx._get_reb()(rctx._st)
+    rctx._st = st0
+    p0 = rctx.positions()
+    v0 = rctx.velocities()
+    n0 = np.asarray(st0["n_mol"]).copy()
+
+    # shift all positions by half a slab in x: many anchors change owner
+    box_x = float(np.diagonal(np.asarray(ctx._state.box))[0])
+    shift = np.zeros(3)
+    shift[0] = box_x / 4  # ~2.5 cell planes
+    rctx._st = dict(rctx._st)
+    rctx._st["pos"] = rctx._st["pos"] + shift
+    with rctx._mesh:
+        st1 = rctx._get_reb()(rctx._st)
+    rctx._st = st1
+    assert not bool(np.any(np.asarray(st1["mig_overflow"])))
+    n1 = np.asarray(st1["n_mol"])
+    assert n1.sum() == n0.sum()
+    assert not np.array_equal(n1, n0), "shift should move molecules"
+    np.testing.assert_allclose(rctx.positions(), p0 + shift, atol=1e-12)
+    np.testing.assert_allclose(rctx.velocities(), v0, atol=1e-12)
+
+
+def test_resident_four_devices():
+    """Resident stepping over 4 slabs (needs a wider box) matches plain."""
+    system, positions = swm4_water_box(grid_size=10, cutoff=0.7,
+                                       add_cm_motion=False)
+    system.getForce(0).setNonbondedMethod(dn.NonbondedForce.PME)
+
+    def build():
+        integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005,
+                                       20, 2)
+        integ.setMaxDrudeDistance(0.05)
+        ctx = dn.Context(system, integ, precision="double",
+                         strategy="cellpair")
+        ctx.setPositions(positions)
+        ctx.applyConstraints(1e-6)
+        ctx.setVelocitiesToTemperature(200.0, seed=0)
+        ctx._ensure_forces()
+        return ctx
+
+    ctx_plain = build()
+    ctx_plain.getIntegrator().step(8)
+    ref_pos = ctx_plain.getPositions()
+
+    ctx = build()
+    rctx = resident.ResidentContext(ctx, _mesh(4))
+    rctx.step(8)
+    np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
