@@ -377,8 +377,13 @@ def _sweep_regular(params, positions, box_diag, cellsort,
               + jnp.sum(t * t, axis=1)[None, :, None])      # (nc, P, C)
         b_mat = jnp.stack([x.reshape(n_cells, P * C) for x in bl],
                           axis=1)                           # (nc, 3, P*C)
+        # precision=HIGHEST: TPU f32 dot_general defaults to bfloat16
+        # inputs, whose 7-bit mantissa on the coordinates corrupts r^2 by
+        # ~1e-2 nm^2 — a 10%+ force error through the steep LJ/Coulomb
+        # slopes (measured on chip vs CPU f64; scripts/check_pallas_tpu.py)
         cross = jax.lax.dot_general(
             a_mat, b_mat, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype)                   # (nc, C, P*C)
         r2 = (na[:, :, None] + nb.reshape(n_cells, P * C)[:, None, :]
               - (cross + cross))
@@ -431,6 +436,7 @@ def _sweep_regular(params, positions, box_diag, cellsort,
         gb = jax.lax.dot_general(
             g2, jnp.concatenate([b_mat, ones_b], axis=1),
             (((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype)                   # (nc, C, 4)
         s_a = gb[:, :, 3]
         fx = fx + loc[0] * s_a - gb[:, :, 0]
@@ -442,6 +448,7 @@ def _sweep_regular(params, positions, box_diag, cellsort,
             ha = jax.lax.dot_general(
                 g2, jnp.concatenate([a_mat, ones_a], axis=2),
                 (((1,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=dtype)               # (nc, P*C, 4)
             s_b = ha[:, :, 3]
             out = []

@@ -493,10 +493,14 @@ class NonbondedForce:
                 return e
 
             # the half-stencil force-only Pallas kernel (ops/pallas_sweep)
-            # is 1.5x the XLA sweep at 100k atoms but still miscompares on
-            # real hardware (scripts/check_pallas_tpu.py); opt-in until the
-            # on-chip numerics match: nb_kwargs {"use_pallas": 2}
-            use_pallas_sweep = nb_kwargs.get("use_pallas") == 2
+            # is the default in-step sweep on TPU: 1.5x the XLA sweep at
+            # 100k atoms, verified against CPU-f64 ground truth on chip
+            # (scripts/check_pallas_tpu.py: both paths sit at the common
+            # f32 noise floor, rms 3.4e-6 relative).  Opt out with
+            # nb_kwargs {"use_pallas": 0}
+            default_pallas = 2 if jax.default_backend() == "tpu" else 0
+            use_pallas_sweep = nb_kwargs.get("use_pallas",
+                                             default_pallas) == 2
             if use_pallas_sweep:
                 from ..ops import pallas_sweep
                 if not pallas_sweep.supports(cp_cfg, dtype):

@@ -219,7 +219,11 @@ def spread_charge_grid(grid, charges, positions, box_diag):
         Wy = one_hot_weights(sl(iy_all), sl(wy_all), ky)    # (chunk, K2)
         Wz = one_hot_weights(sl(iz_all), sl(wz_all), kz)    # (chunk, K3)
         Wyz = (Wy[:, :, None] * Wz[:, None, :]).reshape(chunk, K2 * K3)
-        return Q + jnp.dot(Wx.T, Wyz, preferred_element_type=dtype), None
+        # precision=HIGHEST: TPU f32 matmuls default to bfloat16 inputs,
+        # which would round the B-spline weights to ~0.4% (grid charge and
+        # interpolation-force error far above f32)
+        return Q + jnp.dot(Wx.T, Wyz, preferred_element_type=dtype,
+                           precision=jax.lax.Precision.HIGHEST), None
 
     # scan (not fori_loop) so reverse-mode autodiff works through the chunks
     Q, _ = jax.lax.scan(body, jnp.zeros((K1, K2 * K3), dtype),
@@ -337,6 +341,7 @@ def spread_pencils(grid, cell_grid, capacity, charges, positions, box_diag,
     # batched MXU contraction over slots: (P, lwx*lwy, K3)
     T = jax.lax.dot_general(
         WxyT, Wz, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=dtype)
     T = T.reshape(gx, gy, lwx, lwy, K3)
 

@@ -89,7 +89,8 @@ def _make_pair_g(method, cutoff, alpha=0.0, krf=0.0, crf=0.0):
 
 def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                        method, alpha=0.0, krf=0.0, crf=0.0,
-                       coulomb_scale=None, interpret=False):
+                       coulomb_scale=None, interpret=False,
+                       debug_outputs=False):
     """forces (N, 3) for the direct-space sum — Pallas half-stencil sweep.
 
     Same physics as forces/cellpair._sweep_regular with with_energy=False
@@ -357,6 +358,8 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     )(jnp.asarray(lay_idx), hvec, *fields)
 
     fown, freact = out
+    if debug_outputs:
+        return fown, freact
     # overlap-add the reaction slabs: program i's layer block L belongs to
     # absolute layer (i + L - w) mod gx
     fr = freact.reshape(gx, 3, C, n_lay, fr_stride)[..., :n_yz]
