@@ -32,8 +32,9 @@ spec/state with reduce_axis psums — the physics code is shared with the
 single-device path, not forked.
 
 Scope (capability-guarded): cellpair strategy, PME or RF, SETTLE + virtual
-sites + Drude + exceptions/exclusion corrections; no SHAKE clusters, no
-bonded force terms, no NBTHOLE (cross-molecule), no barostat.
+sites + Drude + exceptions/exclusion corrections + bonded terms (bonds,
+angles, torsions); no SHAKE clusters, no NBTHOLE (cross-molecule), no
+barostat.
 """
 
 from __future__ import annotations
@@ -85,6 +86,9 @@ class ResidentLayout:
     sp_max: int       # screened-pair rows
     e_max: int        # exclusion-correction rows
     x_max: int        # active exception rows
+    b_max: int        # harmonic bond rows
+    a_max: int        # harmonic angle rows
+    t_max: int        # torsion rows
     inc_k: int        # incident (corr+exception) rows per atom
     n_words: int
     loc_x: int        # cell planes per device
@@ -161,6 +165,23 @@ class Templates(NamedTuple):
     # exception) pair lists; entry = side * BIG + row, -1 pad
     inc_corr: jax.Array     # (T, K, inc_k) int32
     inc_x: jax.Array        # (T, K, inc_k) int32
+    # bonded terms (offsets -1 = pad, k = 0)
+    bd_i: jax.Array         # (T, b_max) int32
+    bd_j: jax.Array
+    bd_r0: jax.Array
+    bd_k: jax.Array
+    an_i: jax.Array         # (T, a_max) int32
+    an_j: jax.Array
+    an_k_: jax.Array
+    an_t0: jax.Array
+    an_k: jax.Array
+    to_i: jax.Array         # (T, t_max) int32
+    to_j: jax.Array
+    to_k_: jax.Array
+    to_l: jax.Array
+    to_phase: jax.Array
+    to_n: jax.Array
+    to_k: jax.Array
 
 
 def analyze(context):
@@ -262,12 +283,35 @@ def analyze(context):
         dr_by = [[] for _ in range(R)]
         sp_by = [[] for _ in range(R)]
 
-    # other terms must be nb or drude
+    # bonded terms (array-parametrized closures; identified by key set)
+    bond_term = angle_term = tors_term = None
+    bd_by = [[] for _ in range(R)]
+    an_by = [[] for _ in range(R)]
+    to_by = [[] for _ in range(R)]
+    bd_p = an_p = to_p = None
     for t in context._terms:
-        if t is not nb and t is not drude_term:
+        if t is nb or t is drude_term:
+            continue
+        keys = set(t[1].keys())
+        prm = {k: np.asarray(v) for k, v in t[1].items()}
+        if keys == {"i", "j", "r0", "k"}:
+            bond_term, bd_p = t[0], prm
+            bd_by = group_rows([[int(a), int(b)] for a, b in
+                                zip(prm["i"], prm["j"])], 0)
+        elif keys == {"i", "j", "k_", "theta0", "k"}:
+            angle_term, an_p = t[0], prm
+            an_by = group_rows([[int(a), int(b), int(c)] for a, b, c in
+                                zip(prm["i"], prm["j"], prm["k_"])], 0)
+        elif keys == {"i", "j", "k_", "l", "phase", "n", "k"}:
+            tors_term, to_p = t[0], prm
+            to_by = group_rows([[int(a), int(b), int(c), int(e)]
+                                for a, b, c, e in
+                                zip(prm["i"], prm["j"], prm["k_"],
+                                    prm["l"])], 0)
+        else:
             raise NotImplementedError(
-                "resident mode supports only nonbonded + DrudeForce terms "
-                f"(found {t[0]})")
+                "resident mode supports nonbonded + DrudeForce + bonded "
+                f"terms (found param keys {sorted(keys)})")
 
     # Ewald exclusion corrections (all exclusion pairs)
     exc_i, exc_j = nb_fn.nbl_exclusions
@@ -344,8 +388,22 @@ def analyze(context):
         x_sig = tuple(sorted(
             (fo(xi[row]), fo(xj[row]), float(xqq[row]), float(xsig[row]),
              float(xeps[row])) for row in x_by[r]))
+        bd_sig = tuple(sorted(
+            (fo(bd_p["i"][row]), fo(bd_p["j"][row]),
+             float(bd_p["r0"][row]), float(bd_p["k"][row]))
+            for row in bd_by[r]))
+        an_sig = tuple(sorted(
+            (fo(an_p["i"][row]), fo(an_p["j"][row]), fo(an_p["k_"][row]),
+             float(an_p["theta0"][row]), float(an_p["k"][row]))
+            for row in an_by[r]))
+        to_sig = tuple(sorted(
+            (fo(to_p["i"][row]), fo(to_p["j"][row]), fo(to_p["k_"][row]),
+             fo(to_p["l"][row]), float(to_p["phase"][row]),
+             float(to_p["n"][row]), float(to_p["k"][row]))
+            for row in to_by[r]))
         sig = (atom_sig, st_sig, va_sig, vo_sig, vl_sig, dr_sig, sp_sig,
-               corr_sig, x_sig, float(res_mass[r]))
+               corr_sig, x_sig, bd_sig, an_sig, to_sig,
+               float(res_mass[r]))
         t = sigs.get(sig)
         if t is None:
             t = len(type_data)
@@ -363,6 +421,9 @@ def analyze(context):
         sp_max=max((len(s[6]) for s in type_data), default=0),
         e_max=max((len(s[7]) for s in type_data), default=0),
         x_max=max((len(s[8]) for s in type_data), default=0),
+        b_max=max((len(s[9]) for s in type_data), default=0),
+        a_max=max((len(s[10]) for s in type_data), default=0),
+        t_max=max((len(s[11]) for s in type_data), default=0),
     )
 
     # ---- pack templates ----------------------------------------------
@@ -410,12 +471,25 @@ def analyze(context):
         x_j=np.full((T, mx["x_max"]), -1, np.int32),
         x_qq=z((T, mx["x_max"])), x_sig=np.ones((T, mx["x_max"])),
         x_eps=z((T, mx["x_max"])),
+        bd_i=np.full((T, mx["b_max"]), -1, np.int32),
+        bd_j=np.full((T, mx["b_max"]), -1, np.int32),
+        bd_r0=np.full((T, mx["b_max"]), 0.1), bd_k=z((T, mx["b_max"])),
+        an_i=np.full((T, mx["a_max"]), -1, np.int32),
+        an_j=np.full((T, mx["a_max"]), -1, np.int32),
+        an_k_=np.full((T, mx["a_max"]), -1, np.int32),
+        an_t0=z((T, mx["a_max"])), an_k=z((T, mx["a_max"])),
+        to_i=np.full((T, mx["t_max"]), -1, np.int32),
+        to_j=np.full((T, mx["t_max"]), -1, np.int32),
+        to_k_=np.full((T, mx["t_max"]), -1, np.int32),
+        to_l=np.full((T, mx["t_max"]), -1, np.int32),
+        to_phase=z((T, mx["t_max"])), to_n=np.ones((T, mx["t_max"])),
+        to_k=z((T, mx["t_max"])),
     )
     inc_lists = [[[ [] for _ in range(K)] for _ in range(2)]
                  for _ in range(T)]  # [t][0=corr,1=exc][k] -> entries
     for t, sig in enumerate(type_data):
         (atom_sig, st_sig, va_sig, vo_sig, vl_sig, dr_sig, sp_sig,
-         corr_sig, x_sig, rmass) = sig
+         corr_sig, x_sig, bd_sig, an_sig, to_sig, rmass) = sig
         tp["res_mass"][t] = rmass
         for k, a in enumerate(atom_sig):
             (m, q, sg, ep, g, ip, ipar, po, go, eww) = a
@@ -473,6 +547,18 @@ def analyze(context):
             tp["x_sig"][t, s], tp["x_eps"][t, s] = row[3], row[4]
             inc_lists[t][1][row[0]].append(s)
             inc_lists[t][1][row[1]].append(mx["x_max"] + s)
+        for s, row in enumerate(bd_sig):
+            tp["bd_i"][t, s], tp["bd_j"][t, s] = row[0], row[1]
+            tp["bd_r0"][t, s], tp["bd_k"][t, s] = row[2], row[3]
+        for s, row in enumerate(an_sig):
+            (tp["an_i"][t, s], tp["an_j"][t, s],
+             tp["an_k_"][t, s]) = row[:3]
+            tp["an_t0"][t, s], tp["an_k"][t, s] = row[3], row[4]
+        for s, row in enumerate(to_sig):
+            (tp["to_i"][t, s], tp["to_j"][t, s], tp["to_k_"][t, s],
+             tp["to_l"][t, s]) = row[:4]
+            (tp["to_phase"][t, s], tp["to_n"][t, s],
+             tp["to_k"][t, s]) = row[4:]
 
     inc_k = max([1] + [len(l) for t in range(T) for side in range(2)
                  for l in inc_lists[t][side]])
@@ -487,6 +573,14 @@ def analyze(context):
 
     mx.update(inc_k=inc_k, lc_k=lc_k, n_words=n_words, K=K,
               has_aniso1=has_aniso1, has_aniso2=has_aniso2)
+    bonded_fns = []
+    if bond_term is not None:
+        bonded_fns.append((bond_term, "bond_params"))
+    if angle_term is not None:
+        bonded_fns.append((angle_term, "angle_params"))
+    if tors_term is not None:
+        bonded_fns.append((tors_term, "torsion_params"))
+    mx["bonded_fns"] = bonded_fns
     return tp, mol_type, mol_base, mx
 
 
@@ -710,6 +804,47 @@ def _local_tables(tpl: Templates, layout: ResidentLayout, mol_type,
     out["ew"] = jnp.concatenate(
         [jnp.where(valid_atom[:, None], tpl.ew[ty].reshape(Rc * K, -1), 0),
          jnp.zeros((Kd, layout.n_words), jnp.int32)]).astype(jnp.int32)
+    # bonded terms (pads reference distinct dummy atoms with k = 0)
+    if layout.b_max:
+        bi = tpl.bd_i[ty]
+        ok = (bi >= 0) & used[:, None]
+        out["bond_params"] = {
+            "i": jnp.where(ok, slot_base + bi, D).reshape(-1).astype(
+                jnp.int32),
+            "j": jnp.where(ok, slot_base + tpl.bd_j[ty], D + 1).reshape(
+                -1).astype(jnp.int32),
+            "r0": jnp.where(ok, tpl.bd_r0[ty], 0.1).reshape(-1).astype(rdt),
+            "k": jnp.where(ok, tpl.bd_k[ty], 0.0).reshape(-1).astype(rdt)}
+    if layout.a_max:
+        ai = tpl.an_i[ty]
+        ok = (ai >= 0) & used[:, None]
+        out["angle_params"] = {
+            "i": jnp.where(ok, slot_base + ai, D).reshape(-1).astype(
+                jnp.int32),
+            "j": jnp.where(ok, slot_base + tpl.an_j[ty], D + 1).reshape(
+                -1).astype(jnp.int32),
+            "k_": jnp.where(ok, slot_base + tpl.an_k_[ty], D + 2).reshape(
+                -1).astype(jnp.int32),
+            "theta0": jnp.where(ok, tpl.an_t0[ty], 0.0).reshape(
+                -1).astype(rdt),
+            "k": jnp.where(ok, tpl.an_k[ty], 0.0).reshape(-1).astype(rdt)}
+    if layout.t_max:
+        ti_ = tpl.to_i[ty]
+        ok = (ti_ >= 0) & used[:, None]
+        out["torsion_params"] = {
+            "i": jnp.where(ok, slot_base + ti_, D).reshape(-1).astype(
+                jnp.int32),
+            "j": jnp.where(ok, slot_base + tpl.to_j[ty], D + 1).reshape(
+                -1).astype(jnp.int32),
+            "k_": jnp.where(ok, slot_base + tpl.to_k_[ty], D + 2).reshape(
+                -1).astype(jnp.int32),
+            "l": jnp.where(ok, slot_base + tpl.to_l[ty], D + 3).reshape(
+                -1).astype(jnp.int32),
+            "phase": jnp.where(ok, tpl.to_phase[ty], 0.0).reshape(
+                -1).astype(rdt),
+            "n": jnp.where(ok, tpl.to_n[ty], 1.0).reshape(-1).astype(rdt),
+            "k": jnp.where(ok, tpl.to_k[ty], 0.0).reshape(-1).astype(rdt)}
+
     gid = jnp.where(valid_atom,
                     (mol_base[:, None] + tpl.gid_off[ty]).reshape(-1),
                     -1 - jnp.arange(Rc * K))
@@ -1089,7 +1224,7 @@ def _exception_eg_maker(prm):
 
 def _make_local_eaf(layout: ResidentLayout, spec_loc, static_loc, tables,
                     cfg, pair_eg, coulomb_scale, pme, drude_energy,
-                    pme_self, disp):
+                    pme_self, disp, bonded_fns=()):
     """energy_and_forces(positions, box, neighbors, pos_err) over the
     LOCAL state (inside shard_map).  Forces are complete per owned atom (no
     psum); the reported energy is the exact psum'd total."""
@@ -1137,6 +1272,8 @@ def _make_local_eaf(layout: ResidentLayout, spec_loc, static_loc, tables,
                                    c["inc"], {"qq": c["qq"],
                                               "sig": c["sig"],
                                               "eps": c["eps"]})
+            for fn, key in bonded_fns:
+                e = e + fn(tables[key], posv, box)
             vol = box_diag[0] * box_diag[1] * box_diag[2]
             e = e + (pme_self + disp / vol) / n_dev
             if pme is not None:
@@ -1268,6 +1405,7 @@ class ResidentContext:
         n_dev = mesh.shape[axis]
 
         tp, mol_type, mol_base, mx = analyze(context)
+        self._bonded_fns = tuple(mx.pop("bonded_fns"))
         nb_fn = next(t[0] for t in context._terms
                      if hasattr(t[0], "cellpair_cfg"))
         cfg = nb_fn.cellpair_cfg
@@ -1302,6 +1440,7 @@ class ResidentContext:
             s_max=mx["s_max"], va_max=mx["va_max"], vo_max=mx["vo_max"],
             vl_max=mx["vl_max"], lc_k=mx["lc_k"], d_max=mx["d_max"],
             sp_max=mx["sp_max"], e_max=mx["e_max"], x_max=mx["x_max"],
+            b_max=mx["b_max"], a_max=mx["a_max"], t_max=mx["t_max"],
             inc_k=mx["inc_k"], n_words=mx["n_words"], loc_x=loc_x,
             has_aniso1=mx["has_aniso1"], has_aniso2=mx["has_aniso2"],
             Kd=max(K, 5))
@@ -1495,7 +1634,8 @@ class ResidentContext:
             eaf = _make_local_eaf(
                 layout, spec_loc, self._static_loc, tables, self._cfg,
                 self._pair_eg, self._coulomb_scale, self._pme,
-                self._drude_energy, self._pme_self, self._disp)
+                self._drude_energy, self._pme_self, self._disp,
+                bonded_fns=self._bonded_fns)
             step = tgnh.make_step(self._static_loc, eaf,
                                   reduce_axis=layout.axis)
             sim = self._sim_from(st, tables)

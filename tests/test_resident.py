@@ -108,3 +108,34 @@ def test_resident_four_devices():
     rctx = resident.ResidentContext(ctx, _mesh(4))
     rctx.step(8)
     np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
+
+
+def test_resident_bonded_multigroup():
+    """Bonded terms (bonds + angles) + 4 baths (cation/anion/COM/Drude)
+    + RF nonbonded through the resident engine == plain stepping."""
+    from openmm_drudenose_tpu.io import ionic_liquid
+
+    system, positions, cations, anions = ionic_liquid.build_ionic_liquid(
+        n_pairs=140, density=0.5, method=dn.NonbondedForce.CutoffPeriodic,
+        cutoff=1.2, add_cm_motion=False)
+
+    def build():
+        integ = ionic_liquid.make_tgnh_integrator(
+            cations, anions, system.getNumParticles(), temperature=400.0,
+            step_size=0.0005)
+        integ.setMaxDrudeDistance(0.05)
+        ctx = dn.Context(system, integ, precision="double",
+                         strategy="cellpair")
+        ctx.setPositions(positions)
+        ctx.setVelocitiesToTemperature(300.0, seed=3)
+        ctx._ensure_forces()
+        return ctx
+
+    ctx_plain = build()
+    ctx_plain.getIntegrator().step(8)
+    ref_pos = ctx_plain.getPositions()
+
+    ctx = build()
+    rctx = resident.ResidentContext(ctx, _mesh(2))
+    rctx.step(8)
+    np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
