@@ -57,6 +57,13 @@ class StaticSpec:
     baro_freq: int              # 0 = no barostat
     constraint_tol: float
     shake_max_iter: int = 150
+    # uniform molecule-major layout (build_spec detection): every residue
+    # is K consecutive atoms with the SAME within-block partner offsets.
+    # Lets the kinematics replace random partner gathers with lane shifts
+    # (uniform_k = 0 disables the fast path; parallel/resident.py local
+    # layouts disable it explicitly because of the dummy tail)
+    uniform_k: int = 0
+    partner_offsets: tuple = ()
 
     @property
     def n_baths(self) -> int:
@@ -335,6 +342,23 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         lc_yw[row, :k] = vs.y_weights
         lc_local[row] = vs.local_position
 
+    # ---- uniform molecule-major layout detection --------------------------
+    # When every residue is K consecutive atoms and the within-block partner
+    # offset pattern is identical across residues (true for homogeneous
+    # boxes like the 100k-atom SWM4 benchmark), the kinematics' random
+    # partner gathers become static lane shifts (integrators/tgnh.py
+    # _partner_rows) — gathers measured ~40x a linear pass on v5e.
+    uniform_k = 0
+    partner_offsets = ()
+    if n_res and n % n_res == 0:
+        K_u = n // n_res
+        ids = np.arange(n)
+        if np.array_equal(np.asarray(resid), ids // K_u):
+            offK = (partner - ids).reshape(n_res, K_u)
+            if (offK == offK[0]).all():
+                uniform_k = K_u
+                partner_offsets = tuple(int(x) for x in offK[0])
+
     static = StaticSpec(
         n_atoms=n,
         n_residues=n_res,
@@ -353,6 +377,8 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         cm_freq=cm_freq,
         baro_freq=baro_freq,
         constraint_tol=float(integrator.getConstraintTolerance()),
+        uniform_k=uniform_k,
+        partner_offsets=partner_offsets,
     )
 
     r, a = real_dtype, accum_dtype

@@ -16,10 +16,17 @@ from ..constraints.vsites import apply_vsites
 
 
 def maybe_attempt_mc_move(spec, static, state, energy_and_forces,
-                          recompute_current: bool = False):
+                          recompute_current: bool = False,
+                          n_mol: int = None):
     """recompute_current: the force-only step leaves
     state.potential_energy stale, so the MC branch re-evaluates the
-    current-configuration energy itself (only at attempt steps)."""
+    current-configuration energy itself (only at attempt steps).
+
+    n_mol: molecule count for the N kT ln(V'/V) term — defaults to
+    static.n_residues; the resident (molecule-sharded) engine passes the
+    GLOBAL count because its local static counts only slot capacity."""
+    if n_mol is None:
+        n_mol = static.n_residues
     def attempt(state):
         accum = state.eta.dtype
         r = state.positions.dtype
@@ -50,7 +57,6 @@ def maybe_attempt_mc_move(spec, static, state, energy_and_forces,
         else:
             pe_old = state.potential_energy
         kt = spec.baro_kt
-        n_mol = static.n_residues
         w = (pe_new - pe_old + spec.baro_pressure * dv
              - n_mol * kt * jnp.log(new_vol / vol))
         accept = (w <= 0) | (jax.random.uniform(k_acc, dtype=accum)

@@ -30,6 +30,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constraints import settle, shake
 from ..constraints.vsites import apply_vsites
@@ -51,6 +52,33 @@ def _gather_rows(x, idx):
     large random gather costs ~42x in lane padding — CLAUDE.md perf
     rules).  XLA folds the transposes into neighboring elementwise work."""
     return x.T[:, idx].T
+
+
+def _partner_rows(spec: SystemSpec, static: StaticSpec, x):
+    """x[spec.partner] — the pair-partner row gather the kinematics runs
+    ~10x per step.  With a uniform molecule-major layout
+    (static.uniform_k, core/spec.py detection) the partner index is
+    i + d[i % K] for a fixed K-periodic offset pattern, so the random
+    gather becomes a select over a few lane-SHIFTED copies (pure
+    elementwise work XLA fuses; random lane gathers measured ~40x a
+    linear pass on v5e).  The shifts never select their cyclic wrap:
+    partners stay inside the residue block, so i + d is always in range
+    where the offset mask is true."""
+    if not static.uniform_k:
+        return _gather_rows(x, spec.partner)
+    pat = np.asarray(static.partner_offsets)
+    distinct = sorted(set(static.partner_offsets))
+    if distinct == [0]:
+        return x
+    n = static.n_atoms
+    xt = x.T
+    out = xt
+    for d in distinct:
+        if d == 0:
+            continue
+        mask = jnp.asarray(np.tile(pat == d, n // static.uniform_k))
+        out = jnp.where(mask[None, :], jnp.roll(xt, -d, axis=1), out)
+    return out.T
 
 
 def residue_sum(spec: SystemSpec, static: StaticSpec, per_atom):
@@ -105,7 +133,7 @@ def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
         m_j = mass[j]
         mtot = m_i + m_j
         inv_mtot = _safe_inv(mtot)
-        nv_j = _gather_rows(nv, j)
+        nv_j = _partner_rows(spec, static, nv)
         cm = (m_i[:, None] * nv + m_j[:, None] * nv_j) * inv_mtot[:, None]
         rel = nv - nv_j  # sign irrelevant for |rel|^2
         mu = m_i * m_j * inv_mtot
@@ -228,7 +256,7 @@ def apply_vscale(spec: SystemSpec, static: StaticSpec, velocities,
         m_i = spec.mass
         m_j = spec.mass[j]
         inv_mtot = _safe_inv(m_i + m_j)
-        nv_j = _gather_rows(norm_vel, j)
+        nv_j = _partner_rows(spec, static, norm_vel)
         sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[:, None]
         cm = ((m_i * inv_mtot)[:, None] * norm_vel
               + (m_j * inv_mtot)[:, None] * nv_j)
@@ -255,8 +283,8 @@ def half_kick(spec: SystemSpec, static: StaticSpec, velocities, forces, dt):
         mtot = m_i + m_j
         inv_mtot = _safe_inv(mtot)
         inv_red = mtot * spec.inv_mass * spec.inv_mass[j]  # M/(m_i m_j)
-        v_j = _gather_rows(velocities, j)
-        f_j = _gather_rows(forces, j)
+        v_j = _partner_rows(spec, static, velocities)
+        f_j = _partner_rows(spec, static, forces)
         sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[:, None]
         cm = ((m_i * inv_mtot)[:, None] * velocities
               + (m_j * inv_mtot)[:, None] * v_j)
@@ -285,8 +313,8 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
     i_is_parent = spec.is_parent
     j = spec.partner
     # role-resolved views: (drude, parent) per pair member
-    pos_j = _gather_rows(positions, j)
-    vel_j = _gather_rows(velocities, j)
+    pos_j = _partner_rows(spec, static, positions)
+    vel_j = _partner_rows(spec, static, velocities)
     pos_d = jnp.where(i_is_parent[:, None], pos_j, positions)
     pos_p = jnp.where(i_is_parent[:, None], positions, pos_j)
     vel_d = jnp.where(i_is_parent[:, None], vel_j, velocities)
@@ -298,7 +326,7 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
     if pos_err is not None:
         # compensate the tiny pair displacement (the hi-hi difference is
         # exact by Sterbenz; the dropped bits live in pos_err)
-        err_j = _gather_rows(pos_err, j)
+        err_j = _partner_rows(spec, static, pos_err)
         err_d = jnp.where(i_is_parent[:, None], err_j, pos_err)
         err_p = jnp.where(i_is_parent[:, None], pos_err, err_j)
         delta = delta + (err_d - err_p)
@@ -370,6 +398,7 @@ def make_step(static: StaticSpec,
               forces_fn: Callable = None,
               skin: float = None,
               reduce_axis: str = None,
+              baro_n_mol: int = None,
               ) -> Callable[[SystemSpec, SimState], SimState]:
     """Build step(spec, state) -> state.
 
@@ -450,7 +479,8 @@ def make_step(static: StaticSpec,
             from . import barostat
             state = barostat.maybe_attempt_mc_move(
                 spec, static, state, energy_and_forces,
-                recompute_current=forces_fn is not None)
+                recompute_current=forces_fn is not None,
+                n_mol=baro_n_mol)
 
         # -- first NH half step + velocity scaling -------------------------
         state, v = nh_half(spec, state, state.velocities)

@@ -31,10 +31,11 @@ The TGNH step itself is integrators/tgnh.make_step operating on the LOCAL
 spec/state with reduce_axis psums — the physics code is shared with the
 single-device path, not forked.
 
-Scope (capability-guarded): cellpair strategy, PME or RF, SETTLE + virtual
-sites + Drude + exceptions/exclusion corrections + bonded terms (bonds,
-angles, torsions); no SHAKE clusters, no NBTHOLE (cross-molecule), no
-barostat.
+Scope (capability-guarded): cellpair strategy, PME or RF, SETTLE + SHAKE
+clusters + virtual sites + Drude + exceptions/exclusion corrections +
+bonded terms (bonds, angles, torsions) + MC barostat (replicated RNG/box;
+the N kT ln V term uses the GLOBAL molecule count); no NBTHOLE
+(cross-molecule pairs would break slab ownership).
 """
 
 from __future__ import annotations
@@ -89,6 +90,7 @@ class ResidentLayout:
     b_max: int        # harmonic bond rows
     a_max: int        # harmonic angle rows
     t_max: int        # torsion rows
+    sh_max: int       # SHAKE constraint rows per molecule
     inc_k: int        # incident (corr+exception) rows per atom
     n_words: int
     loc_x: int        # cell planes per device
@@ -182,6 +184,10 @@ class Templates(NamedTuple):
     to_phase: jax.Array
     to_n: jax.Array
     to_k: jax.Array
+    # SHAKE constraints (offsets -1 = pad)
+    sh_i: jax.Array         # (T, sh_max) int32
+    sh_j: jax.Array
+    sh_d: jax.Array
 
 
 def analyze(context):
@@ -236,9 +242,9 @@ def analyze(context):
     settle_dist = np.asarray(spec.settle_dist, np.float64)
     settle_by = group_rows(settle_idx, 0)
 
-    if static.n_shake:
-        raise NotImplementedError(
-            "resident mode does not support SHAKE clusters")
+    shk_idx = np.asarray(spec.shake_idx, np.int64).reshape(-1, 2)
+    shk_dist = np.asarray(spec.shake_dist, np.float64)
+    shake_by = group_rows(shk_idx, 0)
 
     vsa_idx = np.asarray(spec.vs_avg_idx, np.int64)
     vsa_p = np.asarray(spec.vs_avg_p, np.int64)
@@ -401,8 +407,11 @@ def analyze(context):
              fo(to_p["l"][row]), float(to_p["phase"][row]),
              float(to_p["n"][row]), float(to_p["k"][row]))
             for row in to_by[r]))
+        sh_sig = tuple(sorted(
+            (fo(shk_idx[row, 0]), fo(shk_idx[row, 1]),
+             float(shk_dist[row])) for row in shake_by[r]))
         sig = (atom_sig, st_sig, va_sig, vo_sig, vl_sig, dr_sig, sp_sig,
-               corr_sig, x_sig, bd_sig, an_sig, to_sig,
+               corr_sig, x_sig, bd_sig, an_sig, to_sig, sh_sig,
                float(res_mass[r]))
         t = sigs.get(sig)
         if t is None:
@@ -424,6 +433,7 @@ def analyze(context):
         b_max=max((len(s[9]) for s in type_data), default=0),
         a_max=max((len(s[10]) for s in type_data), default=0),
         t_max=max((len(s[11]) for s in type_data), default=0),
+        sh_max=max((len(s[12]) for s in type_data), default=0),
     )
 
     # ---- pack templates ----------------------------------------------
@@ -484,12 +494,15 @@ def analyze(context):
         to_l=np.full((T, mx["t_max"]), -1, np.int32),
         to_phase=z((T, mx["t_max"])), to_n=np.ones((T, mx["t_max"])),
         to_k=z((T, mx["t_max"])),
+        sh_i=np.full((T, mx["sh_max"]), -1, np.int32),
+        sh_j=np.full((T, mx["sh_max"]), -1, np.int32),
+        sh_d=np.full((T, mx["sh_max"]), 0.1),
     )
     inc_lists = [[[ [] for _ in range(K)] for _ in range(2)]
                  for _ in range(T)]  # [t][0=corr,1=exc][k] -> entries
     for t, sig in enumerate(type_data):
         (atom_sig, st_sig, va_sig, vo_sig, vl_sig, dr_sig, sp_sig,
-         corr_sig, x_sig, bd_sig, an_sig, to_sig, rmass) = sig
+         corr_sig, x_sig, bd_sig, an_sig, to_sig, sh_sig, rmass) = sig
         tp["res_mass"][t] = rmass
         for k, a in enumerate(atom_sig):
             (m, q, sg, ep, g, ip, ipar, po, go, eww) = a
@@ -559,6 +572,9 @@ def analyze(context):
              tp["to_l"][t, s]) = row[:4]
             (tp["to_phase"][t, s], tp["to_n"][t, s],
              tp["to_k"][t, s]) = row[4:]
+        for s, row in enumerate(sh_sig):
+            tp["sh_i"][t, s], tp["sh_j"][t, s] = row[0], row[1]
+            tp["sh_d"][t, s] = row[2]
 
     inc_k = max([1] + [len(l) for t in range(T) for side in range(2)
                  for l in inc_lists[t][side]])
@@ -845,6 +861,18 @@ def _local_tables(tpl: Templates, layout: ResidentLayout, mol_type,
             "n": jnp.where(ok, tpl.to_n[ty], 1.0).reshape(-1).astype(rdt),
             "k": jnp.where(ok, tpl.to_k[ty], 0.0).reshape(-1).astype(rdt)}
 
+    # SHAKE constraints (pads reference the dummy D/D+1 pair, whose
+    # separation is exactly the pad distance 0.1 — already satisfied, so
+    # the Jacobi sweeps never move them or stall convergence)
+    if layout.sh_max:
+        si = tpl.sh_i[ty]
+        ok = (si >= 0) & used[:, None]
+        ii = jnp.where(ok, slot_base + si, D).reshape(-1)
+        jj = jnp.where(ok, slot_base + tpl.sh_j[ty], D + 1).reshape(-1)
+        out["shake_idx"] = jnp.stack([ii, jj], axis=1).astype(jnp.int32)
+        out["shake_dist"] = jnp.where(ok, tpl.sh_d[ty],
+                                      0.1).reshape(-1).astype(rdt)
+
     gid = jnp.where(valid_atom,
                     (mol_base[:, None] + tpl.gid_off[ty]).reshape(-1),
                     -1 - jnp.arange(Rc * K))
@@ -871,8 +899,8 @@ def _local_spec(spec_g: SystemSpec, tables, rdt) -> SystemSpec:
         hardwall_scale=spec_g.hardwall_scale,
         settle_idx=t["settle_idx"], settle_dist=t["settle_dist"],
         settle_gather=t["settle_gather"],
-        shake_idx=jnp.zeros((0, 2), jnp.int32),
-        shake_dist=jnp.zeros((0,), rdt),
+        shake_idx=t.get("shake_idx", jnp.zeros((0, 2), jnp.int32)),
+        shake_dist=t.get("shake_dist", jnp.zeros((0,), rdt)),
         vs_avg_idx=t.get("vs_avg_idx", z3),
         vs_avg_p=t.get("vs_avg_p", jnp.zeros((0, 3), jnp.int32)),
         vs_avg_w=t.get("vs_avg_w", jnp.zeros((0, 3), rdt)),
@@ -895,11 +923,15 @@ def local_static(static_g: StaticSpec, layout: ResidentLayout) -> StaticSpec:
         n_atoms=layout.n_loc,
         n_residues=layout.Rc + 1,
         n_settle=layout.Rc * layout.s_max,
-        n_shake=0,
+        n_shake=layout.Rc * layout.sh_max,
         n_vsites_avg=layout.Rc * layout.va_max,
         n_vsites_oop=layout.Rc * layout.vo_max,
         n_vsites_lc=layout.Rc * layout.vl_max,
-        baro_freq=0,
+        # the local layout appends a Kd-atom dummy tail and parks unused
+        # slots, breaking the uniform-block pattern the lane-shift
+        # kinematics fast path assumes
+        uniform_k=0,
+        partner_offsets=(),
     )
 
 
@@ -1396,9 +1428,6 @@ class ResidentContext:
     def __init__(self, context, mesh: Mesh, axis: str = "atom",
                  Rc: int = None, Ec: int = None):
         context._ensure_forces()
-        if context._static.baro_freq:
-            raise NotImplementedError(
-                "resident mode does not support the MC barostat yet")
         self._ctx = context
         self._mesh = mesh
         self._axis = axis
@@ -1425,6 +1454,7 @@ class ResidentContext:
         pos0 = np.asarray(context._state.positions, np.float64)
         box0 = np.diagonal(np.asarray(context._state.box, np.float64))
         R = len(mol_type)
+        self._n_mol_global = R
         anchor = pos0[mol_base, 0] / box0[0]
         anchor = anchor - np.floor(anchor)
         plane = np.clip((anchor * gx).astype(np.int64), 0, gx - 1)
@@ -1441,6 +1471,7 @@ class ResidentContext:
             vl_max=mx["vl_max"], lc_k=mx["lc_k"], d_max=mx["d_max"],
             sp_max=mx["sp_max"], e_max=mx["e_max"], x_max=mx["x_max"],
             b_max=mx["b_max"], a_max=mx["a_max"], t_max=mx["t_max"],
+            sh_max=mx["sh_max"],
             inc_k=mx["inc_k"], n_words=mx["n_words"], loc_x=loc_x,
             has_aniso1=mx["has_aniso1"], has_aniso2=mx["has_aniso2"],
             Kd=max(K, 5))
@@ -1526,6 +1557,9 @@ class ResidentContext:
             "ke_sum": st.ke_sum, "group_ke": st.group_ke,
             "step": st.step, "time": st.time, "box": st.box,
             "pe": st.potential_energy,
+            "key": st.key, "baro_scale": st.baro_scale,
+            "baro_na": st.baro_naccept, "baro_nt": st.baro_nattempt,
+            "stencil": jnp.zeros((n_dev,), bool),
         }
         if err_np is not None:
             self._st["pos_err"] = jnp.asarray(err_g.reshape(-1, 3))
@@ -1537,9 +1571,11 @@ class ResidentContext:
             "mol_type": ax, "mol_base": ax, "n_mol": ax,
             "slot_atom": ax, "inv_slot": ax,
             "cs_overflow": ax, "mig_overflow": ax, "hw": ax,
+            "stencil": ax,
             "eta": P(), "eta_dot": P(), "eta_dot_dot": P(),
             "ke_sum": P(), "group_ke": P(), "step": P(), "time": P(),
             "box": P(), "pe": P(),
+            "key": P(), "baro_scale": P(), "baro_na": P(), "baro_nt": P(),
         }
         if "pos_err" in self._st:
             self._specs["pos_err"] = ax2
@@ -1571,10 +1607,10 @@ class ResidentContext:
             potential_energy=st["pe"], box=st["box"], eta=st["eta"],
             eta_dot=st["eta_dot"], eta_dot_dot=st["eta_dot_dot"],
             ke_sum=st["ke_sum"], group_ke=st["group_ke"], step=st["step"],
-            time=st["time"], key=jax.random.PRNGKey(0),
-            baro_scale=jnp.zeros((), acc),
-            baro_naccept=jnp.zeros((), jnp.int32),
-            baro_nattempt=jnp.zeros((), jnp.int32),
+            time=st["time"], key=st["key"],
+            baro_scale=st["baro_scale"],
+            baro_naccept=st["baro_na"],
+            baro_nattempt=st["baro_nt"],
             hardwall_runaway=st["hw"][0],
             neighbors=cs,
             pos_err=st.get("pos_err"))
@@ -1586,6 +1622,8 @@ class ResidentContext:
             pe=sim.potential_energy, eta=sim.eta, eta_dot=sim.eta_dot,
             eta_dot_dot=sim.eta_dot_dot, ke_sum=sim.ke_sum,
             group_ke=sim.group_ke, step=sim.step, time=sim.time,
+            box=sim.box, key=sim.key, baro_scale=sim.baro_scale,
+            baro_na=sim.baro_naccept, baro_nt=sim.baro_nattempt,
             hw=sim.hardwall_runaway[None])
         if sim.pos_err is not None:
             out["pos_err"] = sim.pos_err
@@ -1614,8 +1652,15 @@ class ResidentContext:
                                self._rdt)
             slot_atom, inv_slot, cs_ovf = _local_cellsort(
                 pos, tb["valid"], box_diag, cfg, layout, d)
+            # NPT guard (forces/cellpair.build_cellsort): the static
+            # stencil covers r_list only while window_d * cell_d >= r_list
+            # — a barostat-shrunk box can violate this silently
+            wcell = (jnp.asarray(cfg.window, box_diag.dtype) * box_diag
+                     / jnp.asarray(cfg.grid, box_diag.dtype))
+            sten = jnp.any(wcell < cfg.r_list)
             out.update(slot_atom=slot_atom, inv_slot=inv_slot,
-                       cs_overflow=(st["cs_overflow"][0] | cs_ovf)[None])
+                       cs_overflow=(st["cs_overflow"][0] | cs_ovf)[None],
+                       stencil=(st["stencil"][0] | sten)[None])
             return out
 
         fn = _shard_map(reb, self._mesh, in_specs=(self._specs,),
@@ -1637,7 +1682,8 @@ class ResidentContext:
                 self._drude_energy, self._pme_self, self._disp,
                 bonded_fns=self._bonded_fns)
             step = tgnh.make_step(self._static_loc, eaf,
-                                  reduce_axis=layout.axis)
+                                  reduce_axis=layout.axis,
+                                  baro_n_mol=self._n_mol_global)
             sim = self._sim_from(st, tables)
 
             def body(s, _):
@@ -1668,6 +1714,10 @@ class ResidentContext:
                 ">1-slab anchor jump) — raise Rc/Ec or rebuild the context")
         if bool(jnp.any(self._st["cs_overflow"])):
             raise RuntimeError("resident cell-capacity overflow")
+        if bool(jnp.any(self._st["stencil"])):
+            raise RuntimeError(
+                "cell stencil no longer covers the cutoff (NPT box shrank "
+                "past the compile-time grid plan) — rebuild the context")
         if bool(jnp.any(self._st["hw"])) and self._ctx._hardwall_strict:
             raise RuntimeError(
                 "Drude particle moved too far beyond the hard wall")

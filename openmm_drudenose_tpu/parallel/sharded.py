@@ -143,7 +143,8 @@ def make_slab_sweep(axis: str, n_dev: int):
 
 
 def make_sharded_energy_and_forces(context, mesh: Mesh,
-                                   axis: str = "atom") -> Callable:
+                                   axis: str = "atom",
+                                   distributed_fft: bool = False) -> Callable:
     """energy_and_forces(positions, box, neighbors) -> (pe, forces), with
     the force work partitioned over `mesh[axis]` and merged by psum.
     Drop-in replacement for Context._energy_and_forces; trajectories match
@@ -166,6 +167,14 @@ def make_sharded_energy_and_forces(context, mesh: Mesh,
     pme = nb_fn.pme_setup
     extras = nb_fn.extras_energy
     others = [t for t in context._terms if t is not nb]
+    if distributed_fft:
+        from . import distfft
+        if pme is None:
+            raise ValueError("distributed_fft requires PME")
+        if not distfft.shardable(pme.grid, n_dev):
+            raise ValueError(
+                f"PME grid {pme.grid} not divisible by {n_dev} devices "
+                f"in x and y")
 
     slab_impl = make_slab_sweep(axis, n_dev)
     sweep_term = cp.make_custom_energy(cfg, nb_fn.pair_eg,
@@ -220,8 +229,20 @@ def make_sharded_energy_and_forces(context, mesh: Mesh,
                     posp, d * n_atom_loc, n_atom_loc)
                 q_d = jax.lax.dynamic_slice_in_dim(
                     qp, d * n_atom_loc, n_atom_loc)
-                Q = psum_grid(pme.spread(q_d, pos_d, box_diag))
-                e_pme = pme.energy_of_grid(Q, box_diag)
+                if distributed_fft:
+                    from . import distfft
+                    # reduce-scatter the spread grids into x-slabs (half
+                    # the comm of the full-grid psum), then the sharded
+                    # pencil FFT completes the reciprocal sum
+                    Q_loc = jax.lax.psum_scatter(
+                        pme.spread(q_d, pos_d, box_diag), axis,
+                        scatter_dimension=0, tiled=True)
+                    e_pme = psum_grid(distfft.local_energy(
+                        pme.grid, pme.alpha, pme.bm2x, pme.bm2y, pme.bm2z,
+                        Q_loc, box_diag, axis, n_dev))
+                else:
+                    Q = psum_grid(pme.spread(q_d, pos_d, box_diag))
+                    e_pme = pme.energy_of_grid(Q, box_diag)
             else:
                 e_pme = jnp.zeros((), posv.dtype)
             # e_pme is replicated-valued but each device's gradient flows
@@ -256,16 +277,18 @@ class ShardedContext:
         sctx.step(1000)
     """
 
-    def __init__(self, context, mesh: Mesh, axis: str = "atom"):
+    def __init__(self, context, mesh: Mesh, axis: str = "atom",
+                 distributed_fft: bool = False):
         context._ensure_forces()
         self._ctx = context
         self._mesh = mesh
         self._axis = axis
+        self._dfft = distributed_fft
         self._rebuild_eaf()
 
     def _rebuild_eaf(self) -> None:
-        self._eaf = make_sharded_energy_and_forces(self._ctx, self._mesh,
-                                                   self._axis)
+        self._eaf = make_sharded_energy_and_forces(
+            self._ctx, self._mesh, self._axis, distributed_fft=self._dfft)
         self._terms_ref = self._ctx._terms
         self._step_fns = {}
 

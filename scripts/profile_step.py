@@ -82,6 +82,16 @@ def main():
         print(f"block sweep (e+f)    : {t / 8:8.2f} ms (8-sweep scan)")
         return
 
+    # the in-step sweep alone (Pallas kernel when enabled)
+    def sf_scan(positions):
+        def body(p, _):
+            f = nb_fn.sweep_forces(nb_params, p, box_diag, st.neighbors)
+            return p + 0.0 * f, None
+        p, _ = jax.lax.scan(body, positions, None, length=8)
+        return p
+    t = timeit(jax.jit(sf_scan), st.positions, n=3)
+    print(f"in-step sweep forces : {t / 8:8.2f} ms (8-scan)")
+
     # forces-only pass (what the step actually runs)
     if ctx._forces_only is not None:
         def fo_scan(positions):

@@ -110,6 +110,75 @@ def test_resident_four_devices():
     np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
 
 
+def test_resident_barostat_matches_single():
+    """MC barostat (NPT) through the resident engine: box moves, COM
+    scaling, adaptive schedule and RNG all match plain stepping (the
+    replicated key makes every device draw identical MC decisions)."""
+    def build():
+        system, positions = swm4_water_box(grid_size=6, cutoff=0.7,
+                                           add_cm_motion=False)
+        system.getForce(0).setNonbondedMethod(dn.NonbondedForce.PME)
+        system.addForce(dn.MonteCarloBarostat(1.01325, 300.0, 4))
+        integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005,
+                                       20, 2)
+        integ.setMaxDrudeDistance(0.05)
+        ctx = dn.Context(system, integ, precision="double",
+                         strategy="cellpair")
+        ctx.setPositions(positions)
+        ctx.applyConstraints(1e-6)
+        ctx.setVelocitiesToTemperature(200.0, seed=0)
+        ctx._ensure_forces()
+        return ctx
+
+    ctx_plain = build()
+    ctx_plain.getIntegrator().step(12)
+    ref_pos = ctx_plain.getPositions()
+    ref_box = np.asarray(ctx_plain._state.box)
+    assert int(ctx_plain._state.baro_nattempt) + int(
+        ctx_plain._state.baro_naccept) > 0  # at least one MC attempt fired
+
+    ctx = build()
+    rctx = resident.ResidentContext(ctx, _mesh(2))
+    rctx._rebuild_interval = 6
+    rctx.step(12)
+    np.testing.assert_allclose(np.asarray(rctx.state["box"]), ref_box,
+                               rtol=1e-12)
+    assert (int(np.asarray(rctx.state["baro_nt"]))
+            == int(ctx_plain._state.baro_nattempt))
+    np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
+
+
+def test_resident_shake_matches_single():
+    """General (non-triangle) constraint clusters through the resident
+    engine: SHAKE rows flow through the per-TYPE templates; pad rows
+    reference the already-satisfied dummy pair."""
+    def build():
+        system, positions = swm4_water_box(grid_size=6, cutoff=0.7,
+                                           add_cm_motion=False,
+                                           rigid_hh=False)
+        system.getForce(0).setNonbondedMethod(dn.NonbondedForce.PME)
+        integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005,
+                                       20, 2)
+        integ.setMaxDrudeDistance(0.05)
+        ctx = dn.Context(system, integ, precision="double",
+                         strategy="cellpair")
+        ctx.setPositions(positions)
+        ctx.applyConstraints(1e-6)
+        ctx.setVelocitiesToTemperature(200.0, seed=0)
+        ctx._ensure_forces()
+        return ctx
+
+    ctx_plain = build()
+    assert ctx_plain._static.n_shake > 0 and ctx_plain._static.n_settle == 0
+    ctx_plain.getIntegrator().step(8)
+    ref_pos = ctx_plain.getPositions()
+
+    ctx = build()
+    rctx = resident.ResidentContext(ctx, _mesh(2))
+    rctx.step(8)
+    np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
+
+
 def test_resident_bonded_multigroup():
     """Bonded terms (bonds + angles) + 4 baths (cation/anion/COM/Drude)
     + RF nonbonded through the resident engine == plain stepping."""

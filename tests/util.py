@@ -21,10 +21,15 @@ def single_pair_system(charge=0.1, k_over=1.5, mass1=1.0, mass2=0.1):
     return system
 
 
-def swm4_water_box(grid_size=3, spacing=0.6, cutoff=1.0, add_cm_motion=True):
+def swm4_water_box(grid_size=3, spacing=0.6, cutoff=1.0, add_cm_motion=True,
+                   rigid_hh=True):
     """Box of SWM4-NDP water: constraints, ThreeParticleAverageSite virtual
     sites, Drude on O, CutoffPeriodic nonbonded
-    (Test*DrudeTGNHIntegrator.cpp:111-161)."""
+    (Test*DrudeTGNHIntegrator.cpp:111-161).
+
+    rigid_hh=False drops the H-H constraint, turning each water's
+    constraint cluster from a SETTLE triangle into a 2-bond chain solved by
+    Jacobi SHAKE — used to exercise the general-cluster path."""
     num_molecules = grid_size ** 3
     box_size = spacing * (grid_size + 1)
     system = dn.System()
@@ -53,7 +58,8 @@ def swm4_water_box(grid_size=3, spacing=0.6, cutoff=1.0, add_cm_motion=True):
                 nonbonded.addException(start + j, start + k, 0, 1, 0)
         system.addConstraint(start, start + 2, 0.09572)
         system.addConstraint(start, start + 3, 0.09572)
-        system.addConstraint(start + 2, start + 3, 0.15139)
+        if rigid_hh:
+            system.addConstraint(start + 2, start + 3, 0.15139)
         system.setVirtualSite(start + 4, dn.ThreeParticleAverageSite(
             start, start + 2, start + 3, 0.786646558, 0.106676721, 0.106676721))
         drude.addParticle(start + 1, start, -1, -1, -1, -1.71636,
