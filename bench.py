@@ -50,6 +50,30 @@ def build_context(n_atoms: int, precision: str, platform: str | None,
     return ctx, integ
 
 
+def equilibrate(ctx, integ, n_atoms, precision, steps: int):
+    """Run `steps` equilibration steps, then rebuild a FRESH context from
+    the equilibrated snapshot.  The lattice initial condition is not the
+    state the benchmark claims to measure (a liquid): its lumpy cell
+    occupancy can overflow the planned cell capacity and force a grow,
+    permanently inflating the sweep's padded work.  A fresh context
+    re-plans the cell structure for the relaxed liquid."""
+    import numpy as np
+    integ.step(steps)
+    st = ctx.getState(positions=True, velocities=True)
+    pos = np.asarray(st.getPositions())
+    vel = np.asarray(st.getVelocities())
+    import openmm_drudenose_tpu as dn
+    from openmm_drudenose_tpu.io import builders
+    system, _ = builders.build_water_box(n_atoms // 5)
+    integ2 = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ2.setMaxDrudeDistance(0.02)
+    ctx2 = dn.Context(system, integ2, precision=precision,
+                      strategy="cellpair")
+    ctx2.setPositions(pos)
+    ctx2.setVelocities(vel)
+    return ctx2, integ2
+
+
 def measure_ns_day(ctx, integ, steps: int, repeats: int) -> float:
     import jax
     # warm up with the same step count so every scan length is compiled
@@ -90,6 +114,11 @@ def main():
     p.add_argument("--baseline-steps", type=int, default=4)
     p.add_argument("--capacity", type=int, default=None,
                    help="force the cell capacity (debug/tuning)")
+    p.add_argument("--equil-steps", type=int, default=1000,
+                   help="equilibration steps before timing (then the "
+                        "context is rebuilt so the cell structure is "
+                        "planned from the relaxed liquid; 0 = lattice "
+                        "start)")
     args = p.parse_args()
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -132,6 +161,9 @@ def main():
     ctx, integ = build_context(args.atoms, "single", None,
                                {"capacity": args.capacity}
                                if args.capacity else None)
+    if args.equil_steps:
+        ctx, integ = equilibrate(ctx, integ, args.atoms, "single",
+                                 args.equil_steps)
     ns_day = measure_ns_day(ctx, integ, args.steps, args.repeats)
 
     baseline = None

@@ -52,6 +52,10 @@ class CellSort(NamedTuple):
     # may have been missed for up to rebuild_interval steps (diagnostic,
     # latched by the in-step rebuild; surfaced as a warning)
     drift_exceeded: jax.Array = None
+    # (n_pencils * pen_capacity,) atom ids compacted per (x, y) pencil
+    # (N = pad) — the PME packed spread's contraction structure; built only
+    # when cfg.pen_capacity > 0
+    pen_atom: jax.Array = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +75,16 @@ class CellPairConfig:
     regular: bool = False    # all dims have >= 2w+1 cells: shift tables +
                              # box-frame coords replace per-pair round()
     window: tuple = None     # stencil half-width per dim (cells)
+    pen_capacity: int = 0    # atoms per (x,y) pencil for the packed PME
+                             # spread (0 = pencil packing off); set by
+                             # forces/nonbonded.py when PME re-plans its
+                             # grid on the cell grid
+    trimmed: tuple = ()      # per-dim gap cell counts max(|o|-1, 0) of
+                             # stencil offsets DROPPED because their
+                             # closest cell-to-cell approach exceeds
+                             # r_list at plan time; build_cellsort latches
+                             # stencil_invalid if a live (NPT) box brings
+                             # any of them back within range
 
     @property
     def r_list(self) -> float:
@@ -120,6 +134,22 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
         sel = [o for o in offsets.tolist()
                if (o[0], o[1], o[2]) > (0, 0, 0)]
         offsets = np.array([[0, 0, 0]] + sel, np.int32)
+
+    # drop stencil offsets whose closest cell-to-cell approach
+    # (per-dim gap of max(|o|-1, 0) whole cells) exceeds r_list — the
+    # window box's far corners can't contribute pairs.  Only for regular
+    # grids, where offset +-o is geometrically unambiguous (no wrap
+    # aliasing).  The dropped gap vectors are kept so build_cellsort can
+    # latch stencil_invalid if an NPT box shrink re-activates one.
+    trimmed = ()
+    if regular:
+        gap = np.maximum(np.abs(offsets) - 1, 0) * cell_size[None, :]
+        reach = np.sqrt(np.sum(gap * gap, axis=1))
+        drop = reach > r_list
+        if np.any(drop):
+            trimmed = tuple(map(tuple, np.maximum(
+                np.abs(offsets[drop]) - 1, 0).tolist()))
+            offsets = offsets[~drop]
 
     # static neighbor-cell map (n_cells, n_off) and its per-offset inverse
     # permutation (cell that has c as its o-th neighbor), used to credit
@@ -196,6 +226,14 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
         wcell = (jnp.asarray(cfg.window, positions.dtype)
                  * box_diag / jnp.asarray(cfg.grid, positions.dtype))
         stencil_invalid = jnp.any(wcell < cfg.r_list)
+        if cfg.trimmed:
+            # a shrinking NPT box can bring a trimmed far-corner offset
+            # back within r_list reach even while the window still covers
+            h_live = box_diag / jnp.asarray(cfg.grid, positions.dtype)
+            gap = jnp.asarray(cfg.trimmed, positions.dtype) * h_live
+            reach2 = jnp.sum(gap * gap, axis=1)
+            stencil_invalid = stencil_invalid | jnp.any(
+                reach2 <= cfg.r_list * cfg.r_list)
     else:
         stencil_invalid = jnp.zeros((), jnp.bool_)
 
@@ -215,11 +253,37 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
     slot_atom = jnp.full((n_cells * C,), n, jnp.int32)
     slot_atom = slot_atom.at[slot].set(order.astype(jnp.int32), mode="drop")
     inv_slot = jnp.zeros((n,), jnp.int32).at[order].set(slot, mode="drop")
+
+    # (x, y)-pencil packing for the PME spread (pme.spread_pencils_packed):
+    # cells are (cx, cy, cz)-major, so a pencil's atoms are contiguous in
+    # `order`; its compact rank reuses the same searchsorted machinery.
+    # Typical pencil capacity is ~5x tighter than gz * C.
+    pen_atom = None
+    if cfg.pen_capacity:
+        gz = cfg.grid[2]
+        Cp = cfg.pen_capacity
+        n_pen = n_cells // gz
+        pen_sorted = sorted_flat // gz
+        pstarts = jnp.searchsorted(
+            sorted_flat, jnp.arange(n_pen, dtype=sorted_flat.dtype) * gz)
+        rank_p = (jnp.arange(n, dtype=jnp.int32)
+                  - pstarts[jnp.minimum(pen_sorted, n_pen - 1)]
+                  .astype(jnp.int32))
+        in_range = pen_sorted < n_pen
+        overflow = overflow | jnp.any(in_range & (rank_p >= Cp))
+        pslot = jnp.where(in_range,
+                          pen_sorted.astype(jnp.int32) * Cp
+                          + jnp.minimum(rank_p, Cp - 1), n_pen * Cp)
+        pen_atom = jnp.full((n_pen * Cp,), n, jnp.int32)
+        pen_atom = pen_atom.at[pslot].set(order.astype(jnp.int32),
+                                          mode="drop")
+
     return CellSort(slot_atom=slot_atom, inv_slot=inv_slot,
                     overflow=overflow, ref_positions=positions,
                     image=image.astype(jnp.int32),
                     stencil_invalid=stencil_invalid,
-                    drift_exceeded=jnp.zeros((), jnp.bool_))
+                    drift_exceeded=jnp.zeros((), jnp.bool_),
+                    pen_atom=pen_atom)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ Strategy is chosen at compile time from the atom count unless forced.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Tuple
 
 import jax
@@ -404,6 +405,15 @@ class NonbondedForce:
                     alpha=alpha0 or None,
                     grid=pme.grid if gx0 > 0 else None,
                     cell_grid=cp_cfg.grid)
+                if pme.cell_grid is not None:
+                    # compact (x, y)-pencil packing for the PME spread
+                    # (pme.spread_pencils_packed): ~1.35x the mean pencil
+                    # population, rounded to a 128-lane multiple
+                    n_pen = cp_cfg.grid[0] * cp_cfg.grid[1]
+                    cp_need = int(np.ceil(1.35 * n / n_pen)) + 8
+                    cp_cfg = dataclasses.replace(
+                        cp_cfg, pen_capacity=max(
+                            -(-cp_need // 128) * 128, 128))
             params["excl_words"] = jnp.asarray(cp.build_exclusion_words(
                 n, exc_i, exc_j, cp_cfg.excl_window, cp_cfg.excl_words))
             if method in (self.Ewald, self.PME):
@@ -423,23 +433,60 @@ class NonbondedForce:
                                               impl=impl)
 
             # exceptions + Ewald exclusion corrections as scatter-free
-            # custom-vjp pair-list terms (forces/pairterms.py)
+            # custom-vjp pair-list terms (forces/pairterms.py).  Uniform
+            # molecule-major layouts (same detection as core/spec.py) use
+            # the lane-shift variant: all rows are intra-block, so each
+            # distinct |j - i| evaluates as one elementwise pass with
+            # rolls instead of pair + incidence gathers.
             from . import pairterms
+            uniform_k = 0
+            try:
+                from ..core import topology
+                resid_u = np.asarray(topology.molecule_ids(system))
+                n_res_u = int(resid_u.max()) + 1 if len(resid_u) else 0
+                if n_res_u and n % n_res_u == 0:
+                    K_u = n // n_res_u
+                    if np.array_equal(resid_u, np.arange(n) // K_u):
+                        uniform_k = K_u
+            except Exception:
+                uniform_k = 0
+
+            def shifted(i_rows, j_rows):
+                return (uniform_k and pairterms.uniform_pair_shifts(
+                    n, uniform_k, i_rows, j_rows) is not None)
+
             exc_term = None
             if n_active_exc:
-                exc_term = pairterms.make_pair_list_term(
-                    n, exc_i[act], exc_j[act], pairterms.exception_eg(
-                        jnp.asarray(ONE_4PI_EPS0 * exc_qq[act], dtype),
-                        jnp.asarray(exc_sigma[act], dtype),
-                        jnp.asarray(exc_eps[act], dtype)),
-                    periodic=periodic)
+                if shifted(exc_i[act], exc_j[act]):
+                    exc_term = pairterms.make_uniform_pair_term(
+                        n, uniform_k, exc_i[act], exc_j[act],
+                        {"qq": ONE_4PI_EPS0 * exc_qq[act],
+                         "sigma": exc_sigma[act], "eps": exc_eps[act]},
+                        lambda qq, sigma, eps: pairterms.exception_eg(
+                            jnp.asarray(qq, dtype), jnp.asarray(sigma, dtype),
+                            jnp.asarray(eps, dtype)),
+                        periodic=periodic)
+                else:
+                    exc_term = pairterms.make_pair_list_term(
+                        n, exc_i[act], exc_j[act], pairterms.exception_eg(
+                            jnp.asarray(ONE_4PI_EPS0 * exc_qq[act], dtype),
+                            jnp.asarray(exc_sigma[act], dtype),
+                            jnp.asarray(exc_eps[act], dtype)),
+                        periodic=periodic)
             corr_term = None
             if len(self._exceptions) and method in (self.Ewald, self.PME):
                 qq_full = ONE_4PI_EPS0 * charge[exc_i] * charge[exc_j]
-                corr_term = pairterms.make_pair_list_term(
-                    n, exc_i, exc_j, pairterms.ewald_correction_eg(
-                        jnp.asarray(qq_full, dtype), pme.alpha),
-                    periodic=periodic)
+                if shifted(exc_i, exc_j):
+                    corr_term = pairterms.make_uniform_pair_term(
+                        n, uniform_k, exc_i, exc_j, {"qq": qq_full},
+                        lambda qq: pairterms.ewald_correction_eg(
+                            jnp.asarray(qq, dtype), pme.alpha),
+                        periodic=periodic)
+                else:
+                    corr_term = pairterms.make_pair_list_term(
+                        n, exc_i, exc_j, pairterms.ewald_correction_eg(
+                            jnp.asarray(qq_full, dtype), pme.alpha),
+                        periodic=periodic)
 
             def extras_energy(params, positions, box):
                 """Everything but the sweep and the PME reciprocal sum:

@@ -88,6 +88,95 @@ def make_pair_list_term(n_atoms: int, i_idx, j_idx, eg_fn,
     return energy
 
 
+def uniform_pair_shifts(n_atoms: int, K: int, i_idx, j_idx):
+    """Shift grouping for uniform molecule-major layouts: when every pair
+    row is intra-block (i // K == j // K), rows with the same lane shift
+    d = |j - i| can be hosted at their lower atom's lane and evaluated as
+    ONE elementwise pass over (N,)-arrays (delta = x - roll(x, -d)) — no
+    pair gathers, no incidence table.  Returns a list of
+    (d, host_rows, row_ids) or None when the structure doesn't hold
+    (cross-block rows, or two rows sharing a host lane)."""
+    i_np = np.asarray(i_idx, np.int64)
+    j_np = np.asarray(j_idx, np.int64)
+    if n_atoms % K or len(i_np) == 0:
+        return None
+    if not np.array_equal(i_np // K, j_np // K):
+        return None
+    lo = np.minimum(i_np, j_np)
+    hi = np.maximum(i_np, j_np)
+    d_all = hi - lo
+    groups = []
+    for d in sorted(set(d_all.tolist())):
+        rows = np.nonzero(d_all == d)[0]
+        hosts = lo[rows]
+        if len(np.unique(hosts)) != len(hosts):
+            return None  # two rows of the same shift share a host lane
+        groups.append((int(d), hosts, rows))
+    return groups
+
+
+def make_uniform_pair_term(n_atoms: int, K: int, i_idx, j_idx,
+                           row_params: dict, eg_factory,
+                           periodic: bool = True):
+    """Lane-shift variant of make_pair_list_term for uniform layouts.
+
+    row_params: dict of per-row (P,) numpy parameter arrays (values
+    symmetric in i/j).  eg_factory(**lane_params) must build the same
+    eg(r2s, r2) closure the gather path uses — the factories here are all
+    elementwise, so handing them (N,)-shaped lane-hosted parameters (0/1
+    defaults at non-host lanes) evaluates every shift group in one pass.
+    Non-host lanes are masked out of both energy and force, so junk values
+    there (including NaN from pathological r2) never propagate."""
+    groups = uniform_pair_shifts(n_atoms, K, i_idx, j_idx)
+    assert groups is not None
+    param_defaults = {"sigma": 1.0, "sig": 1.0}
+    terms = []
+    for d, hosts, rows in groups:
+        lane = {}
+        for name, arr in row_params.items():
+            full = np.full((n_atoms,),
+                           param_defaults.get(name, 0.0), np.float64)
+            full[hosts] = np.asarray(arr, np.float64)[rows]
+            lane[name] = full
+        mask = np.zeros((n_atoms,), bool)
+        mask[hosts] = True
+        terms.append((d, jnp.asarray(mask), eg_factory(**lane)))
+
+    def e_and_f(positions, box_diag):
+        pos_t = positions.T                           # (3, N)
+        dtype = positions.dtype
+        e_total = jnp.zeros((), dtype)
+        f = jnp.zeros_like(pos_t)
+        for d, mask, eg in terms:
+            delta = pos_t - jnp.roll(pos_t, -d, axis=1)
+            if periodic:
+                delta = delta - box_diag[:, None] * jnp.round(
+                    delta / box_diag[:, None])
+            r2 = jnp.sum(delta * delta, axis=0)
+            r2s = jnp.maximum(r2, 1e-10)
+            e, g = eg(r2s, r2)
+            e_total = e_total + jnp.sum(jnp.where(mask, e, 0.0))
+            g2 = jnp.where(mask, -2.0 * g, 0.0)
+            fpair = g2[None, :] * delta
+            f = f + fpair - jnp.roll(fpair, d, axis=1)
+        return e_total, f.T
+
+    @jax.custom_vjp
+    def energy(positions, box_diag):
+        return e_and_f(positions, box_diag)[0]
+
+    def fwd(positions, box_diag):
+        e, f = e_and_f(positions, box_diag)
+        return e, (f, box_diag)
+
+    def bwd(res, g):
+        f, box_diag = res
+        return (g * (-f), jnp.zeros_like(box_diag))
+
+    energy.defvjp(fwd, bwd)
+    return energy
+
+
 def exception_eg(qq, sigma, eps):
     """OpenMM exception pair: LJ + plain Coulomb (qq pre-scaled by
     ONE_4PI_EPS0)."""

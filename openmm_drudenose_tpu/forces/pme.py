@@ -112,9 +112,16 @@ class PmeSetup:
         """Pencil-spread variant: uses the cell-sorted slot structure (the
         sweep's CellSort) so spreading is per-(x,y)-cell-column local-window
         matmuls instead of full-grid one-hots — ~10x less HBM traffic.
-        Requires setup_pme(..., cell_grid=...)."""
-        Q = spread_pencils(self.grid, self.cell_grid, capacity,
-                           charges, positions, box_diag, cellsort)
+        When the cellsort carries the compact per-pencil atom packing
+        (CellSort.pen_atom), the contraction runs over ~5x fewer rows than
+        the gz*C slot form.  Requires setup_pme(..., cell_grid=...)."""
+        if getattr(cellsort, "pen_atom", None) is not None:
+            Q = spread_pencils_packed(self.grid, self.cell_grid,
+                                      charges, positions, box_diag,
+                                      cellsort)
+        else:
+            Q = spread_pencils(self.grid, self.cell_grid, capacity,
+                               charges, positions, box_diag, cellsort)
         return grid_energy(self.grid, self.alpha,
                            jnp.asarray(self.bm2x), jnp.asarray(self.bm2y),
                            jnp.asarray(self.bm2z), Q, box_diag)
@@ -344,16 +351,106 @@ def spread_pencils(grid, cell_grid, capacity, charges, positions, box_diag,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=dtype)
     T = T.reshape(gx, gy, lwx, lwy, K3)
+    return _assemble_colors(T, grid, (ppcx, lwx, ncx), (ppcy, lwy, ncy))
 
-    # color assembly: same-color tiles (stride ncolor cells = lw points)
-    # tile contiguously; fold the wrap-around tail and roll into place
+
+def spread_pencils_packed(grid, cell_grid, charges, positions, box_diag,
+                          cellsort):
+    """Pencil spread over the COMPACT per-pencil atom packing
+    (CellSort.pen_atom) instead of the gz*C cell-slot structure.
+
+    The slot form's contraction axis carries the cell capacity's
+    (C/avg)-fold slack times gz; the packed form is one fixed-capacity
+    list per (x, y) pencil (Cp ~ 1.35x the mean pencil population, rounded
+    to a 128-lane multiple), so the (P, lwx*lwy, axis) one-hot outer
+    product — the spread's dominant HBM object — shrinks ~5x at the
+    benchmark density.  Math, windows and color assembly are identical to
+    spread_pencils."""
+    K1, K2, K3 = grid
+    gx, gy, gz = cell_grid
+    (ppcx, lwx, ncx), (ppcy, lwy, ncy) = _pencil_plan(grid, cell_grid)
+    n = positions.shape[0]
+    dtype = positions.dtype
+    n_pencils = gx * gy
+    pa = cellsort.pen_atom
+    Cp = pa.shape[0] // n_pencils
+
+    pad = pa >= n
+    safe = jnp.where(pad, 0, pa)
+    qs = jnp.where(pad, 0.0, charges[safe])
+    pos_bf = positions - cellsort.image.astype(dtype) * box_diag
+
+    Ks = jnp.asarray([K1, K2, K3], dtype)
+    u = (pos_bf / box_diag * Ks)[safe]               # (S, 3)
+    u = jnp.where(pad[:, None], -1e6, u)             # pads: weights -> 0
+    ti = jnp.floor(u)
+    w = u - ti
+    ti = ti.astype(jnp.int32)
+
+    wx = _bspline_weights(w[:, 0], PME_ORDER)        # (S, order)
+    wy = _bspline_weights(w[:, 1], PME_ORDER)
+    wz = _bspline_weights(w[:, 2], PME_ORDER)
+
+    S = pa.shape[0]
+    slot = np.arange(S)
+    cx = (slot // (gy * Cp)).astype(np.int32)
+    cy = ((slot // Cp) % gy).astype(np.int32)
+    offx = (lwx - ppcx) // 2
+    offy = (lwy - ppcy) // 2
+    base_x = jnp.asarray(cx * ppcx - offx)
+    base_y = jnp.asarray(cy * ppcy - offy)
+
+    j = jnp.arange(PME_ORDER, dtype=jnp.int32)
+
+    def one_hot_local_t(ti_d, w_d, base, lw):
+        col = ti_d[None, :] - base[None, :]                # (1, S)
+        k = jnp.arange(lw, dtype=jnp.int32)[:, None]       # (lw, 1)
+        acc = jnp.zeros((lw, S), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_d[None, :, t] * (col - t == k)
+        return acc
+
+    def one_hot_wrap(ti_d, w_d, K):
+        col = jnp.mod(ti_d[:, None] - j[None, :], K)
+        k = jnp.arange(K, dtype=jnp.int32)
+        acc = jnp.zeros((S, K), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_d[:, t:t + 1] * (col[:, t:t + 1] == k[None, :])
+        return acc
+
+    WxT = one_hot_local_t(ti[:, 0], wx, base_x, lwx)   # (lwx, S)
+    WyT = one_hot_local_t(ti[:, 1], wy, base_y, lwy)   # (lwy, S)
+    Wz = one_hot_wrap(ti[:, 2], qs[:, None] * wz, K3)  # (S, K3), q-weighted
+
+    WxT = jnp.moveaxis(WxT.reshape(lwx, n_pencils, Cp), 1, 0)
+    WyT = jnp.moveaxis(WyT.reshape(lwy, n_pencils, Cp), 1, 0)
+    Wz = Wz.reshape(n_pencils, Cp, K3)
+    WxyT = (WxT[:, :, None, :] * WyT[:, None, :, :]).reshape(
+        n_pencils, lwx * lwy, Cp)
+    T = jax.lax.dot_general(
+        WxyT, Wz, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype)
+    T = T.reshape(gx, gy, lwx, lwy, K3)
+    return _assemble_colors(T, grid, (ppcx, lwx, ncx), (ppcy, lwy, ncy))
+
+
+def _assemble_colors(T, grid, plan_x, plan_y):
+    """Color assembly shared by the slot and packed pencil spreads:
+    same-color window tiles are disjoint and contiguous; fold the
+    wrap-around tails and roll into grid position."""
+    K1, K2, K3 = grid
+    (ppcx, lwx, ncx), (ppcy, lwy, ncy) = plan_x, plan_y
+    gx, gy = T.shape[0], T.shape[1]
+    offx = (lwx - ppcx) // 2
+    offy = (lwy - ppcy) // 2
     gxp = -(-gx // ncx) * ncx
     gyp = -(-gy // ncy) * ncy
     if gxp != gx or gyp != gy:
-        T = jnp.pad(T, ((0, gxp - gx), (0, gyp - gy), (0, 0), (0, 0), (0, 0)))
+        T = jnp.pad(T, ((0, gxp - gx), (0, gyp - gy), (0, 0), (0, 0),
+                        (0, 0)))
 
     def fold(A, K, axis):
-        # A longer than K along axis: wrap the tail back onto the front
         L = A.shape[axis]
         if L == K:
             return A
@@ -363,10 +460,10 @@ def spread_pencils(grid, cell_grid, capacity, charges, positions, box_diag,
         pads[axis] = (0, 2 * K - L)
         return head + jnp.pad(tail, pads)
 
-    Q = jnp.zeros((K1, K2, K3), dtype)
+    Q = jnp.zeros((K1, K2, K3), T.dtype)
     for r in range(ncx):
         for s in range(ncy):
-            sub = T[r::ncx, s::ncy]                  # (gxp/ncx, gyp/ncy, ...)
+            sub = T[r::ncx, s::ncy]
             A = sub.transpose(0, 2, 1, 3, 4).reshape(
                 gxp // ncx * lwx, gyp // ncy * lwy, K3)
             A = fold(A, K1, 0)
@@ -377,24 +474,33 @@ def spread_pencils(grid, cell_grid, capacity, charges, positions, box_diag,
 
 
 def grid_energy(grid, alpha, bm2x, bm2y, bm2z, Q, box_diag):
-    """Reciprocal-space energy of a spread charge grid."""
+    """Reciprocal-space energy of a spread charge grid.
+
+    Q is real, so the transform is rfftn over the half-spectrum
+    (z-frequencies 0..K3/2) with Hermitian double-counting weights —
+    half the FFT work and memory of the full fftn; the z-moduli are
+    symmetric (|b(-m)|^2 = |b(m)|^2) so the half slice is exact."""
     K1, K2, K3 = grid
     dtype = Q.dtype
-    F = jnp.fft.fftn(Q)
+    F = jnp.fft.rfftn(Q)
+    K3h = K3 // 2 + 1
     m1 = jnp.fft.fftfreq(K1, d=1.0 / K1).astype(dtype)  # signed integer freqs
     m2 = jnp.fft.fftfreq(K2, d=1.0 / K2).astype(dtype)
-    m3 = jnp.fft.fftfreq(K3, d=1.0 / K3).astype(dtype)
+    m3 = jnp.arange(K3h).astype(dtype)                  # rfft: 0..K3/2
     mx = m1[:, None, None] / box_diag[0]
     my = m2[None, :, None] / box_diag[1]
     mz = m3[None, None, :] / box_diag[2]
     m_sq = mx * mx + my * my + mz * mz
     bm2 = (bm2x[:, None, None].astype(dtype) * bm2y[None, :, None].astype(dtype)
-           * bm2z[None, None, :].astype(dtype))
+           * bm2z[:K3h][None, None, :].astype(dtype))
     volume = box_diag[0] * box_diag[1] * box_diag[2]
     pi = jnp.asarray(np.pi, dtype)
     m_sq_safe = jnp.where(m_sq > 0, m_sq, 1.0)
+    # conjugate-pair weight: interior z-frequencies represent +-m3
+    double = (jnp.arange(K3h) >= 1) & (jnp.arange(K3h) <= (K3 - 1) // 2)
     eterm = jnp.where(m_sq > 0,
-                      jnp.exp(-pi * pi * m_sq_safe / (alpha * alpha)) / m_sq_safe * bm2,
-                      0.0)
+                      jnp.exp(-pi * pi * m_sq_safe / (alpha * alpha))
+                      / m_sq_safe * bm2, 0.0)
+    eterm = eterm * jnp.where(double, 2.0, 1.0).astype(dtype)[None, None, :]
     S2 = jnp.real(F) ** 2 + jnp.imag(F) ** 2
     return ONE_4PI_EPS0 / (2.0 * pi * volume) * jnp.sum(eterm * S2)

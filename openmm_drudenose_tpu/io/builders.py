@@ -108,28 +108,29 @@ def build_water_box(n_molecules: int, method: int = NonbondedForce.PME,
     nonbonded.setEwaldErrorTolerance(ewald_tol)
 
     positions = []
-    count = 0
     rng = np.random.default_rng(1234)
-    for i in range(grid):
-        for j in range(grid):
-            for k in range(grid):
-                if count >= n_molecules:
-                    break
-                origin = (np.array([i, j, k]) + 0.5) * spacing
-                mol = swm4_molecule_positions(origin)
-                # random orientation to avoid a perfectly aligned lattice
-                q = rng.normal(size=4)
-                q /= np.linalg.norm(q)
-                w, x, y, z = q
-                rot = np.array([
-                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-                    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-                ])
-                mol = (mol - origin) @ rot.T + origin
-                add_swm4_molecule(system, nonbonded, drude)
-                positions.append(mol)
-                count += 1
+    # occupy a uniform random subset of lattice sites: truncating the
+    # (i, j, k) loop at n_molecules would leave the last x-planes empty —
+    # a vacuum slab with ~10% over-density elsewhere (wrong physics for
+    # the benchmark, lumpy cell occupancy for the sweep)
+    n_sites = grid ** 3
+    sites = np.sort(rng.choice(n_sites, size=n_molecules, replace=False))
+    for site in sites:
+        i, j, k = site // (grid * grid), (site // grid) % grid, site % grid
+        origin = (np.array([i, j, k]) + 0.5) * spacing
+        mol = swm4_molecule_positions(origin)
+        # random orientation to avoid a perfectly aligned lattice
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        rot = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        mol = (mol - origin) @ rot.T + origin
+        add_swm4_molecule(system, nonbonded, drude)
+        positions.append(mol)
     if add_cm_motion:
         system.addForce(CMMotionRemover())
     return system, np.concatenate(positions, axis=0)
@@ -165,29 +166,28 @@ def build_nacl_water_box(n_water: int, n_na: int, n_cl: int,
     kinds = ["NA"] * n_na + ["CL"] * n_cl + ["W"] * n_water
     rng = np.random.default_rng(7)
     rng.shuffle(kinds)
-    count = 0
-    for i in range(grid):
-        for j in range(grid):
-            for k in range(grid):
-                if count >= len(kinds):
-                    break
-                origin = (np.array([i, j, k]) + 0.5) * spacing
-                kind = kinds[count]
-                count += 1
-                if kind == "W":
-                    add_swm4_molecule(system, nonbonded, drude)
-                    positions.append(swm4_molecule_positions(origin))
-                else:
-                    q, sigma, eps, alpha, d_mass, mass = ION[kind]
-                    q_d = -np.sqrt(alpha * 100000 * 4.184 / ONE_4PI_EPS0)
-                    start = system.getNumParticles()
-                    system.addParticle(mass - d_mass)
-                    system.addParticle(d_mass)
-                    nonbonded.addParticle(q - q_d, sigma, eps)
-                    nonbonded.addParticle(q_d, 1.0, 0.0)
-                    nonbonded.addException(start, start + 1, 0, 1, 0)
-                    drude.addParticle(start + 1, start, -1, -1, -1, q_d,
-                                      alpha, 1, 1)
-                    positions.append(np.array([origin, origin]))
+    # uniform random subset of lattice sites (see build_water_box: a
+    # truncated loop leaves a vacuum slab in the last x-planes)
+    sites = np.sort(rng.choice(grid ** 3, size=len(kinds), replace=False))
+    for count, site in enumerate(sites):
+        i, j, k = (site // (grid * grid), (site // grid) % grid,
+                   site % grid)
+        origin = (np.array([i, j, k]) + 0.5) * spacing
+        kind = kinds[count]
+        if kind == "W":
+            add_swm4_molecule(system, nonbonded, drude)
+            positions.append(swm4_molecule_positions(origin))
+        else:
+            q, sigma, eps, alpha, d_mass, mass = ION[kind]
+            q_d = -np.sqrt(alpha * 100000 * 4.184 / ONE_4PI_EPS0)
+            start = system.getNumParticles()
+            system.addParticle(mass - d_mass)
+            system.addParticle(d_mass)
+            nonbonded.addParticle(q - q_d, sigma, eps)
+            nonbonded.addParticle(q_d, 1.0, 0.0)
+            nonbonded.addException(start, start + 1, 0, 1, 0)
+            drude.addParticle(start + 1, start, -1, -1, -1, q_d,
+                              alpha, 1, 1)
+            positions.append(np.array([origin, origin]))
     system.addForce(CMMotionRemover())
     return system, np.concatenate(positions, axis=0)

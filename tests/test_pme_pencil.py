@@ -72,3 +72,55 @@ def test_small_box_falls_back():
     cfg = cp.make_config(0.55, box, 50, [], [], skin=0.05)
     setup = pm.setup_pme(0.55, 5e-4, box, cell_grid=cfg.grid)
     assert setup.cell_grid is None
+
+
+def _setup_packed(n=600, seed=0, capacity=24):
+    import dataclasses
+    rng = np.random.default_rng(seed)
+    box = np.array([3.1, 2.9, 3.3])
+    pos = rng.uniform(-1.0, 4.5, (n, 3))
+    q = rng.normal(size=n)
+    cfg = cp.make_config(0.9, box, n, [], [], skin=0.1, capacity=capacity)
+    setup = pm.setup_pme(0.9, 5e-4, box, cell_grid=cfg.grid)
+    n_pen = cfg.grid[0] * cfg.grid[1]
+    Cp = max(-(-(int(np.ceil(1.35 * n / n_pen)) + 8) // 128) * 128, 128)
+    cfg = dataclasses.replace(cfg, pen_capacity=Cp)
+    cs = cp.build_cellsort(jnp.asarray(pos), jnp.asarray(box), cfg)
+    assert not bool(cs.overflow)
+    assert cs.pen_atom is not None
+    return box, pos, q, cfg, setup, cs
+
+
+def test_packed_spread_matches_generic():
+    """The compact per-pencil packing (CellSort.pen_atom) must reproduce
+    the generic spread exactly, including unwrapped positions, and its
+    autodiff forces."""
+    box, pos, q, cfg, setup, cs = _setup_packed()
+    Q_ref = pm.spread_charge_grid(setup.grid, jnp.asarray(q),
+                                  jnp.asarray(pos), jnp.asarray(box))
+    Q_new = pm.spread_pencils_packed(setup.grid, setup.cell_grid,
+                                     jnp.asarray(q), jnp.asarray(pos),
+                                     jnp.asarray(box), cs)
+    np.testing.assert_allclose(np.asarray(Q_new), np.asarray(Q_ref),
+                               atol=1e-13)
+    # reciprocal_energy_sorted dispatches to the packed path
+    g_ref = jax.grad(lambda p: setup.reciprocal_energy(
+        jnp.asarray(q), p, jnp.asarray(box)))(jnp.asarray(pos))
+    g_new = jax.grad(lambda p: setup.reciprocal_energy_sorted(
+        jnp.asarray(q), p, jnp.asarray(box), cs, cfg.capacity))(
+        jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-8 * float(
+                                   jnp.max(jnp.abs(g_ref))))
+
+
+def test_packed_drifted_positions_stay_exact():
+    box, pos, q, cfg, setup, cs = _setup_packed()
+    rng = np.random.default_rng(1)
+    drift = rng.uniform(-0.045, 0.045, pos.shape)
+    pos2 = jnp.asarray(pos + drift)
+    e_ref = setup.reciprocal_energy(jnp.asarray(q), pos2, jnp.asarray(box))
+    e_new = setup.reciprocal_energy_sorted(jnp.asarray(q), pos2,
+                                           jnp.asarray(box), cs,
+                                           cfg.capacity)
+    np.testing.assert_allclose(float(e_new), float(e_ref), rtol=1e-12)
