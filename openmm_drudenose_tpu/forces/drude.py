@@ -185,7 +185,10 @@ class DrudeForce:
                 e = e + 0.5 * jnp.sum(params["k2"] * rprime * rprime)
             if nsp:
                 e = e + _screened_energy(params, positions)
-            if nnt:
+            # keyed on params (not just nnt): parallel/resident.py reuses
+            # this closure on migration-local tables and evaluates NBTHOLE
+            # separately as a class-tagged dense block
+            if nnt and "nt_d1" in params:
                 e = e + _nbthole_energy(params, positions,
                                         jnp.diagonal(box))
             return e

@@ -34,8 +34,10 @@ single-device path, not forked.
 Scope (capability-guarded): cellpair strategy, PME or RF, SETTLE + SHAKE
 clusters + virtual sites + Drude + exceptions/exclusion corrections +
 bonded terms (bonds, angles, torsions) + MC barostat (replicated RNG/box;
-the N kT ln V term uses the GLOBAL molecule count); no NBTHOLE
-(cross-molecule pairs would break slab ownership).
+the N kT ln V term uses the GLOBAL molecule count) + NBTHOLE when the
+explicit pair list is type-complete (re-derived as class-tagged sites +
+an all_gather'd dense block — see _analyze_nbthole; a static cross-
+molecule pair list cannot follow migrations).
 """
 
 from __future__ import annotations
@@ -98,6 +100,7 @@ class ResidentLayout:
     has_aniso2: bool
 
     Kd: int = 5       # dummy block size (>= 5 distinct pad targets)
+    nt_cap: int = 0   # NBTHOLE site capacity per device (0 = no NBTHOLE)
 
     @property
     def n_loc(self) -> int:
@@ -188,6 +191,86 @@ class Templates(NamedTuple):
     sh_i: jax.Array         # (T, sh_max) int32
     sh_j: jax.Array
     sh_d: jax.Array
+    # NBTHOLE site tags (class 0 = inactive; w = signed shell charge)
+    nt_class: jax.Array     # (T, K) int32
+    nt_w: jax.Array         # (T, K)
+
+
+def _analyze_nbthole(context, mol_of, n):
+    """Type-class analysis of the DrudeForce NBTHOLE pair list.
+
+    The explicit list (DrudeForce.addNBTholePair rows) pins pairs by
+    Drude-pair index, which cannot follow molecule migration.  When the
+    list is TYPE-COMPLETE — classes of involved Drude pairs defined by
+    (polarizability, shell charge), one thole value per class pair, every
+    cross-molecule combination of listed class pairs present exactly
+    once — it is equivalent to a dense interaction over class-tagged
+    SITES (CHARMM's own NBTHOLE semantics is by atom type):
+
+        E = k_e/2 * sum over sites a != b with mol_a != mol_b of
+              w_a * w_b * deficit(tab[c_a, c_b] * r_ab) / r_ab
+
+    with w = +q_d on shells, -q_d on cores (the (+,-,-,+) sign pattern of
+    forces/drude._nbthole_energy), deficit(u) = -(1 + u/2) e^{-u}, and
+    tab[a, b] = thole_ab / (alpha_a * alpha_b)^(1/6) (0 = no term).
+
+    Returns (nt_class (n,) int32 with 0 = inactive, nt_w (n,) float64,
+    scale_tab (ncls+1, ncls+1) float64); raises NotImplementedError when
+    the explicit list does not have this structure."""
+    from ..forces.drude import DrudeForce
+    df = next(f for f in context._system.getForces()
+              if isinstance(f, DrudeForce))
+    parts = df._particles
+    ntl = df._nbthole
+    involved = sorted({p for e in ntl for p in e[:2]})
+    keys = {}
+    cls_of = {}
+    for p in involved:
+        key = (float(parts[p][6]), float(parts[p][5]))  # (alpha, q_d)
+        c = keys.setdefault(key, len(keys) + 1)
+        cls_of[p] = c
+    tab_thole = {}
+    seen = set()
+    for p1, p2, th in ntl:
+        a, b = cls_of[p1], cls_of[p2]
+        kk = (min(a, b), max(a, b))
+        if tab_thole.setdefault(kk, float(th)) != float(th):
+            raise NotImplementedError(
+                "resident mode: NBTHOLE thole values differ within one "
+                "(polarizability, charge) class pair")
+        pr = (min(p1, p2), max(p1, p2))
+        if p1 == p2 or pr in seen:
+            raise NotImplementedError(
+                "resident mode: degenerate/duplicate NBTHOLE pair")
+        seen.add(pr)
+        if mol_of[parts[p1][1]] == mol_of[parts[p2][1]]:
+            raise NotImplementedError(
+                "resident mode: NBTHOLE pair within one molecule (use "
+                "addScreenedPair for bonded Thole screening)")
+    for i, p in enumerate(involved):
+        for q in involved[i + 1:]:
+            kk = (min(cls_of[p], cls_of[q]), max(cls_of[p], cls_of[q]))
+            if kk not in tab_thole:
+                continue
+            if (mol_of[parts[p][1]] != mol_of[parts[q][1]]
+                    and (p, q) not in seen):
+                raise NotImplementedError(
+                    "resident mode: NBTHOLE list is not type-complete "
+                    f"(missing pair of Drude pairs {p}, {q})")
+    ncls = len(keys)
+    alpha_of = {c: k[0] for k, c in keys.items()}
+    tab = np.zeros((ncls + 1, ncls + 1))
+    for (a, b), th in tab_thole.items():
+        s = th / (alpha_of[a] * alpha_of[b]) ** (1.0 / 6.0)
+        tab[a, b] = tab[b, a] = s
+    nt_class = np.zeros(n, np.int32)
+    nt_w = np.zeros(n)
+    for p in involved:
+        shell, core, qd = parts[p][0], parts[p][1], parts[p][5]
+        nt_class[shell] = nt_class[core] = cls_of[p]
+        nt_w[shell] = qd
+        nt_w[core] = -qd
+    return nt_class, nt_w, tab
 
 
 def analyze(context):
@@ -266,11 +349,13 @@ def analyze(context):
     # drude term: find by wants_pos_err
     drude_term = next((t for t in context._terms
                        if getattr(t[0], "wants_pos_err", False)), None)
+    nt_class_a = np.zeros(n, np.int32)
+    nt_w_a = np.zeros(n)
+    nt_tab = None
     if drude_term is not None:
         dp = {k: np.asarray(v) for k, v in drude_term[1].items()}
         if "nt_d1" in dp:
-            raise NotImplementedError(
-                "resident mode does not support NBTHOLE (cross-molecule)")
+            nt_class_a, nt_w_a, nt_tab = _analyze_nbthole(context, mol_of, n)
         has_aniso1 = "k1" in dp
         has_aniso2 = "k2" in dp
         dr_rows = [[int(dp["drude"][i]), int(dp["parent"][i])]
@@ -356,7 +441,8 @@ def analyze(context):
              float(eps[a]), int(tg[a]), bool(is_pair[a]),
              bool(is_parent[a]),
              fo(partner[a]) if is_pair[a] else k,
-             int(a - base), tuple(int(x) for x in ew[a]))
+             int(a - base), tuple(int(x) for x in ew[a]),
+             int(nt_class_a[a]), float(nt_w_a[a]))
             for k, a in enumerate(A))
         st_sig = tuple(sorted(
             (fo(settle_idx[row, 0]), fo(settle_idx[row, 1]),
@@ -497,6 +583,7 @@ def analyze(context):
         sh_i=np.full((T, mx["sh_max"]), -1, np.int32),
         sh_j=np.full((T, mx["sh_max"]), -1, np.int32),
         sh_d=np.full((T, mx["sh_max"]), 0.1),
+        nt_class=z((T, K), np.int32), nt_w=z((T, K)),
     )
     inc_lists = [[[ [] for _ in range(K)] for _ in range(2)]
                  for _ in range(T)]  # [t][0=corr,1=exc][k] -> entries
@@ -505,7 +592,9 @@ def analyze(context):
          corr_sig, x_sig, bd_sig, an_sig, to_sig, sh_sig, rmass) = sig
         tp["res_mass"][t] = rmass
         for k, a in enumerate(atom_sig):
-            (m, q, sg, ep, g, ip, ipar, po, go, eww) = a
+            (m, q, sg, ep, g, ip, ipar, po, go, eww, ntc, ntw) = a
+            tp["nt_class"][t, k] = ntc
+            tp["nt_w"][t, k] = ntw
             tp["mass"][t, k] = m
             tp["inv_mass"][t, k] = 1.0 / m if m > 0 else 0.0
             tp["charge"][t, k] = q
@@ -588,7 +677,8 @@ def analyze(context):
                 tp["inc_x"][t, k, s] = e
 
     mx.update(inc_k=inc_k, lc_k=lc_k, n_words=n_words, K=K,
-              has_aniso1=has_aniso1, has_aniso2=has_aniso2)
+              has_aniso1=has_aniso1, has_aniso2=has_aniso2,
+              nt_tab=nt_tab)
     bonded_fns = []
     if bond_term is not None:
         bonded_fns.append((bond_term, "bond_params"))
@@ -751,6 +841,17 @@ def _local_tables(tpl: Templates, layout: ResidentLayout, mol_type,
                                     pad_yw).reshape(-1, lk).astype(rdt)
         out["vs_lc_local"] = jnp.where(
             ok[..., None], tpl.vsl_local[ty], 0.0).reshape(-1, 3).astype(rdt)
+
+    # NBTHOLE class tags + per-atom global molecule id -------------------
+    if layout.nt_cap:
+        out["nt_class"] = pad_atoms(
+            jnp.where(valid_atom, tpl.nt_class[ty].reshape(-1), 0),
+            0, jnp.int32)
+        out["nt_w"] = pad_atoms(
+            jnp.where(valid_atom, tpl.nt_w[ty].reshape(-1), 0.0), 0.0, rdt)
+        out["mol_gid"] = jnp.concatenate(
+            [jnp.repeat(jnp.where(used, mol_base, -1), K),
+             jnp.full((Kd,), -1)]).astype(jnp.int32)
 
     # drude ---------------------------------------------------------------
     if layout.d_max:
@@ -1256,7 +1357,7 @@ def _exception_eg_maker(prm):
 
 def _make_local_eaf(layout: ResidentLayout, spec_loc, static_loc, tables,
                     cfg, pair_eg, coulomb_scale, pme, drude_energy,
-                    pme_self, disp, bonded_fns=()):
+                    pme_self, disp, bonded_fns=(), nt_tab=None):
     """energy_and_forces(positions, box, neighbors, pos_err) over the
     LOCAL state (inside shard_map).  Forces are complete per owned atom (no
     psum); the reported energy is the exact psum'd total."""
@@ -1306,6 +1407,38 @@ def _make_local_eaf(layout: ResidentLayout, spec_loc, static_loc, tables,
                                               "eps": c["eps"]})
             for fn, key in bonded_fns:
                 e = e + fn(tables[key], posv, box)
+            if nt_tab is not None:
+                # NBTHOLE as a dense block over class-tagged sites: local
+                # sites are compacted (fixed capacity, counted at rebuild
+                # by the nt_overflow latch) and all_gather'd; each device
+                # evaluates its rows against every global site, so the
+                # backward pass (all_gather transposes to psum_scatter)
+                # leaves COMPLETE forces on owned atoms.  The half factor
+                # makes the psum'd energy count each pair once.  Math per
+                # forces/drude._nbthole_energy (signs live in nt_w).
+                from ..units import ONE_4PI_EPS0
+                ncap = layout.nt_cap
+                active = (tables["nt_class"] > 0) & valid
+                idx = jnp.nonzero(active, size=ncap, fill_value=0)[0]
+                ok = jnp.arange(ncap) < jnp.sum(active)
+                w_i = jnp.where(ok, tables["nt_w"][idx], 0.0)
+                c_i = jnp.where(ok, tables["nt_class"][idx], 0)
+                m_i = jnp.where(ok, tables["mol_gid"][idx], -1)
+                p_i = posv[idx]                                 # (ncap, 3)
+                pj = jax.lax.all_gather(p_i, axis).reshape(-1, 3)
+                wj = jax.lax.all_gather(w_i, axis).reshape(-1)
+                cj = jax.lax.all_gather(c_i, axis).reshape(-1)
+                mj = jax.lax.all_gather(m_i, axis).reshape(-1)
+                delta = p_i[:, None, :] - pj[None, :, :]
+                delta = delta - box_diag * jnp.round(delta / box_diag)
+                r2 = jnp.sum(delta * delta, axis=-1)
+                r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+                scale = nt_tab[c_i[:, None], cj[None, :]]
+                mask = (scale > 0.0) & (m_i[:, None] != mj[None, :])
+                u = scale * r
+                deficit = -(1.0 + 0.5 * u) * jnp.exp(-u)
+                e = e + 0.5 * ONE_4PI_EPS0 * jnp.sum(jnp.where(
+                    mask, (w_i[:, None] * wj[None, :]) * deficit / r, 0.0))
             vol = box_diag[0] * box_diag[1] * box_diag[2]
             e = e + (pme_self + disp / vol) / n_dev
             if pme is not None:
@@ -1435,6 +1568,7 @@ class ResidentContext:
 
         tp, mol_type, mol_base, mx = analyze(context)
         self._bonded_fns = tuple(mx.pop("bonded_fns"))
+        nt_tab = mx.pop("nt_tab")
         nb_fn = next(t[0] for t in context._terms
                      if hasattr(t[0], "cellpair_cfg"))
         cfg = nb_fn.cellpair_cfg
@@ -1465,6 +1599,18 @@ class ResidentContext:
         if Ec is None:
             Ec = max(int(Rc * 0.15), 4)
         K = tp["mass"].shape[1]
+        nt_cap = 0
+        if nt_tab is not None:
+            per_type = (tp["nt_class"] > 0).sum(axis=1)     # sites/type
+            site_counts = np.array([
+                per_type[mol_type[owner == dev]].sum()
+                for dev in range(n_dev)])
+            nt_cap = max(int(np.ceil(site_counts.max() * 1.35)) + 4, 8)
+            if n_dev * nt_cap > 16384:
+                raise NotImplementedError(
+                    f"NBTHOLE dense fold-in would gather {n_dev * nt_cap} "
+                    "sites (> 16384); too many NBTHOLE sites for resident "
+                    "mode")
         self._layout = ResidentLayout(
             n_dev=n_dev, axis=axis, K=K, Rc=Rc, Ec=Ec,
             s_max=mx["s_max"], va_max=mx["va_max"], vo_max=mx["vo_max"],
@@ -1474,7 +1620,7 @@ class ResidentContext:
             sh_max=mx["sh_max"],
             inc_k=mx["inc_k"], n_words=mx["n_words"], loc_x=loc_x,
             has_aniso1=mx["has_aniso1"], has_aniso2=mx["has_aniso2"],
-            Kd=max(K, 5))
+            Kd=max(K, 5), nt_cap=nt_cap)
         layout = self._layout
 
         rdt = context._state.positions.dtype
@@ -1496,6 +1642,8 @@ class ResidentContext:
         drude_term = next((t for t in context._terms
                            if getattr(t[0], "wants_pos_err", False)), None)
         self._drude_energy = drude_term[0] if drude_term else None
+        self._nt_tab = (jnp.asarray(nt_tab, rdt)
+                        if nt_tab is not None else None)
         self._static_loc = local_static(context._static, layout)
         self._rebuild_interval = context._rebuild_interval
 
@@ -1551,6 +1699,7 @@ class ResidentContext:
             "inv_slot": jnp.zeros((n_dev * n_loc,), jnp.int32),
             "cs_overflow": jnp.zeros((n_dev,), bool),
             "mig_overflow": jnp.zeros((n_dev,), bool),
+            "nt_overflow": jnp.zeros((n_dev,), bool),
             "hw": jnp.zeros((n_dev,), bool),
             "eta": st.eta, "eta_dot": st.eta_dot,
             "eta_dot_dot": st.eta_dot_dot,
@@ -1570,8 +1719,8 @@ class ResidentContext:
             "pos": ax2, "vel": ax2, "force": ax2,
             "mol_type": ax, "mol_base": ax, "n_mol": ax,
             "slot_atom": ax, "inv_slot": ax,
-            "cs_overflow": ax, "mig_overflow": ax, "hw": ax,
-            "stencil": ax,
+            "cs_overflow": ax, "mig_overflow": ax, "nt_overflow": ax,
+            "hw": ax, "stencil": ax,
             "eta": P(), "eta_dot": P(), "eta_dot_dot": P(),
             "ke_sum": P(), "group_ke": P(), "step": P(), "time": P(),
             "box": P(), "pe": P(),
@@ -1661,6 +1810,13 @@ class ResidentContext:
             out.update(slot_atom=slot_atom, inv_slot=inv_slot,
                        cs_overflow=(st["cs_overflow"][0] | cs_ovf)[None],
                        stencil=(st["stencil"][0] | sten)[None])
+            if layout.nt_cap:
+                # NBTHOLE site count only changes at migration (class
+                # membership is type-static), so the compaction capacity
+                # is checked here, not in the hot step
+                n_nt = jnp.sum((tb["nt_class"] > 0) & tb["valid"])
+                out["nt_overflow"] = (st["nt_overflow"][0]
+                                      | (n_nt > layout.nt_cap))[None]
             return out
 
         fn = _shard_map(reb, self._mesh, in_specs=(self._specs,),
@@ -1680,7 +1836,7 @@ class ResidentContext:
                 layout, spec_loc, self._static_loc, tables, self._cfg,
                 self._pair_eg, self._coulomb_scale, self._pme,
                 self._drude_energy, self._pme_self, self._disp,
-                bonded_fns=self._bonded_fns)
+                bonded_fns=self._bonded_fns, nt_tab=self._nt_tab)
             step = tgnh.make_step(self._static_loc, eaf,
                                   reduce_axis=layout.axis,
                                   baro_n_mol=self._n_mol_global)
@@ -1714,6 +1870,11 @@ class ResidentContext:
                 ">1-slab anchor jump) — raise Rc/Ec or rebuild the context")
         if bool(jnp.any(self._st["cs_overflow"])):
             raise RuntimeError("resident cell-capacity overflow")
+        if bool(jnp.any(self._st["nt_overflow"])):
+            raise RuntimeError(
+                "resident NBTHOLE site-capacity overflow — migrations "
+                "concentrated NBTHOLE sites past the planned per-device "
+                "capacity; rebuild the context")
         if bool(jnp.any(self._st["stencil"])):
             raise RuntimeError(
                 "cell stencil no longer covers the cutoff (NPT box shrank "

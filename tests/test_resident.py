@@ -208,3 +208,71 @@ def test_resident_bonded_multigroup():
     rctx = resident.ResidentContext(ctx, _mesh(2))
     rctx.step(8)
     np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
+
+
+def test_resident_nbthole_matches_single():
+    """NBTHOLE (cross-molecule ion screening) through the resident
+    engine's class-tagged dense fold-in == the single-device explicit
+    pair list.  The builder lists every cross-molecule ion pair (the
+    type-complete structure CHARMM NBTHOLE implies), which
+    _analyze_nbthole re-derives as (class, w) site tags."""
+    from openmm_drudenose_tpu.forces.drude import DrudeForce
+    from openmm_drudenose_tpu.units import ONE_4PI_EPS0
+
+    ION = {"NA": (1.0, 0.2430, 0.546, 0.000157, 0.4, 22.59),
+           "CL": (-1.0, 0.4612, 0.301, 0.003969, 0.4, 35.05)}
+
+    def build():
+        system, positions = swm4_water_box(grid_size=6, cutoff=0.7,
+                                           add_cm_motion=False)
+        nb = system.getForce(0)
+        df = next(f for f in system.getForces()
+                  if isinstance(f, DrudeForce))
+        # 6 ions in interstitial lattice holes, spread across x so both
+        # slabs own some
+        spacing = 0.6
+        holes = [(0, 0, 0), (1, 2, 3), (2, 4, 1),
+                 (3, 1, 4), (4, 3, 2), (4, 0, 0)]
+        kinds = ["NA", "CL", "NA", "CL", "NA", "CL"]
+        pos_list = [positions]
+        ions = []
+        for (i, j, k), kind in zip(holes, kinds):
+            q, sigma, eps, alpha, d_mass, mass = ION[kind]
+            q_d = -np.sqrt(alpha * 100000 * 4.184 / ONE_4PI_EPS0)
+            start = system.addParticle(mass - d_mass)
+            system.addParticle(d_mass)
+            nb.addParticle(q - q_d, sigma, eps)
+            nb.addParticle(q_d, 1.0, 0.0)
+            nb.addException(start, start + 1, 0, 1, 0)
+            ions.append((df.addParticle(start + 1, start, -1, -1, -1,
+                                        q_d, alpha, 1, 1), kind))
+            center = (np.array([i, j, k]) + 0.5) * spacing
+            pos_list.append(np.array([center, center]))
+        thole = {("NA", "NA"): 1.0, ("CL", "CL"): 1.2,
+                 ("NA", "CL"): 0.8, ("CL", "NA"): 0.8}
+        for a in range(len(ions)):
+            for b in range(a + 1, len(ions)):
+                pa, ka = ions[a]
+                pb, kb = ions[b]
+                df.addNBTholePair(pa, pb, thole[(ka, kb)])
+        positions = np.concatenate(pos_list, axis=0)
+        integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005,
+                                       20, 2)
+        integ.setMaxDrudeDistance(0.05)
+        ctx = dn.Context(system, integ, precision="double",
+                         strategy="cellpair")
+        ctx.setPositions(positions)
+        ctx.applyConstraints(1e-6)
+        ctx.setVelocitiesToTemperature(200.0, seed=5)
+        ctx._ensure_forces()
+        return ctx
+
+    ctx_plain = build()
+    ctx_plain.getIntegrator().step(8)
+    ref_pos = ctx_plain.getPositions()
+
+    ctx = build()
+    rctx = resident.ResidentContext(ctx, _mesh(2))
+    assert rctx._layout.nt_cap > 0
+    rctx.step(8)
+    np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
