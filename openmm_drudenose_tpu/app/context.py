@@ -75,7 +75,8 @@ class State:
 class Context:
     def __init__(self, system, integrator, precision="single",
                  strategy: str = "auto", seed: int = 0,
-                 hardwall_strict: bool = False):
+                 hardwall_strict: bool = False,
+                 nb_options: dict | None = None):
         self._system = system
         self._integrator = integrator
         integrator._context = self
@@ -94,7 +95,10 @@ class Context:
             system, integrator, r, a)
 
         self._strategy = strategy
-        self._nb_kwargs: dict = {}
+        # nb_options: advanced strategy tuning forwarded to the nonbonded
+        # compile (skin, capacity, grid_x_multiple for slab-divisible cell
+        # grids, use_pallas, ...)
+        self._nb_kwargs: dict = dict(nb_options or {})
         self._ke_valid = False
         self._build_potential()
 
@@ -128,6 +132,7 @@ class Context:
         self._nbl_cfg = None
         self._cp_cfg = None
         self._neighbor_fn = None
+        self._rebuild_interval = None
         nbl_terms = [t for t in terms
                      if getattr(t[0], "needs_neighbors", False)]
         if nbl_terms:
@@ -331,22 +336,45 @@ class Context:
                 continue
             if not bool(nbl.overflow):
                 break
-            # capacity exceeded (clustered system): grow and rebuild
-            if self._cp_cfg is not None:
-                from ..forces import cellpair
-                self._nb_kwargs["capacity"] = cellpair.grow(
-                    self._cp_cfg, self._static.n_atoms).capacity
-                self._build_potential()
-            else:
-                from ..forces import neighborlist
-                self._nbl_cfg = neighborlist.grow(self._nbl_cfg,
-                                                  self._static.n_atoms)
-                self._rebind_neighbor_fn()
-                self._step_fns.clear()
+            self._grow_pair_capacity()
         else:
             raise RuntimeError("neighbor structure capacity still "
                                "overflowing after growth")
         self._state = self._state._replace(neighbors=nbl)
+
+    def _grow_pair_capacity(self) -> None:
+        """Capacity exceeded (clustered system): grow and recompile.
+
+        The cellpair capacity is sized from the MEASURED max cell
+        occupancy at the current positions: the blind 1.5x of
+        cellpair.grow overshoots (liquid water at benchmark density
+        overflows C=48 with a true max of ~51, and sweep cost scales with
+        capacity), while +8 rounding under-grows clustered systems.
+        Callers re-check overflow; capacity+8 guarantees progress even
+        when the overflow happened at positions that have since been
+        discarded (the in-scan chunk retry)."""
+        if self._cp_cfg is not None:
+            cfg = self._cp_cfg
+            pos = np.asarray(self._state.positions, np.float64)
+            box = np.diagonal(np.asarray(self._state.box, np.float64))
+            grid = np.asarray(cfg.grid)
+            frac = pos / box
+            frac = frac - np.floor(frac)
+            cell = np.minimum((frac * grid).astype(np.int64), grid - 1)
+            flat = ((cell[:, 0] * grid[1] + cell[:, 1]) * grid[2]
+                    + cell[:, 2])
+            occ_max = int(np.bincount(flat, minlength=cfg.n_cells).max())
+            new_cap = max(-(-int(occ_max * 1.1 + 2) // 8) * 8,
+                          cfg.capacity + 8)
+            self._nb_kwargs["capacity"] = min(new_cap,
+                                              self._static.n_atoms)
+            self._build_potential()
+        else:
+            from ..forces import neighborlist
+            self._nbl_cfg = neighborlist.grow(self._nbl_cfg,
+                                              self._static.n_atoms)
+            self._rebind_neighbor_fn()
+            self._step_fns.clear()
 
     def _ensure_forces(self) -> None:
         if not self._forces_valid:
@@ -362,9 +390,13 @@ class Context:
     def _get_step_fn(self, inner: int):
         fn = self._step_fns.get(inner)
         if fn is None:
+            skin = (self._cp_cfg.skin if self._cp_cfg is not None
+                    else getattr(self._nbl_cfg, "skin", None))
             fn = jax.jit(tgnh.make_multi_step(
                 self._static, self._energy_and_forces, inner,
-                forces_fn=self._forces_only))
+                neighbor_fn=self._neighbor_fn,
+                rebuild_interval=self._rebuild_interval,
+                forces_fn=self._forces_only, skin=skin))
             self._step_fns[inner] = fn
         return fn
 
@@ -386,29 +418,46 @@ class Context:
         """Advance the simulation.
 
         Without a neighbor list this is one jitted lax.scan call (compiled
-        once per distinct `steps` value).  With a cell list, stepping is
-        chunked into `rebuild_interval`-sized scans with the (jitted)
-        neighbor rebuild between chunks — the rebuild runs as its own XLA
-        program, keeping the hot step program small; the host dispatch
-        every ~16 steps is noise next to the force pass."""
+        once per distinct `steps` value).  With a cell list, neighbor
+        rebuilds run IN-SCAN (a lax.cond every `rebuild_interval` steps
+        inside make_step), and scans are dispatched in chunks of
+        8*interval steps — one host round-trip (plus one overflow-flag
+        readback) per ~128 steps instead of three per 16 (measured ~5
+        ms/step of host overhead at 100k atoms).  Chunks stay bounded
+        because very long device programs have crashed the remote TPU
+        runtime.  An in-scan rebuild cannot grow the cell capacity
+        (static shapes): overflow latches, the whole chunk is discarded,
+        capacity grows from measured occupancy, and the chunk re-runs
+        from the saved pre-chunk state."""
         self._ensure_forces()
         steps = int(steps)
         if self._neighbor_fn is None:
             self._state = self._get_step_fn(steps)(self._spec, self._state)
         else:
-            if self._jit_neighbor_fn is None:
-                self._jit_neighbor_fn = jax.jit(self._neighbor_fn)
-            interval = self._rebuild_interval
+            chunk = 8 * self._rebuild_interval
             remaining = steps
             while remaining > 0:
-                k = min(interval, remaining)
-                # rebuild, growing capacity on overflow (the flag costs one
-                # bool readback per segment — noise next to the force work)
-                self._check_rebuild_drift()
-                self._state = self._state._replace(neighbors=None)
+                k = min(chunk, remaining)
                 self._ensure_neighbors()
-                self._state = self._get_step_fn(k)(self._spec, self._state)
+                saved = self._state
+                for _ in range(8):
+                    new_state = self._get_step_fn(k)(self._spec, saved)
+                    if bool(new_state.neighbors.overflow):
+                        # slots were dropped from the overflowing rebuild
+                        # onward — every step since is invalid
+                        self._grow_pair_capacity()
+                        saved = saved._replace(neighbors=None)
+                        self._state = saved
+                        self._ensure_neighbors()
+                        saved = self._state
+                        continue
+                    self._state = new_state
+                    break
+                else:
+                    raise RuntimeError("neighbor structure capacity still "
+                                       "overflowing after growth")
                 remaining -= k
+            self._check_rebuild_drift()
         self._ke_valid = True
         if self._forces_only is not None:
             self._pe_valid = False
@@ -426,15 +475,13 @@ class Context:
         if (nbl is None or self._drift_warned
                 or getattr(nbl, "ref_positions", None) is None):
             return
-        skin = None
-        if self._cp_cfg is not None:
-            skin = self._cp_cfg.skin
-        elif self._nbl_cfg is not None:
-            skin = getattr(self._nbl_cfg, "skin", None)
-        if skin is None:
-            return
-        d = np.asarray(self._state.positions) - np.asarray(nbl.ref_positions)
-        if float(np.max(np.sum(d * d, axis=-1))) > skin * skin:
+        # in-scan rebuilds latch the full-skin breach at each rebuild
+        # (make_step do_rebuild) — exactly the intervals whose pair
+        # structure was actually used for forces.  The still-open tail
+        # interval is judged by the NEXT rebuild; checking it here would
+        # flag drift that never fed a stale force evaluation.
+        latched = getattr(nbl, "drift_exceeded", None)
+        if latched is not None and bool(latched):
             self._drift_warned = True
             import warnings
             warnings.warn(

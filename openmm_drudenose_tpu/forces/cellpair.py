@@ -111,11 +111,19 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
                 skin: float = 0.1, rebuild_interval: int = 16,
                 cells_per_cutoff: int = 2, density_margin: float = 1.35,
                 capacity: int | None = None,
-                allow_half: bool = True) -> CellPairConfig:
+                allow_half: bool = True,
+                grid_x_multiple: int = 1) -> CellPairConfig:
     box_diag = np.asarray(box_diag, np.float64)
     r_list = cutoff + skin
     target = r_list / cells_per_cutoff
     grid = tuple(max(int(np.floor(L / target)), 1) for L in box_diag)
+    if grid_x_multiple > 1:
+        # slab decompositions (parallel/resident.py) need gx divisible by
+        # the device count; rounding DOWN keeps cells >= target so the
+        # stencil window still covers r_list (window recomputed below)
+        gx = max((grid[0] // grid_x_multiple) * grid_x_multiple,
+                 grid_x_multiple)
+        grid = (gx, grid[1], grid[2])
     cell_size = box_diag / np.array(grid)
     window = tuple(int(np.ceil(r_list / cell_size[d])) for d in range(3))
     n_cells = int(np.prod(grid))

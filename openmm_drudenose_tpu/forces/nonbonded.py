@@ -393,7 +393,8 @@ class NonbondedForce:
                             and nb_kwargs.get("allow_half", True)),
                 **{k: v for k, v in nb_kwargs.items()
                    if k in ("skin", "rebuild_interval", "cells_per_cutoff",
-                            "capacity", "density_margin")})
+                            "capacity", "density_margin",
+                            "grid_x_multiple")})
             if method in (self.Ewald, self.PME):
                 # re-plan the reciprocal grid as a multiple of the cell
                 # grid: the pencil spread (pme.spread_pencils) reuses the

@@ -54,9 +54,9 @@ def _gather_rows(x, idx):
     return x.T[:, idx].T
 
 
-def _partner_rows(spec: SystemSpec, static: StaticSpec, x):
-    """x[spec.partner] — the pair-partner row gather the kinematics runs
-    ~10x per step.  With a uniform molecule-major layout
+def _partner_rows_t(spec: SystemSpec, static: StaticSpec, xt):
+    """xt[:, spec.partner] for (3, N) arrays — the pair-partner gather the
+    kinematics runs ~10x per step.  With a uniform molecule-major layout
     (static.uniform_k, core/spec.py detection) the partner index is
     i + d[i % K] for a fixed K-periodic offset pattern, so the random
     gather becomes a select over a few lane-SHIFTED copies (pure
@@ -65,67 +65,77 @@ def _partner_rows(spec: SystemSpec, static: StaticSpec, x):
     partners stay inside the residue block, so i + d is always in range
     where the offset mask is true."""
     if not static.uniform_k:
-        return _gather_rows(x, spec.partner)
+        return xt[:, spec.partner]
     pat = np.asarray(static.partner_offsets)
     distinct = sorted(set(static.partner_offsets))
     if distinct == [0]:
-        return x
+        return xt
     n = static.n_atoms
-    xt = x.T
     out = xt
     for d in distinct:
         if d == 0:
             continue
         mask = jnp.asarray(np.tile(pat == d, n // static.uniform_k))
         out = jnp.where(mask[None, :], jnp.roll(xt, -d, axis=1), out)
-    return out.T
+    return out
+
+
+def _partner_rows(spec: SystemSpec, static: StaticSpec, x):
+    """(N, 3) wrapper over _partner_rows_t."""
+    return _partner_rows_t(spec, static, x.T).T
+
+
+def residue_sum_t(spec: SystemSpec, xt):
+    """Sum a per-atom (3, N) quantity over residues -> (3, R), via the
+    padded member-gather table (TPU scatters/segment_sums are slow; a
+    fixed-width gather + axis-reduce is fused elementwise work).  The
+    (3, N) lane-major layout is 7x faster than per-component gathers of
+    (N, 3) column slices (measured on v5e, scripts/bench_layout.py)."""
+    vtp = jnp.concatenate([xt, jnp.zeros((3, 1), xt.dtype)], axis=1)
+    return jnp.sum(vtp[:, spec.res_members], axis=2)
 
 
 def residue_sum(spec: SystemSpec, static: StaticSpec, per_atom):
-    """Sum a per-atom (N, 3) quantity over residues -> (R, 3), via the
-    padded member-gather table (TPU scatters/segment_sums are slow; a
-    fixed-width gather + axis-reduce is fused elementwise work).  Gathered
-    in (3, N) layout: one transpose, then a single (3, R, K) gather — 7x
-    faster than three per-component (R, K) gathers of (N, 3) column slices
-    (measured on v5e, scripts/bench_layout.py)."""
-    vt = jnp.concatenate([per_atom.T, jnp.zeros((3, 1), per_atom.dtype)],
-                         axis=1)
-    return jnp.sum(vt[:, spec.res_members], axis=2).T
+    """(N, 3) -> (R, 3) wrapper over residue_sum_t."""
+    return residue_sum_t(spec, per_atom.T).T
 
 
-def com_and_norm_velocities(spec: SystemSpec, static: StaticSpec, velocities):
-    """Per-residue COM velocities and residue-relative ('normalized')
-    velocities (drudeTGNH.cu:82-133).  With use_com_temp_group=False the COM
-    velocities are zero and norm == lab velocities."""
+def com_and_norm_velocities_t(spec: SystemSpec, static: StaticSpec, vt):
+    """Per-residue COM velocities (3, R) and residue-relative
+    ('normalized') velocities (3, N) (drudeTGNH.cu:82-133).  With
+    use_com_temp_group=False the COM velocities are zero and norm == lab
+    velocities.  All math in (3, N): a trailing size-3 axis on 100k-atom
+    elementwise chains pads lanes 3->128 (CLAUDE.md perf rules)."""
     if static.use_com_temp_group:
-        mom = residue_sum(spec, static, spec.mass[:, None] * velocities)
-        com_vel = mom * spec.res_inv_mass[:, None]
+        mom = residue_sum_t(spec, spec.mass[None, :] * vt)
+        com_vel_t = mom * spec.res_inv_mass[None, :]
     else:
-        com_vel = jnp.zeros((static.n_residues, 3), velocities.dtype)
-    norm_vel = velocities - _gather_rows(com_vel, spec.resid)
-    return com_vel, norm_vel
+        com_vel_t = jnp.zeros((3, static.n_residues), vt.dtype)
+    norm_vel_t = vt - com_vel_t[:, spec.resid]
+    return com_vel_t, norm_vel_t
 
 
-def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
-                           accum_dtype):
+def group_kinetic_energies_t(spec: SystemSpec, static: StaticSpec, vt,
+                             accum_dtype):
     """Per-bath 2*KE vector of length G+2 (drudeTGNH.cu:138-200):
       slots 0..G-1 : molecular-internal real DOF per user group
       slot G       : molecular COM bath
       slot G+1     : Drude internal (relative) bath
-    Plus the com/norm velocities for reuse by the scale kernel."""
+    Plus the (3, R)/(3, N) com/norm velocities for reuse by the scale
+    kernel."""
     G = static.n_temp_groups
-    nb = G + 2
-    com_vel, norm_vel = com_and_norm_velocities(spec, static, velocities)
+    com_vel_t, norm_vel_t = com_and_norm_velocities_t(spec, static, vt)
 
-    cv = com_vel.astype(accum_dtype)
-    nv = norm_vel.astype(accum_dtype)
+    cv = com_vel_t.astype(accum_dtype)
+    nv = norm_vel_t.astype(accum_dtype)
     mass = spec.mass.astype(accum_dtype)
 
     # COM bath: sum_res M_res |v_com|^2
-    ke_com = jnp.sum(spec.res_mass.astype(accum_dtype) * jnp.sum(cv * cv, axis=-1))
+    ke_com = jnp.sum(spec.res_mass.astype(accum_dtype)
+                     * jnp.sum(cv * cv, axis=0))
 
     # normal particles: m |nv|^2 into their group
-    ke_atom = mass * jnp.sum(nv * nv, axis=-1)
+    ke_atom = mass * jnp.sum(nv * nv, axis=0)
 
     if static.has_pairs:
         j = spec.partner
@@ -133,12 +143,12 @@ def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
         m_j = mass[j]
         mtot = m_i + m_j
         inv_mtot = _safe_inv(mtot)
-        nv_j = _partner_rows(spec, static, nv)
-        cm = (m_i[:, None] * nv + m_j[:, None] * nv_j) * inv_mtot[:, None]
+        nv_j = _partner_rows_t(spec, static, nv)
+        cm = (m_i[None, :] * nv + m_j[None, :] * nv_j) * inv_mtot[None, :]
         rel = nv - nv_j  # sign irrelevant for |rel|^2
         mu = m_i * m_j * inv_mtot
-        ke_cm = 0.5 * mtot * jnp.sum(cm * cm, axis=-1)      # half per member
-        ke_rel = 0.5 * mu * jnp.sum(rel * rel, axis=-1)
+        ke_cm = 0.5 * mtot * jnp.sum(cm * cm, axis=0)       # half per member
+        ke_rel = 0.5 * mu * jnp.sum(rel * rel, axis=0)
         ke_group_directed = jnp.where(spec.is_pair, ke_cm, ke_atom)
         ke_drude = jnp.sum(jnp.where(spec.is_pair, ke_rel, 0.0))
     else:
@@ -153,7 +163,15 @@ def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
         ke_groups = [jnp.sum(jnp.where(spec.tg == g, ke_group_directed, 0.0))
                      for g in range(G)]
     ke = jnp.stack(ke_groups + [ke_com, ke_drude])
-    return ke, com_vel, norm_vel
+    return ke, com_vel_t, norm_vel_t
+
+
+def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
+                           accum_dtype):
+    """(N, 3) wrapper over group_kinetic_energies_t."""
+    ke, cv_t, nv_t = group_kinetic_energies_t(spec, static, velocities.T,
+                                              accum_dtype)
+    return ke, cv_t.T, nv_t.T
 
 
 # ---------------------------------------------------------------------------
@@ -234,21 +252,21 @@ def propagate_nh_chain(spec: SystemSpec, static: StaticSpec, ke,
 # velocity operations (dense per-atom, partner-gather for pairs)
 # ---------------------------------------------------------------------------
 
-def apply_vscale(spec: SystemSpec, static: StaticSpec, velocities,
-                 com_vel, norm_vel, vscale):
-    """Rescale velocities bath-by-bath (drudeTGNH.cu:249-301):
+def apply_vscale_t(spec: SystemSpec, static: StaticSpec, vt,
+                   com_vel_t, norm_vel_t, vscale):
+    """Rescale (3, N) velocities bath-by-bath (drudeTGNH.cu:249-301):
     molecular-internal part by the atom's group scale, COM part by the COM
-    scale; pair internal parts further split into pair-COM (group scale) and
-    Drude-relative (Drude scale)."""
+    scale; pair internal parts further split into pair-COM (group scale)
+    and Drude-relative (Drude scale)."""
     G = static.n_temp_groups
-    r = velocities.dtype
+    r = vt.dtype
     vs = vscale.astype(r)
-    vs_atom = vs[spec.tg][:, None]
+    vs_atom = vs[spec.tg][None, :]
     vs_com = vs[G]
-    vel_com_part = velocities - norm_vel  # = com_vel[resid] for massive atoms
+    vel_com_part = vt - norm_vel_t  # = com_vel[resid] for massive atoms
 
-    movable = (spec.inv_mass > 0)[:, None]
-    new_v = vs_atom * norm_vel + vs_com * vel_com_part
+    movable = (spec.inv_mass > 0)[None, :]
+    new_v = vs_atom * norm_vel_t + vs_com * vel_com_part
 
     if static.has_pairs:
         vs_drude = vs[G + 1]
@@ -256,25 +274,33 @@ def apply_vscale(spec: SystemSpec, static: StaticSpec, velocities,
         m_i = spec.mass
         m_j = spec.mass[j]
         inv_mtot = _safe_inv(m_i + m_j)
-        nv_j = _partner_rows(spec, static, norm_vel)
-        sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[:, None]
-        cm = ((m_i * inv_mtot)[:, None] * norm_vel
-              + (m_j * inv_mtot)[:, None] * nv_j)
-        rel = sign * (norm_vel - nv_j)  # oriented parent - drude
+        nv_j = _partner_rows_t(spec, static, norm_vel_t)
+        sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[None, :]
+        cm = ((m_i * inv_mtot)[None, :] * norm_vel_t
+              + (m_j * inv_mtot)[None, :] * nv_j)
+        rel = sign * (norm_vel_t - nv_j)  # oriented parent - drude
         pair_v = (vs_atom * cm
-                  + vs_drude * rel * sign * (m_j * inv_mtot)[:, None]
+                  + vs_drude * rel * sign * (m_j * inv_mtot)[None, :]
                   + vs_com * vel_com_part)
-        new_v = jnp.where(spec.is_pair[:, None], pair_v, new_v)
+        new_v = jnp.where(spec.is_pair[None, :], pair_v, new_v)
 
-    return jnp.where(movable, new_v, velocities)
+    return jnp.where(movable, new_v, vt)
 
 
-def half_kick(spec: SystemSpec, static: StaticSpec, velocities, forces, dt):
-    """Half-step velocity kick (drudeTGNH.cu:307-365).  Normal particles get
-    v += dt/2 * F/m; Drude pairs are kicked in COM/relative coordinates."""
-    r = velocities.dtype
+def apply_vscale(spec: SystemSpec, static: StaticSpec, velocities,
+                 com_vel, norm_vel, vscale):
+    """(N, 3) wrapper over apply_vscale_t."""
+    return apply_vscale_t(spec, static, velocities.T, com_vel.T,
+                          norm_vel.T, vscale).T
+
+
+def half_kick_t(spec: SystemSpec, static: StaticSpec, vt, ft, dt):
+    """Half-step velocity kick on (3, N) arrays (drudeTGNH.cu:307-365).
+    Normal particles get v += dt/2 * F/m; Drude pairs are kicked in
+    COM/relative coordinates."""
+    r = vt.dtype
     fscale = (0.5 * dt).astype(r)
-    new_v = velocities + fscale * spec.inv_mass[:, None] * forces
+    new_v = vt + fscale * spec.inv_mass[None, :] * ft
 
     if static.has_pairs:
         j = spec.partner
@@ -283,22 +309,27 @@ def half_kick(spec: SystemSpec, static: StaticSpec, velocities, forces, dt):
         mtot = m_i + m_j
         inv_mtot = _safe_inv(mtot)
         inv_red = mtot * spec.inv_mass * spec.inv_mass[j]  # M/(m_i m_j)
-        v_j = _partner_rows(spec, static, velocities)
-        f_j = _partner_rows(spec, static, forces)
-        sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[:, None]
-        cm = ((m_i * inv_mtot)[:, None] * velocities
-              + (m_j * inv_mtot)[:, None] * v_j)
-        rel = sign * (velocities - v_j)                      # parent - drude
-        cm_f = forces + f_j
-        rel_f = sign * ((m_j * inv_mtot)[:, None] * forces
-                        - (m_i * inv_mtot)[:, None] * f_j)
-        cm = cm + fscale * inv_mtot[:, None] * cm_f
-        rel = rel + fscale * inv_red[:, None] * rel_f
-        pair_v = cm + sign * (m_j * inv_mtot)[:, None] * rel
-        new_v = jnp.where(spec.is_pair[:, None], pair_v, new_v)
+        v_j = _partner_rows_t(spec, static, vt)
+        f_j = _partner_rows_t(spec, static, ft)
+        sign = jnp.where(spec.is_parent, 1.0, -1.0).astype(r)[None, :]
+        cm = ((m_i * inv_mtot)[None, :] * vt
+              + (m_j * inv_mtot)[None, :] * v_j)
+        rel = sign * (vt - v_j)                              # parent - drude
+        cm_f = ft + f_j
+        rel_f = sign * ((m_j * inv_mtot)[None, :] * ft
+                        - (m_i * inv_mtot)[None, :] * f_j)
+        cm = cm + fscale * inv_mtot[None, :] * cm_f
+        rel = rel + fscale * inv_red[None, :] * rel_f
+        pair_v = cm + sign * (m_j * inv_mtot)[None, :] * rel
+        new_v = jnp.where(spec.is_pair[None, :], pair_v, new_v)
 
-    movable = (spec.inv_mass > 0)[:, None]
-    return jnp.where(movable, new_v, velocities)
+    movable = (spec.inv_mass > 0)[None, :]
+    return jnp.where(movable, new_v, vt)
+
+
+def half_kick(spec: SystemSpec, static: StaticSpec, velocities, forces, dt):
+    """(N, 3) wrapper over half_kick_t."""
+    return half_kick_t(spec, static, velocities.T, forces.T, dt).T
 
 
 def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
@@ -421,22 +452,25 @@ def make_step(static: StaticSpec,
     """
     G = static.n_temp_groups
 
-    def nh_half(spec, state, velocities):
+    def nh_half(spec, state, vt):
+        """First/second NH half step on (3, N) velocities (the whole
+        kinematics path runs lane-major: a trailing size-3 axis on
+        100k-atom elementwise chains pads lanes 3->128)."""
         accum = state.eta.dtype
-        ke, com_vel, norm_vel = group_kinetic_energies(
-            spec, static, velocities, accum)
+        ke, com_vel_t, norm_vel_t = group_kinetic_energies_t(
+            spec, static, vt, accum)
         if reduce_axis is not None:
             ke = jax.lax.psum(ke, reduce_axis)
         vscale, eta, eta_dot, eta_dot_dot = propagate_nh_chain(
             spec, static, ke, state.eta, state.eta_dot, state.eta_dot_dot,
             spec.dt)
-        new_v = apply_vscale(spec, static, velocities, com_vel, norm_vel,
-                             vscale)
+        new_vt = apply_vscale_t(spec, static, vt, com_vel_t, norm_vel_t,
+                                vscale)
         ke_sum = 0.5 * jnp.sum(ke)
         state = state._replace(eta=eta, eta_dot=eta_dot,
                                eta_dot_dot=eta_dot_dot, ke_sum=ke_sum,
                                group_ke=ke)
-        return state, new_v
+        return state, new_vt
 
     def step(spec: SystemSpec, state: SimState) -> SimState:
         dt = spec.dt.astype(state.positions.dtype)
@@ -482,11 +516,12 @@ def make_step(static: StaticSpec,
                 recompute_current=forces_fn is not None,
                 n_mol=baro_n_mol)
 
-        # -- first NH half step + velocity scaling -------------------------
-        state, v = nh_half(spec, state, state.velocities)
+        # -- first NH half step + velocity scaling (3, N) -------------------
+        state, vt = nh_half(spec, state, state.velocities.T)
 
         # -- first half kick; position delta --------------------------------
-        v = half_kick(spec, static, v, state.forces, dt)
+        vt = half_kick_t(spec, static, vt, state.forces.T, dt)
+        v = vt.T
         movable = (spec.inv_mass > 0)[:, None]
         delta = jnp.where(movable, dt * v, 0.0)
 
@@ -534,7 +569,7 @@ def make_step(static: StaticSpec,
                                            state.pos_err)
 
         # -- second half kick -------------------------------------------------
-        v = half_kick(spec, static, v, forces, dt)
+        v = half_kick_t(spec, static, v.T, forces.T, dt).T
 
         # -- velocity constraints ---------------------------------------------
         if static.n_settle:
@@ -549,10 +584,10 @@ def make_step(static: StaticSpec,
         # -- second NH half step ----------------------------------------------
         state = state._replace(positions=pos, forces=forces,
                                potential_energy=pe.astype(state.eta.dtype))
-        state, v = nh_half(spec, state, v)
+        state, vt = nh_half(spec, state, v.T)
 
         return state._replace(
-            velocities=v,
+            velocities=vt.T,
             step=state.step + 1,
             time=state.time + spec.dt)
 

@@ -162,21 +162,20 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     hvec = jnp.asarray([h[0], h[1], h[2]], dtype)
     cutoff2 = cfg.cutoff * cfg.cutoff
 
-    # per-program slot-loop bound: the max cell occupancy over the halo
-    # layers (pad slots fill from the top, so slots >= occupancy are
-    # no-ops; capacity C carries ~(C/avg)-fold slack at typical densities)
+    # per-LAYER slot-loop bounds: pad slots fill from the top, so slots
+    # >= a layer's max occupancy are no-ops; bounding each offset's b-loop
+    # by its OWN b-layer's max (instead of the max over the whole halo)
+    # trims the (C/avg)-fold capacity slack per offset
     occ = jnp.sum((cellsort.slot_atom < n).reshape(n_cells, C),
                   axis=1).reshape(gx, n_yz)
     lay_max = jnp.max(occ, axis=1).astype(jnp.int32)         # (gx,)
-    cmax = jnp.max(lay_max[jnp.asarray(lay_idx)], axis=1)    # (gx,)
 
-    def kernel(lay_ref, cmax_ref, hvec_ref,
+    def kernel(lay_ref, lmax_ref, hvec_ref,
                x_ref, y_ref, z_ref, q_ref, sig_ref, seps_ref, gid_ref,
                ew_ref,
                fown_ref, freact_ref,
                xs, ys, zs, qs, sigs, sepss, gids, ews, sem):
         i = pl.program_id(0)
-        n_b = cmax_ref[i]
 
         # ---- bulk DMA: one aligned full-stride copy per (field, layer) --
         copies = []
@@ -245,8 +244,8 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                     jnp.asarray(fz + g2 * dz, dtype))
 
         zero = jnp.zeros((C, n_yz), dtype)
-        fx, fy, fz = jax.lax.fori_loop(0, n_b, self_body,
-                                       (zero, zero, zero))
+        fx, fy, fz = jax.lax.fori_loop(0, lmax_ref[lay_ref[i, w]],
+                                       self_body, (zero, zero, zero))
 
         # ---- stencil offsets (statically unrolled) ----------------------
         react_layers = {}
@@ -313,7 +312,8 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                         jnp.asarray(rza + onehot * rz, dtype))
 
             fx, fy, fz, rxa, rya, rza = jax.lax.fori_loop(
-                0, n_b, slot_body, (fx, fy, fz, zero, zero, zero))
+                0, lmax_ref[lay_ref[i, ox + w]], slot_body,
+                (fx, fy, fz, zero, zero, zero))
 
             # lane inverse-shift into the b frame (static value slices)
             shifted = []
@@ -365,7 +365,7 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
             jax.ShapeDtypeStruct((gx, 3 * C, n_lay * fr_stride), dtype),
         ],
         interpret=interpret,
-    )(jnp.asarray(lay_idx), cmax, hvec, *fields)
+    )(jnp.asarray(lay_idx), lay_max, hvec, *fields)
 
     fown, freact = out
     if debug_outputs:

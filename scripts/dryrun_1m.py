@@ -14,9 +14,23 @@ scale (parallel/sharded.py docstring)."""
 import os
 import sys
 
-if "jax" not in sys.modules:
-    os.environ.setdefault("XLA_FLAGS",
-                          "--xla_force_host_platform_device_count=8")
+# the collective-call timeouts matter on a low-core host: 8 virtual
+# devices time-slice the cores, so heavy per-device programs reach a
+# ppermute rendezvous minutes apart (XLA's default 40 s terminate timeout
+# kills the process; a virtual-device artifact, not a program property)
+_FLAGS = ("--xla_force_host_platform_device_count=8"
+          " --xla_cpu_collective_call_warn_stuck_timeout_seconds=3600"
+          " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+
+if "--cpu" in sys.argv and _FLAGS not in os.environ.get("XLA_FLAGS", ""):
+    if "jax" in sys.modules:
+        # a sitecustomize (e.g. the axon TPU plugin's) already imported
+        # jax, so env edits are too late — re-exec with the flags set
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " " + _FLAGS)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " " + _FLAGS)
 
 import time
 
@@ -40,13 +54,22 @@ def main():
     from openmm_drudenose_tpu.parallel import sharded
 
     n_mol = 200_000
+    for a in sys.argv:
+        # --mol=N: smaller demonstrations (the CPU backend OOMs compiling
+        # the 1M-atom RESIDENT programs on a 125 GB host — an emulation
+        # artifact; the work-sharded 1M path compiles and runs)
+        if a.startswith("--mol="):
+            n_mol = int(a.split("=")[1])
     t0 = time.time()
     system, positions = builders.build_water_box(n_mol)
     print(f"built 1M-atom system ({time.time()-t0:.0f}s)")
 
     integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
     integ.setMaxDrudeDistance(0.02)
-    ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
+    # gx % 8 == 0 makes the x-slab resident decomposition valid AND the
+    # work-sharded engine's flattened cell count divisible by the mesh
+    ctx = dn.Context(system, integ, precision="single", strategy="cellpair",
+                     nb_options={"grid_x_multiple": 8})
     ctx.setPositions(positions)
     ctx.setVelocitiesToTemperature(300.0, seed=0)
     print(f"context ready: grid {ctx._cp_cfg.grid}, "
