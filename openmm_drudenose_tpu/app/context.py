@@ -192,10 +192,17 @@ class Context:
         self._forces_only = None
         if nb_split is not None:
             nb_fn, nb_params = nb_split
+            recip_f = getattr(nb_fn, "recip_forces", None)
 
             def potential_rest(positions, box, neighbors, pos_err):
+                """Everything autodiffed in the force-only path: with an
+                analytic reciprocal force available, only the extras; else
+                extras + PME reciprocal."""
                 pos = apply_vsites(spec, static, positions)
-                e = nb_fn.rest_energy(nb_params, pos, box, neighbors)
+                if recip_f is not None:
+                    e = nb_fn.extras_energy(nb_params, pos, box)
+                else:
+                    e = nb_fn.rest_energy(nb_params, pos, box, neighbors)
                 for fn, params in terms:
                     if fn is nb_fn:
                         continue
@@ -210,15 +217,20 @@ class Context:
             def forces_only(positions, box, neighbors=None, pos_err=None):
                 pos_comp, vjp_fn = jax.vjp(
                     lambda p: apply_vsites(spec, static, p), positions)
-                f_sweep = nb_fn.sweep_forces(nb_params, pos_comp,
-                                             jnp.diagonal(box), neighbors)
+                box_diag = jnp.diagonal(box)
+                f_analytic = nb_fn.sweep_forces(nb_params, pos_comp,
+                                                box_diag, neighbors)
+                if recip_f is not None:
+                    f_analytic = f_analytic + recip_f(nb_params, pos_comp,
+                                                      box_diag, neighbors)
                 grad = jax.grad(potential_rest)(positions, box, neighbors,
                                                 pos_err)
-                return vjp_fn(f_sweep)[0] - grad
+                return vjp_fn(f_analytic)[0] - grad
 
             self._forces_only = forces_only
         self._step_fns: Dict[int, callable] = {}
         self._jit_neighbor_fn = None
+        self._jit_rebuild = None
         self._jit_potential = None
         self._pe_valid = False
         if getattr(self, "_state", None) is not None:
@@ -315,6 +327,7 @@ class Context:
                 positions, jnp.diagonal(box), cfg, excl_table)
         self._neighbor_fn = neighbor_fn
         self._jit_neighbor_fn = None
+        self._jit_rebuild = None
 
     def _ensure_neighbors(self) -> None:
         if self._neighbor_fn is None or self._state.neighbors is not None:
@@ -390,15 +403,39 @@ class Context:
     def _get_step_fn(self, inner: int):
         fn = self._step_fns.get(inner)
         if fn is None:
-            skin = (self._cp_cfg.skin if self._cp_cfg is not None
-                    else getattr(self._nbl_cfg, "skin", None))
             fn = jax.jit(tgnh.make_multi_step(
                 self._static, self._energy_and_forces, inner,
-                neighbor_fn=self._neighbor_fn,
-                rebuild_interval=self._rebuild_interval,
-                forces_fn=self._forces_only, skin=skin))
+                forces_fn=self._forces_only))
             self._step_fns[inner] = fn
         return fn
+
+    def _get_rebuild_fn(self):
+        """Jitted state -> state neighbor refresh that also latches the
+        full-skin drift breach and carries the overflow latch forward
+        (dispatched from the host between interval scans; NOT run inside
+        the step program — XLA compiles the cellsort's argsort/scatter
+        sequence inside a scanned loop ~10x slower than standalone,
+        measured on v5e via scripts/ab_rebuild.py)."""
+        if self._jit_rebuild is not None:
+            return self._jit_rebuild
+        neighbor_fn = self._neighbor_fn
+        skin = (self._cp_cfg.skin if self._cp_cfg is not None
+                else getattr(self._nbl_cfg, "skin", None))
+
+        def rebuild(state):
+            nbl = neighbor_fn(state.positions, state.box)
+            old = state.neighbors
+            nbl = nbl._replace(overflow=nbl.overflow | old.overflow)
+            if skin is not None and getattr(
+                    old, "drift_exceeded", None) is not None:
+                d = state.positions - old.ref_positions
+                exceeded = jnp.max(jnp.sum(d * d, axis=-1)) > skin * skin
+                nbl = nbl._replace(
+                    drift_exceeded=exceeded | old.drift_exceeded)
+            return state._replace(neighbors=nbl)
+
+        self._jit_rebuild = jax.jit(rebuild)
+        return self._jit_rebuild
 
     def _ensure_pe(self) -> None:
         """Recompute the potential energy when the force-only step left it
@@ -418,45 +455,54 @@ class Context:
         """Advance the simulation.
 
         Without a neighbor list this is one jitted lax.scan call (compiled
-        once per distinct `steps` value).  With a cell list, neighbor
-        rebuilds run IN-SCAN (a lax.cond every `rebuild_interval` steps
-        inside make_step), and scans are dispatched in chunks of
-        8*interval steps — one host round-trip (plus one overflow-flag
-        readback) per ~128 steps instead of three per 16 (measured ~5
-        ms/step of host overhead at 100k atoms).  Chunks stay bounded
-        because very long device programs have crashed the remote TPU
-        runtime.  An in-scan rebuild cannot grow the cell capacity
-        (static shapes): overflow latches, the whole chunk is discarded,
-        capacity grows from measured occupancy, and the chunk re-runs
-        from the saved pre-chunk state."""
+        once per distinct `steps` value).  With a cell list, the host
+        dispatches pipelined [jitted rebuild] -> [interval-step scan] pairs
+        WITHOUT reading anything back, and checks the latched overflow
+        flag once per 8*interval-step chunk — async dispatch hides the
+        ~30 ms/call host latency entirely (scripts/ab_rebuild.py: host
+        pairs cost +0.3 ms/step over the no-rebuild floor, while compiling
+        the rebuild INTO the scan cost +5 ms/step: XLA compiles the
+        argsort/scatter ~10x slower inside a loop).  A rebuild cannot grow
+        the cell capacity (static shapes): overflow latches on device, the
+        whole chunk is discarded, capacity grows from measured occupancy,
+        and the chunk re-runs from the saved pre-chunk state."""
         self._ensure_forces()
         steps = int(steps)
         if self._neighbor_fn is None:
             self._state = self._get_step_fn(steps)(self._spec, self._state)
         else:
-            chunk = 8 * self._rebuild_interval
+            interval = self._rebuild_interval
+            chunk = 8 * interval
             remaining = steps
             while remaining > 0:
-                k = min(chunk, remaining)
+                k_chunk = min(chunk, remaining)
                 self._ensure_neighbors()
+                rebuild = self._get_rebuild_fn()
                 saved = self._state
                 for _ in range(8):
-                    new_state = self._get_step_fn(k)(self._spec, saved)
-                    if bool(new_state.neighbors.overflow):
+                    st = saved
+                    r = k_chunk
+                    while r > 0:
+                        k = min(interval, r)
+                        st = rebuild(st)
+                        st = self._get_step_fn(k)(self._spec, st)
+                        r -= k
+                    if bool(st.neighbors.overflow):
                         # slots were dropped from the overflowing rebuild
                         # onward — every step since is invalid
-                        self._grow_pair_capacity()
-                        saved = saved._replace(neighbors=None)
                         self._state = saved
+                        self._grow_pair_capacity()
+                        self._state = self._state._replace(neighbors=None)
                         self._ensure_neighbors()
+                        rebuild = self._get_rebuild_fn()
                         saved = self._state
                         continue
-                    self._state = new_state
+                    self._state = st
                     break
                 else:
                     raise RuntimeError("neighbor structure capacity still "
                                        "overflowing after growth")
-                remaining -= k
+                remaining -= k_chunk
             self._check_rebuild_drift()
         self._ke_valid = True
         if self._forces_only is not None:

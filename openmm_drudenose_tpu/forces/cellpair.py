@@ -56,6 +56,9 @@ class CellSort(NamedTuple):
     # (N = pad) — the PME packed spread's contraction structure; built only
     # when cfg.pen_capacity > 0
     pen_atom: jax.Array = None
+    # (N,) pencil slot of each atom (inverse of pen_atom) — the
+    # hand-written PME interpolation force's slot->atom gather
+    pen_inv: jax.Array = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -267,6 +270,7 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
     # `order`; its compact rank reuses the same searchsorted machinery.
     # Typical pencil capacity is ~5x tighter than gz * C.
     pen_atom = None
+    pen_inv = None
     if cfg.pen_capacity:
         gz = cfg.grid[2]
         Cp = cfg.pen_capacity
@@ -285,13 +289,17 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
         pen_atom = jnp.full((n_pen * Cp,), n, jnp.int32)
         pen_atom = pen_atom.at[pslot].set(order.astype(jnp.int32),
                                           mode="drop")
+        # inverse map; overflow atoms point past the end (gather clamps,
+        # overflow is latched anyway)
+        pen_inv = jnp.zeros((n,), jnp.int32).at[order].set(pslot,
+                                                           mode="drop")
 
     return CellSort(slot_atom=slot_atom, inv_slot=inv_slot,
                     overflow=overflow, ref_positions=positions,
                     image=image.astype(jnp.int32),
                     stencil_invalid=stencil_invalid,
                     drift_exceeded=jnp.zeros((), jnp.bool_),
-                    pen_atom=pen_atom)
+                    pen_atom=pen_atom, pen_inv=pen_inv)
 
 
 # ---------------------------------------------------------------------------

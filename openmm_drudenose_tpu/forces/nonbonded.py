@@ -540,6 +540,16 @@ class NonbondedForce:
                             params["charge"], positions, box_diag)
                 return e
 
+            recip_forces = None
+            if (method in (self.Ewald, self.PME) and pme.cell_grid is not None
+                    and cp_cfg.pen_capacity):
+                def recip_forces(params, positions, box_diag, neighbors):
+                    """Analytic reciprocal forces (pme.recip_forces); the
+                    force-only step then autodiffs only extras_energy."""
+                    _, f = pme.recip_forces(params["charge"], positions,
+                                            box_diag, neighbors)
+                    return f
+
             # the half-stencil force-only Pallas kernel (ops/pallas_sweep)
             # is the default in-step sweep on TPU: 1.5x the XLA sweep at
             # 100k atoms, verified against CPU-f64 ground truth on chip
@@ -591,6 +601,7 @@ class NonbondedForce:
             energy.pme_setup = pme if method in (self.Ewald, self.PME) else None
             energy.extras_energy = extras_energy
             energy.rest_energy = rest_energy
+            energy.recip_forces = recip_forces
             energy.sweep_forces = sweep_forces
         else:
             # neighbor lists arrive pre-filtered for exclusions

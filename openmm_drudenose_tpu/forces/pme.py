@@ -126,6 +126,18 @@ class PmeSetup:
                            jnp.asarray(self.bm2x), jnp.asarray(self.bm2y),
                            jnp.asarray(self.bm2z), Q, box_diag)
 
+    def recip_forces(self, charges, positions, box_diag, cellsort):
+        """Hand-written reciprocal-space forces (and the energy, free):
+        spread -> grid energy+adjoint (one rfftn/irfftn pair) -> analytic
+        B-spline derivative interpolation.  Replaces reverse-mode autodiff
+        through the spread's one-hot construction (the force-only step's
+        dominant non-sweep cost).  Requires the packed pencil structure
+        (cellsort.pen_atom/pen_inv + cell_grid)."""
+        return recip_energy_forces_packed(
+            self.grid, self.alpha, jnp.asarray(self.bm2x),
+            jnp.asarray(self.bm2y), jnp.asarray(self.bm2z), self.cell_grid,
+            charges, positions, box_diag, cellsort)
+
     def spread(self, charges, positions, box_diag):
         return spread_charge_grid(self.grid, charges, positions, box_diag)
 
@@ -433,6 +445,169 @@ def spread_pencils_packed(grid, cell_grid, charges, positions, box_diag,
         preferred_element_type=dtype)
     T = T.reshape(gx, gy, lwx, lwy, K3)
     return _assemble_colors(T, grid, (ppcx, lwx, ncx), (ppcy, lwy, ncy))
+
+
+def _bspline_weights_d(w, order: int):
+    """dM_order/du at the taps x = w + j: M_{n-1}(x) - M_{n-1}(x - 1)
+    (standard cardinal B-spline derivative identity).  Shape w + (order,)."""
+    j = jnp.arange(order, dtype=w.dtype)
+    x = w[..., None] + j
+
+    def M(n, x):
+        if n == 2:
+            return jnp.clip(1.0 - jnp.abs(x - 1.0), 0.0, None)
+        return (x * M(n - 1, x) + (n - x) * M(n - 1, x - 1.0)) / (n - 1)
+
+    return M(order - 1, x) - M(order - 1, x - 1.0)
+
+
+def _extract_windows(Phi, grid, cell_grid, plan_x, plan_y):
+    """Inverse of _assemble_colors: per-(x,y)-pencil local windows
+    (gx, gy, lwx, lwy, K3) of a real grid.  Same-color pencils along a
+    dim are exactly lw apart (lw = ncolor * ppc), so each color's windows
+    are one circular roll + reshape — no gathers."""
+    K1, K2, K3 = grid
+    gx, gy = cell_grid[0], cell_grid[1]
+    (ppcx, lwx, ncx), (ppcy, lwy, ncy) = plan_x, plan_y
+    offx = (lwx - ppcx) // 2
+    offy = (lwy - ppcy) // 2
+    gxp = -(-gx // ncx) * ncx
+    gyp = -(-gy // ncy) * ncy
+
+    def circ(A, rows, axis):
+        # circularly extend axis to `rows` length
+        L = A.shape[axis]
+        if rows == L:
+            return A
+        reps = [1] * A.ndim
+        reps[axis] = -(-rows // L)
+        return jax.lax.slice_in_dim(jnp.tile(A, reps), 0, rows, axis=axis)
+
+    cols = []
+    for r in range(ncx):
+        rowsA = []
+        Ar = jnp.roll(Phi, offx - r * ppcx, axis=0)
+        Ar = circ(Ar, gxp // ncx * lwx, 0)
+        for s in range(ncy):
+            A = jnp.roll(Ar, offy - s * ppcy, axis=1)
+            A = circ(A, gyp // ncy * lwy, 1)
+            rowsA.append(A.reshape(gxp // ncx, lwx, gyp // ncy, lwy, K3)
+                         .transpose(0, 2, 1, 3, 4))
+        cols.append(jnp.stack(rowsA, axis=1))   # (gxp/ncx, ncy, gyp/ncy,...)
+    T = jnp.stack(cols, axis=1)                  # (gxp/ncx, ncx, ncy, ...)
+    T = T.transpose(0, 1, 3, 2, 4, 5, 6).reshape(gxp, gyp, lwx, lwy, K3)
+    return T[:gx, :gy]
+
+
+def recip_energy_forces_packed(grid, alpha, bm2x, bm2y, bm2z, cell_grid,
+                               charges, positions, box_diag, cellsort):
+    """(energy, forces): packed pencil spread -> grid energy + its adjoint
+    grid Phi = dE/dQ (one rfftn forward reused, one irfftn-shaped adjoint)
+    -> analytic interpolation forces
+        F_d[i] = -q_i * (K_d / L_d) * sum_taps dM_d * M_e * M_f * Phi[tap]
+    contracted with the same batched-MXU pencil structure as the spread
+    (cf. Essmann et al. 1995 eq. 4.9; the reference delegates this to
+    OpenMM's CudaPmeSlicedForce equivalent)."""
+    K1, K2, K3 = grid
+    gx, gy, gz = cell_grid
+    plan_x, plan_y = _pencil_plan(grid, cell_grid)
+    (ppcx, lwx, ncx), (ppcy, lwy, ncy) = plan_x, plan_y
+    n = positions.shape[0]
+    dtype = positions.dtype
+    n_pencils = gx * gy
+    pa = cellsort.pen_atom
+    Cp = pa.shape[0] // n_pencils
+
+    pad = pa >= n
+    safe = jnp.where(pad, 0, pa)
+    qs = jnp.where(pad, 0.0, charges[safe])
+    pos_bf = positions - cellsort.image.astype(dtype) * box_diag
+
+    Ks = jnp.asarray([K1, K2, K3], dtype)
+    u = (pos_bf / box_diag * Ks)[safe]               # (S, 3)
+    u = jnp.where(pad[:, None], -1e6, u)             # pads: weights -> 0
+    ti = jnp.floor(u)
+    w = u - ti
+    ti = ti.astype(jnp.int32)
+
+    wx = _bspline_weights(w[:, 0], PME_ORDER)        # (S, order)
+    wy = _bspline_weights(w[:, 1], PME_ORDER)
+    wz = _bspline_weights(w[:, 2], PME_ORDER)
+    dwx = _bspline_weights_d(w[:, 0], PME_ORDER)
+    dwy = _bspline_weights_d(w[:, 1], PME_ORDER)
+    dwz = _bspline_weights_d(w[:, 2], PME_ORDER)
+
+    S = pa.shape[0]
+    slot = np.arange(S)
+    cx = (slot // (gy * Cp)).astype(np.int32)
+    cy = ((slot // Cp) % gy).astype(np.int32)
+    offx = (lwx - ppcx) // 2
+    offy = (lwy - ppcy) // 2
+    base_x = jnp.asarray(cx * ppcx - offx)
+    base_y = jnp.asarray(cy * ppcy - offy)
+
+    j = jnp.arange(PME_ORDER, dtype=jnp.int32)
+
+    def one_hot_local_t(ti_d, w_d, base, lw):
+        col = ti_d[None, :] - base[None, :]                # (1, S)
+        k = jnp.arange(lw, dtype=jnp.int32)[:, None]       # (lw, 1)
+        acc = jnp.zeros((lw, S), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_d[None, :, t] * (col - t == k)
+        return jnp.moveaxis(acc.reshape(lw, n_pencils, Cp), 1, 0)
+
+    def one_hot_wrap(ti_d, w_d, K):
+        col = jnp.mod(ti_d[:, None] - j[None, :], K)
+        k = jnp.arange(K, dtype=jnp.int32)
+        acc = jnp.zeros((S, K), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_d[:, t:t + 1] * (col[:, t:t + 1] == k[None, :])
+        return acc.reshape(n_pencils, Cp, K)
+
+    WxT = one_hot_local_t(ti[:, 0], wx, base_x, lwx)     # (P, lwx, Cp)
+    WyT = one_hot_local_t(ti[:, 1], wy, base_y, lwy)     # (P, lwy, Cp)
+    Wz = one_hot_wrap(ti[:, 2], qs[:, None] * wz, K3)    # (P, Cp, K3), q-wt
+
+    # ---- spread + grid energy and adjoint --------------------------------
+    WxyT = (WxT[:, :, None, :] * WyT[:, None, :, :]).reshape(
+        n_pencils, lwx * lwy, Cp)
+    T = jax.lax.dot_general(
+        WxyT, Wz, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=dtype)
+    Q = _assemble_colors(T.reshape(gx, gy, lwx, lwy, K3), grid,
+                         plan_x, plan_y)
+    energy, Phi = jax.value_and_grad(
+        lambda q: grid_energy(grid, alpha, bm2x, bm2y, bm2z, q, box_diag))(Q)
+
+    # ---- interpolation forces --------------------------------------------
+    Win = _extract_windows(Phi, grid, cell_grid, plan_x, plan_y).reshape(
+        n_pencils, lwx * lwy, K3)
+
+    dWxT = one_hot_local_t(ti[:, 0], dwx, base_x, lwx)
+    dWyT = one_hot_local_t(ti[:, 1], dwy, base_y, lwy)
+    dWz = one_hot_wrap(ti[:, 2], qs[:, None] * dwz, K3)
+
+    def contract(AxyT):
+        # (P, Cp, K3) <- sum_lwxy AxyT[p, lwxy, c] * Win[p, lwxy, k3]
+        return jax.lax.dot_general(
+            AxyT, Win, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype)
+
+    V = contract(WxyT)                                   # shared by fz
+    fz = jnp.sum(V * dWz, axis=2) * (Ks[2] / box_diag[2])
+    dWxyT_x = (dWxT[:, :, None, :] * WyT[:, None, :, :]).reshape(
+        n_pencils, lwx * lwy, Cp)
+    fx = jnp.sum(contract(dWxyT_x) * Wz, axis=2) * (Ks[0] / box_diag[0])
+    dWxyT_y = (WxT[:, :, None, :] * dWyT[:, None, :, :]).reshape(
+        n_pencils, lwx * lwy, Cp)
+    fy = jnp.sum(contract(dWxyT_y) * Wz, axis=2) * (Ks[1] / box_diag[1])
+
+    # slot forces -> atom order (pads gather clamped garbage rows only when
+    # the overflow latch is already set)
+    f_slots = jnp.stack([fx.reshape(S), fy.reshape(S), fz.reshape(S)],
+                        axis=1)
+    return energy, -f_slots[cellsort.pen_inv]
 
 
 def _assemble_colors(T, grid, plan_x, plan_y):

@@ -424,10 +424,7 @@ def apply_hardwall(spec: SystemSpec, static: StaticSpec, positions,
 
 def make_step(static: StaticSpec,
               energy_and_forces: Callable,
-              neighbor_fn: Callable = None,
-              rebuild_interval: int = 16,
               forces_fn: Callable = None,
-              skin: float = None,
               reduce_axis: str = None,
               baro_n_mol: int = None,
               ) -> Callable[[SystemSpec, SimState], SimState]:
@@ -441,8 +438,9 @@ def make_step(static: StaticSpec,
     energy_and_forces(positions, box, neighbors) -> (potential_energy,
     forces) must already include virtual-site position composition (so
     forces on massless sites are zero and parents carry the redistributed
-    force).  neighbor_fn(positions, box) -> Neighbors, when given, refreshes
-    the cell-list neighbor state every `rebuild_interval` steps inside jit.
+    force).  Neighbor-structure refresh is NOT part of the step: callers
+    either rebuild on the host between scans or use make_multi_step's
+    statically-segmented in-scan rebuilds.
 
     forces_fn(positions, box, neighbors, pos_err) -> forces, when given, is
     the in-step force pass (energy-free: ~1/3 less pair-chain work on the
@@ -474,27 +472,6 @@ def make_step(static: StaticSpec,
 
     def step(spec: SystemSpec, state: SimState) -> SimState:
         dt = spec.dt.astype(state.positions.dtype)
-
-        # -- neighbor list refresh (skin absorbs motion in between) ---------
-        if neighbor_fn is not None:
-            def do_rebuild(st):
-                nbl = neighbor_fn(st.positions, st.box)
-                nbl = nbl._replace(
-                    overflow=nbl.overflow | st.neighbors.overflow)
-                if skin is not None and getattr(
-                        st.neighbors, "drift_exceeded", None) is not None:
-                    # an atom outran the full skin since the previous
-                    # rebuild: pairs may have been missed (latched)
-                    d = st.positions - st.neighbors.ref_positions
-                    d2 = jnp.sum(d * d, axis=-1)
-                    exceeded = jnp.max(d2) > skin * skin
-                    nbl = nbl._replace(
-                        drift_exceeded=exceeded
-                        | st.neighbors.drift_exceeded)
-                return nbl
-            nbl = jax.lax.cond(state.step % rebuild_interval == 0,
-                               do_rebuild, lambda st: st.neighbors, state)
-            state = state._replace(neighbors=nbl)
 
         # -- updateContextState equivalents (barostat / CM motion removal) --
         if static.cm_freq > 0:
@@ -598,14 +575,59 @@ def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
                     inner_steps: int, neighbor_fn: Callable = None,
                     rebuild_interval: int = 16, forces_fn: Callable = None,
                     skin: float = None):
-    """lax.scan over `inner_steps` steps per host call."""
-    step = make_step(static, energy_and_forces, neighbor_fn,
-                     rebuild_interval, forces_fn=forces_fn, skin=skin)
+    """lax.scan over `inner_steps` steps per host call.
 
-    def multi(spec: SystemSpec, state: SimState) -> SimState:
+    With neighbor_fn, rebuilds are STATICALLY SEGMENTED: the scan runs as
+    `rebuild_interval`-step segments with an unconditional neighbor rebuild
+    at each segment head (no per-step lax.cond — a cond carries the whole
+    neighbor pytree through every step and blocks fusion across the branch).
+    The caller is expected to have just rebuilt on the host
+    (Context._ensure_neighbors), so the FIRST segment reuses that structure
+    and the device rebuild runs only between segments.  Overflow and
+    full-skin drift breaches latch into the carried Neighbors flags exactly
+    as the host-side rebuild would."""
+    step = make_step(static, energy_and_forces, forces_fn=forces_fn)
+
+    def body_factory(spec):
         def body(s, _):
             return step(spec, s), None
-        state, _ = jax.lax.scan(body, state, None, length=inner_steps)
+        return body
+
+    if neighbor_fn is None:
+        def multi(spec: SystemSpec, state: SimState) -> SimState:
+            state, _ = jax.lax.scan(body_factory(spec), state, None,
+                                    length=inner_steps)
+            return state
+        return multi
+
+    def rebuild(state):
+        nbl = neighbor_fn(state.positions, state.box)
+        nbl = nbl._replace(overflow=nbl.overflow | state.neighbors.overflow)
+        if skin is not None and getattr(
+                state.neighbors, "drift_exceeded", None) is not None:
+            # an atom outran the full skin since the previous rebuild:
+            # pairs may have been missed (latched)
+            d = state.positions - state.neighbors.ref_positions
+            exceeded = jnp.max(jnp.sum(d * d, axis=-1)) > skin * skin
+            nbl = nbl._replace(
+                drift_exceeded=exceeded | state.neighbors.drift_exceeded)
+        return state._replace(neighbors=nbl)
+
+    first = min(rebuild_interval, inner_steps)
+    n_seg, tail = divmod(inner_steps - first, rebuild_interval)
+
+    def multi(spec: SystemSpec, state: SimState) -> SimState:
+        body = body_factory(spec)
+        state, _ = jax.lax.scan(body, state, None, length=first)
+        if n_seg:
+            def seg(s, _):
+                s = rebuild(s)
+                s, _ = jax.lax.scan(body, s, None, length=rebuild_interval)
+                return s, None
+            state, _ = jax.lax.scan(seg, state, None, length=n_seg)
+        if tail:
+            state = rebuild(state)
+            state, _ = jax.lax.scan(body, state, None, length=tail)
         return state
 
     return multi

@@ -32,6 +32,10 @@ def main():
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--full-stencil", action="store_true",
                    help="row-sum-only full-stencil sweep (no reactions)")
+    p.add_argument("--equil", type=int, default=0,
+                   help="equilibration steps before profiling (the lattice "
+                        "start's uniform cell occupancy understates the "
+                        "liquid's layer-max slot bounds)")
     p.add_argument("--sweep-only", action="store_true")
     p.add_argument("--pallas2", action="store_true",
                    help="use the Pallas v2 force-only sweep kernel")
@@ -54,6 +58,13 @@ def main():
         ctx._build_potential()
     ctx.setPositions(positions)
     ctx.setVelocitiesToTemperature(300.0, seed=0)
+    if args.equil:
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+        ctx, integ = bench.equilibrate(ctx, integ, args.atoms, "single",
+                                       args.equil)
     ctx._ensure_forces()
     spec, static, st = ctx._spec, ctx._static, ctx._state
     cfg = ctx._cp_cfg
@@ -110,6 +121,12 @@ def main():
     t = timeit(lambda: multi(spec, st), n=3)
     print(f"full step            : {t / args.steps:8.2f} ms/step "
           f"({args.steps}-step scan)")
+
+    # the production step fn (in-scan rebuild included)
+    prod = ctx._get_step_fn(args.steps)
+    t = timeit(lambda: prod(spec, st), n=3)
+    print(f"production step      : {t / args.steps:8.2f} ms/step "
+          f"({args.steps}-step scan, in-scan rebuilds)")
 
     # energy+forces (the whole force pass incl. vsites + autodiff)
     def eaf_scan(positions):

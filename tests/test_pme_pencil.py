@@ -124,3 +124,21 @@ def test_packed_drifted_positions_stay_exact():
                                            jnp.asarray(box), cs,
                                            cfg.capacity)
     np.testing.assert_allclose(float(e_new), float(e_ref), rtol=1e-12)
+
+
+def test_recip_forces_analytic_matches_autodiff():
+    """The hand-written interpolation-force path (pme.recip_forces) must
+    match reverse-mode autodiff through the spread to roundoff, energy
+    included, for in-box, unwrapped, and drifted positions."""
+    box, pos, q, cfg, setup, cs = _setup_packed()
+    rng = np.random.default_rng(2)
+    for drift in (None, rng.uniform(-0.045, 0.045, pos.shape)):
+        p = jnp.asarray(pos if drift is None else pos + drift)
+        e_ref, g_ref = jax.value_and_grad(lambda p_: setup.reciprocal_energy(
+            jnp.asarray(q), p_, jnp.asarray(box)))(p)
+        e_new, f_new = setup.recip_forces(jnp.asarray(q), p,
+                                          jnp.asarray(box), cs)
+        np.testing.assert_allclose(float(e_new), float(e_ref), rtol=1e-12)
+        scale = float(jnp.max(jnp.abs(g_ref)))
+        np.testing.assert_allclose(np.asarray(f_new), -np.asarray(g_ref),
+                                   rtol=1e-9, atol=1e-9 * scale)
