@@ -753,8 +753,7 @@ def make_custom_energy(cfg: CellPairConfig, pair_eg, coulomb_scale,
     no scatter in the backward pass; dE/dpositions = -forces).
 
     impl: alternative (energy, forces) implementation with the same
-    signature as pair_energy_forces (e.g. the Pallas kernel in
-    ops/pallas_cellpair.py)."""
+    signature as pair_energy_forces."""
     sweep = impl or pair_energy_forces
 
     @jax.custom_vjp

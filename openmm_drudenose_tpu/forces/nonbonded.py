@@ -365,32 +365,14 @@ class NonbondedForce:
         elif strategy == "cellpair":
             # dense cell-pair block sweep (forces/cellpair.py): spatially
             # sorted atoms, fused block math, analytic in-block forces
-            import os
-
             from . import cellpair as cp
             nb_kwargs = nb_kwargs or {}
-            use_pallas = nb_kwargs.get(
-                "use_pallas",
-                os.environ.get("OPENMM_DRUDENOSE_PALLAS") == "1")
-            # use_pallas == 2 selects the half-stencil force-only sweep
-            # kernel (ops/pallas_sweep.py, wired below); only the legacy
-            # full-stencil v1 kernel replaces the energy-path impl here
-            use_pallas_v1 = bool(use_pallas) and use_pallas != 2
             impl = None
-            if use_pallas_v1:
-                from ..ops import pallas_cellpair
-                if pallas_cellpair.HAVE_PALLAS:
-                    impl = pallas_cellpair.pair_energy_forces_pallas
-                else:
-                    use_pallas_v1 = False
             box0 = np.diagonal(
                 np.array(system.getDefaultPeriodicBoxVectors(), np.float64))
             cp_cfg = cp.make_config(
                 cutoff, box0, n, exc_i, exc_j,
-                # the v1 pallas sweep is full-stencil; the XLA sweep default
-                # is decided by measurement (nb_kwargs {"allow_half": ...})
-                allow_half=(not use_pallas_v1
-                            and nb_kwargs.get("allow_half", True)),
+                allow_half=nb_kwargs.get("allow_half", True),
                 **{k: v for k, v in nb_kwargs.items()
                    if k in ("skin", "rebuild_interval", "cells_per_cutoff",
                             "capacity", "density_margin",
