@@ -75,7 +75,13 @@ def main():
     print(f"context ready: grid {ctx._cp_cfg.grid}, "
           f"capacity {ctx._cp_cfg.capacity} ({time.time()-t0:.0f}s)")
 
-    mesh = Mesh(np.array(jax.devices()[:8]), ("atom",))
+    n_slabs = 8
+    for a in sys.argv:
+        # --slabs=N: smaller boxes need fewer slabs (each slab must span
+        # >= the 4-plane halo)
+        if a.startswith("--slabs="):
+            n_slabs = int(a.split("=")[1])
+    mesh = Mesh(np.array(jax.devices()[:n_slabs]), ("atom",))
     if "--resident" in sys.argv:
         # state-resident decomposition: molecule-sharded state + migration
         # (box ~18 nm -> 32 cell planes = 4 planes/slab, the halo minimum)
