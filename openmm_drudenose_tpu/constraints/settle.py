@@ -14,6 +14,10 @@ on 3 unknowns is equally exact and much harder to get wrong).
 The velocity constraint problem is linear, so it is solved exactly with a
 single 3x3 solve per cluster.
 
+All internal math runs in (3, S) lane-major layout — a trailing size-3
+axis on ~20k-cluster elementwise chains pads TPU lanes 3 -> 128 (CLAUDE.md
+perf rules); the 3x3 solves are batched over bare (S,) scalars.
+
 Cross-checked against the converged Jacobi solution in
 tests/test_constraints.py.
 """
@@ -25,15 +29,17 @@ import jax.numpy as jnp
 NEWTON_ITERS = 6
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+def _dot_t(a, b):
+    """Row dot of (3, S) arrays -> (S,)."""
+    return jnp.sum(a * b, axis=0)
 
 
-def _solve33(J, f):
-    """Solve J x = f for batched 3x3 J via the adjugate (analytic)."""
-    a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
-    d, e, g = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
-    h, i, j = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+def _solve33_s(J, f):
+    """Solve the batched 3x3 system via the adjugate (analytic).
+
+    J: 3x3 nested tuple of (S,) entries; f: 3-tuple of (S,).
+    Returns a 3-tuple of (S,)."""
+    (a, b, c), (d, e, g), (h, i, j) = J
     A = e * j - g * i
     B = -(d * j - g * h)
     C = d * i - e * h
@@ -45,30 +51,30 @@ def _solve33(J, f):
     I = a * e - b * d
     det = a * A + b * B + c * C
     inv_det = 1.0 / det
-    x0 = (A * f[..., 0] + D * f[..., 1] + G * f[..., 2]) * inv_det
-    x1 = (B * f[..., 0] + E * f[..., 1] + H * f[..., 2]) * inv_det
-    x2 = (C * f[..., 0] + F * f[..., 1] + I * f[..., 2]) * inv_det
-    return jnp.stack([x0, x1, x2], axis=-1)
+    x0 = (A * f[0] + D * f[1] + G * f[2]) * inv_det
+    x1 = (B * f[0] + E * f[1] + H * f[2]) * inv_det
+    x2 = (C * f[0] + F * f[1] + I * f[2]) * inv_det
+    return x0, x1, x2
 
 
 def _coef_matrix(wa, wb, wc):
     """C[k][j]: coefficient of lambda_j u_j in bond vector k
-    (k,j in {ab, ac, bc})."""
+    (k,j in {ab, ac, bc}); entries (S,)."""
     return ((wa + wb, wa, -wb),
             (wa, wa + wc, wc),
             (-wb, wc, wb + wc))
 
 
-def _apply_corrections(target, corr_abc, settle_gather):
-    """Add per-role cluster corrections to the per-atom array without a
-    scatter: rows are fetched through the precomputed atom -> (role, cluster)
-    gather table (spec.settle_gather; roles are disjoint by construction)."""
+def _apply_corrections_t(target, corr_abc, settle_gather):
+    """Add per-role (3, S) cluster corrections to the per-atom (N, 3) array
+    without a scatter: rows are fetched through the precomputed
+    atom -> (role, cluster) gather table (spec.settle_gather; roles are
+    disjoint by construction)."""
     if settle_gather is None:
-        # fallback: index-based scatter (unique indices)
         return None
     flat = jnp.concatenate(list(corr_abc)
-                           + [jnp.zeros((1, 3), corr_abc[0].dtype)])
-    return target + flat[settle_gather]
+                           + [jnp.zeros((3, 1), corr_abc[0].dtype)], axis=1)
+    return target + flat[:, settle_gather].T
 
 
 def apply_position_constraints(positions, delta, inv_mass, settle_idx,
@@ -79,41 +85,43 @@ def apply_position_constraints(positions, delta, inv_mass, settle_idx,
     if settle_idx.shape[0] == 0:
         return delta
     ia, ib, ic = settle_idx[:, 0], settle_idx[:, 1], settle_idx[:, 2]
-    wa = inv_mass[ia][:, None]
-    wb = inv_mass[ib][:, None]
-    wc = inv_mass[ic][:, None]
-    d2 = jnp.stack([settle_dist[:, 0], settle_dist[:, 0],
-                    settle_dist[:, 1]], axis=1) ** 2  # (S, 3)
+    wa = inv_mass[ia]
+    wb = inv_mass[ib]
+    wc = inv_mass[ic]
+    d2 = (settle_dist[:, 0] ** 2, settle_dist[:, 0] ** 2,
+          settle_dist[:, 1] ** 2)
 
-    pa, pb, pc = positions[ia], positions[ib], positions[ic]
+    pos_t = positions.T
+    del_t = delta.T
+    pa, pb, pc = pos_t[:, ia], pos_t[:, ib], pos_t[:, ic]
     u = [pa - pb, pa - pc, pb - pc]            # reference bond directions
-    qa = pa + delta[ia]
-    qb = pb + delta[ib]
-    qc = pc + delta[ic]
+    qa = pa + del_t[:, ia]
+    qb = pb + del_t[:, ib]
+    qc = pc + del_t[:, ic]
     r0 = [qa - qb, qa - qc, qb - qc]           # unconstrained bond vectors
     C = _coef_matrix(wa, wb, wc)
 
-    lam = jnp.zeros((settle_idx.shape[0], 3), positions.dtype)
+    zero = jnp.zeros(settle_idx.shape[0], positions.dtype)
+    lam = (zero, zero, zero)
     for _ in range(NEWTON_ITERS):
-        r = [r0[k] + sum(C[k][j] * lam[:, j:j + 1] * u[j] for j in range(3))
+        r = [r0[k] + sum(C[k][j] * lam[j] * u[j] for j in range(3))
              for k in range(3)]
-        f = jnp.stack([_dot(r[k], r[k]) for k in range(3)], axis=1) - d2
-        J = jnp.stack([
-            jnp.stack([2.0 * C[k][j][:, 0] * _dot(r[k], u[j])
-                       for j in range(3)], axis=1)
-            for k in range(3)], axis=1)        # (S, 3, 3)
-        lam = lam - _solve33(J, f)
+        f = tuple(_dot_t(r[k], r[k]) - d2[k] for k in range(3))
+        J = tuple(tuple(2.0 * C[k][j] * _dot_t(r[k], u[j])
+                        for j in range(3)) for k in range(3))
+        dx = _solve33_s(J, f)
+        lam = tuple(lam[k] - dx[k] for k in range(3))
 
-    la, lb, lc = lam[:, 0:1], lam[:, 1:2], lam[:, 2:3]
+    la, lb, lc = lam
     corr = (wa * (la * u[0] + lb * u[1]),
             wb * (-la * u[0] + lc * u[2]),
             wc * (-lb * u[1] - lc * u[2]))
-    out = _apply_corrections(delta, corr, settle_gather)
+    out = _apply_corrections_t(delta, corr, settle_gather)
     if out is not None:
         return out
-    delta = delta.at[ia].add(corr[0])
-    delta = delta.at[ib].add(corr[1])
-    delta = delta.at[ic].add(corr[2])
+    delta = delta.at[ia].add(corr[0].T)
+    delta = delta.at[ib].add(corr[1].T)
+    delta = delta.at[ic].add(corr[2].T)
     return delta
 
 
@@ -124,31 +132,30 @@ def apply_velocity_constraints(positions, velocities, inv_mass, settle_idx,
     if settle_idx.shape[0] == 0:
         return velocities
     ia, ib, ic = settle_idx[:, 0], settle_idx[:, 1], settle_idx[:, 2]
-    wa = inv_mass[ia][:, None]
-    wb = inv_mass[ib][:, None]
-    wc = inv_mass[ic][:, None]
+    wa = inv_mass[ia]
+    wb = inv_mass[ib]
+    wc = inv_mass[ic]
 
-    pa, pb, pc = positions[ia], positions[ib], positions[ic]
-    va, vb_, vc = velocities[ia], velocities[ib], velocities[ic]
+    pos_t = positions.T
+    vel_t = velocities.T
+    pa, pb, pc = pos_t[:, ia], pos_t[:, ib], pos_t[:, ic]
+    va, vb_, vc = vel_t[:, ia], vel_t[:, ib], vel_t[:, ic]
     u = [pa - pb, pa - pc, pb - pc]            # current bond vectors
     v = [va - vb_, va - vc, vb_ - vc]
     C = _coef_matrix(wa, wb, wc)
 
-    f = jnp.stack([_dot(u[k], v[k]) for k in range(3)], axis=1)
-    J = jnp.stack([
-        jnp.stack([C[k][j][:, 0] * _dot(u[k], u[j]) for j in range(3)],
-                  axis=1)
-        for k in range(3)], axis=1)
-    lam = _solve33(J, -f)
+    f = tuple(-_dot_t(u[k], v[k]) for k in range(3))
+    J = tuple(tuple(C[k][j] * _dot_t(u[k], u[j]) for j in range(3))
+              for k in range(3))
+    la, lb, lc = _solve33_s(J, f)
 
-    la, lb, lc = lam[:, 0:1], lam[:, 1:2], lam[:, 2:3]
     corr = (wa * (la * u[0] + lb * u[1]),
             wb * (-la * u[0] + lc * u[2]),
             wc * (-lb * u[1] - lc * u[2]))
-    out = _apply_corrections(velocities, corr, settle_gather)
+    out = _apply_corrections_t(velocities, corr, settle_gather)
     if out is not None:
         return out
-    velocities = velocities.at[ia].add(corr[0])
-    velocities = velocities.at[ib].add(corr[1])
-    velocities = velocities.at[ic].add(corr[2])
+    velocities = velocities.at[ia].add(corr[0].T)
+    velocities = velocities.at[ib].add(corr[1].T)
+    velocities = velocities.at[ic].add(corr[2].T)
     return velocities
