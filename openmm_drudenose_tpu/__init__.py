@@ -31,6 +31,7 @@ from .app.simulation import (Simulation, StateDataReporter,
                              CheckpointReporter, DCDReporter, PDBReporter)
 from .app.serialization import (serialize_integrator, deserialize_integrator,
                                 save_checkpoint, load_checkpoint)
+from .app.forcefield import ForceField, Modeller
 from .parallel.ensemble import ReplicaEnsemble
 from .units import BOLTZ, ONE_4PI_EPS0
 
@@ -42,7 +43,8 @@ __all__ = [
     "HarmonicAngleForce", "PeriodicTorsionForce", "CMMotionRemover",
     "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",
     "Simulation", "StateDataReporter", "CheckpointReporter", "DCDReporter",
-    "PDBReporter", "ReplicaEnsemble", "serialize_integrator",
+    "PDBReporter", "ReplicaEnsemble", "ForceField", "Modeller",
+    "serialize_integrator",
     "deserialize_integrator",
     "save_checkpoint", "load_checkpoint", "BOLTZ", "ONE_4PI_EPS0",
 ]

@@ -1,0 +1,968 @@
+"""OpenMM-format force-field XML ingestion: ForceField / Modeller / createSystem.
+
+The reference workflow builds its System through OpenMM's app layer::
+
+    forcefield = ForceField('charmm_polar_2013.xml')
+    modeller = Modeller(pdb.topology, pdb.positions)
+    modeller.addExtraParticles(forcefield)          # add Drudes + lone pairs
+    system = forcefield.createSystem(modeller.topology, nonbondedMethod=PME,
+                                     nonbondedCutoff=1.0, constraints=HBonds,
+                                     rigidWater=True)
+
+(/root/reference/example/nacl_tg.py:37-42; the XML ships with OpenMM, not
+with the reference plugin.)  This module re-implements that pipeline
+natively, so a user of the reference can point the same force-field XML at
+this engine and run the same script shape end to end.
+
+Supported schema subset (the tags CHARMM-Drude-2013-style files use):
+
+  <AtomTypes><Type name class element mass/>
+  <Residues><Residue name>
+      <Atom name type charge/>
+      <Bond atomName1 atomName2/>  or  <Bond from to/>
+      <ExternalBond atomName/>  or  <ExternalBond from/>
+      <VirtualSite type="average2|average3|outOfPlane|localCoords" .../>
+  <HarmonicBondForce><Bond class1 class2 length k/>        (or type1/type2)
+  <HarmonicAngleForce><Angle class1 class2 class3 angle k/>
+  <UreyBradleyForce><UreyBradley class1 class2 class3 d k/>  (extension: the
+      CHARMM 1-3 spring; OpenMM folds these into its CHARMM ports)
+  <PeriodicTorsionForce><Proper class1..4 periodicity1 phase1 k1 .../>
+                        <Improper .../>      (central atom first, CHARMM)
+  <NonbondedForce coulomb14scale lj14scale>
+      <UseAttributeFromResidue name="charge"/>
+      <Atom type|class [charge] sigma epsilon/>
+  <LennardJonesForce lj14scale>
+      <Atom class sigma epsilon [sigma14 epsilon14]/>
+      <NBFixPair class1 class2 sigma epsilon/>
+  <DrudeForce><Particle type1 type2 [type3 type4 type5] charge
+                        polarizability thole [aniso12] [aniso34]/>
+              <NBTholePair type1 type2 thole/>   (extension: CHARMM NBTHOLE)
+
+Unsupported tags raise at parse time unless listed in ``ignore_tags``
+(``<Patches>``/``<Info>`` are skipped by default with a warning-free pass:
+patch application is not implemented).
+
+Design notes / divergences from OpenMM, stated explicitly:
+
+  * Residue-template matching is by residue name + atom-name multiset (with
+    Drude/virtual-site atoms optional), not by bond-graph isomorphism.  The
+    reference example's inputs (CHARMM-GUI-shaped PDBs) name atoms exactly
+    as the templates do, which is the case this engine targets.
+  * Exclusions use OpenMM's excludeAtomWith semantics: Drudes and virtual
+    sites anchor to their parent atom; anchor pairs at bond distance 1-2
+    are fully excluded, distance 3 gets 1-4 exceptions scaled by
+    coulomb14scale/lj14scale (applied between ALL members of the two anchor
+    groups, so charge-carrying lone pairs participate in 1-4 Coulomb).
+  * Thole screened pairs are generated between Drude pairs whose parents
+    are 1-2 or 1-3 bonded, with the pair thole = thole_i + thole_j
+    (OpenMM DrudeGenerator behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..forces.bonded import (HarmonicAngleForce, HarmonicBondForce,
+                             PeriodicTorsionForce)
+from ..forces.cmmotion import CMMotionRemover
+from ..forces.drude import DrudeForce
+from ..forces.nonbonded import NonbondedForce
+from ..io.pdbfile import PDBAtom, PDBTopology
+from ..system import (LocalCoordinatesSite, OutOfPlaneSite, System,
+                      ThreeParticleAverageSite, TwoParticleAverageSite)
+
+# app-layer constants mirroring OpenMM's names (example/nacl_tg.py:42)
+NoCutoff = NonbondedForce.NoCutoff
+CutoffPeriodic = NonbondedForce.CutoffPeriodic
+PME = NonbondedForce.PME
+HBonds = "HBonds"
+AllBonds = "AllBonds"
+
+_WATER_NAMES = {"HOH", "WAT", "H2O", "TIP3", "TIP4", "SWM4", "SPC", "SPCE"}
+
+
+@dataclasses.dataclass
+class _AtomType:
+    name: str
+    klass: str
+    element: str
+    mass: float
+
+
+@dataclasses.dataclass
+class _TemplateAtom:
+    name: str
+    type: str
+    charge: float
+
+
+@dataclasses.dataclass
+class _VSiteDef:
+    site: int                    # template index of the virtual-site atom
+    kind: str                    # average2 | average3 | outOfPlane | localCoords
+    atoms: Tuple[int, ...]       # template indices of the parent atoms
+    params: dict
+
+
+@dataclasses.dataclass
+class _Template:
+    name: str
+    atoms: List[_TemplateAtom]
+    bonds: List[Tuple[int, int]]
+    external: List[int]
+    vsites: List[_VSiteDef]
+
+    def atom_index(self, name: str) -> int:
+        for i, a in enumerate(self.atoms):
+            if a.name == name:
+                return i
+        raise KeyError(f"residue template {self.name!r} has no atom {name!r}")
+
+
+@dataclasses.dataclass
+class _DrudeDef:
+    type1: str
+    type2: str
+    type3: str
+    type4: str
+    type5: str
+    charge: float
+    polarizability: float
+    thole: float
+    aniso12: float
+    aniso34: float
+
+
+class ForceFieldError(ValueError):
+    pass
+
+
+def _f(el, key, default=None):
+    v = el.get(key)
+    if v is None:
+        if default is None:
+            raise ForceFieldError(f"<{el.tag}> missing attribute {key!r}")
+        return default
+    return float(v)
+
+
+class ForceField:
+    """Parses one or more OpenMM-format force-field XML files and builds
+    Systems from topologies (the role OpenMM's app.ForceField plays for the
+    reference, example/nacl_tg.py:37)."""
+
+    def __init__(self, *files: str, ignore_tags: Sequence[str] = ("Patches", "Info")):
+        self.atom_types: Dict[str, _AtomType] = {}
+        self.templates: Dict[str, _Template] = {}
+        self.bond_params: Dict[Tuple[str, str], Tuple[float, float]] = {}
+        self.angle_params: Dict[Tuple[str, str, str], Tuple[float, float]] = {}
+        self.urey_params: Dict[Tuple[str, str, str], Tuple[float, float]] = {}
+        self.proper: List[Tuple[Tuple[str, str, str, str], list]] = []
+        self.improper: List[Tuple[Tuple[str, str, str, str], list]] = []
+        self.coulomb14: float = 1.0
+        self.lj14: float = 1.0
+        self.nb_by_type: Dict[str, Tuple[float, float, Optional[float]]] = {}
+        self.nb_uses_residue_charge = False
+        self.lj_by_class: Dict[str, Tuple[float, float, float, float]] = {}
+        self.lj_lj14: float = 1.0
+        self.has_lj_force = False
+        self.nbfix: List[Tuple[str, str, float, float]] = []
+        self.drude_defs: List[_DrudeDef] = []
+        self.nbthole_defs: List[Tuple[str, str, float]] = []
+        self._ignore = set(ignore_tags)
+        for f in files:
+            self._load(f)
+
+    # ------------------------------------------------------------------ parse
+    def _load(self, path: str) -> None:
+        if not os.path.exists(path):
+            raise ForceFieldError(f"force field file not found: {path}")
+        root = ET.parse(path).getroot()
+        if root.tag != "ForceField":
+            raise ForceFieldError(f"{path}: root tag is <{root.tag}>, "
+                                  "expected <ForceField>")
+        for sec in root:
+            handler = getattr(self, f"_parse_{sec.tag}", None)
+            if handler is not None:
+                handler(sec)
+            elif sec.tag not in self._ignore:
+                raise ForceFieldError(
+                    f"{path}: unsupported section <{sec.tag}> (pass "
+                    f"ignore_tags=[...,'{sec.tag}'] to skip it)")
+
+    def _parse_AtomTypes(self, sec) -> None:
+        for el in sec:
+            if el.tag != "Type":
+                continue
+            name = el.get("name")
+            self.atom_types[name] = _AtomType(
+                name=name, klass=el.get("class", name),
+                element=el.get("element", ""), mass=_f(el, "mass"))
+
+    def _parse_Residues(self, sec) -> None:
+        for rel in sec:
+            if rel.tag != "Residue":
+                continue
+            atoms: List[_TemplateAtom] = []
+            bonds: List[Tuple[int, int]] = []
+            external: List[int] = []
+            vsites: List[_VSiteDef] = []
+            name = rel.get("name")
+
+            def idx(el, key_name, key_idx):
+                v = el.get(key_name)
+                if v is not None:
+                    for i, a in enumerate(atoms):
+                        if a.name == v:
+                            return i
+                    raise ForceFieldError(
+                        f"residue {name!r}: unknown atom {v!r} in <{el.tag}>")
+                v = el.get(key_idx)
+                if v is None:
+                    raise ForceFieldError(
+                        f"residue {name!r}: <{el.tag}> needs "
+                        f"{key_name} or {key_idx}")
+                return int(v)
+
+            for el in rel:
+                if el.tag == "Atom":
+                    atoms.append(_TemplateAtom(
+                        name=el.get("name"), type=el.get("type"),
+                        charge=float(el.get("charge", "0"))))
+            for el in rel:
+                if el.tag == "Bond":
+                    bonds.append((idx(el, "atomName1", "from"),
+                                  idx(el, "atomName2", "to")))
+                elif el.tag == "ExternalBond":
+                    external.append(idx(el, "atomName", "from"))
+                elif el.tag == "VirtualSite":
+                    vsites.append(self._parse_vsite(name, atoms, el))
+                elif el.tag in ("Atom", "AllowPatch"):
+                    pass
+                else:
+                    raise ForceFieldError(
+                        f"residue {name!r}: unsupported tag <{el.tag}>")
+            self.templates[name] = _Template(name, atoms, bonds, external, vsites)
+
+    def _parse_vsite(self, res_name, atoms, el) -> _VSiteDef:
+        kind = el.get("type")
+
+        def aidx(key_name, key_idx):
+            v = el.get(key_name)
+            if v is not None:
+                for i, a in enumerate(atoms):
+                    if a.name == v:
+                        return i
+                raise ForceFieldError(
+                    f"residue {res_name!r}: unknown atom {v!r} in VirtualSite")
+            v = el.get(key_idx)
+            return None if v is None else int(v)
+
+        site = aidx("siteName", "index")
+        if site is None:
+            raise ForceFieldError(
+                f"residue {res_name!r}: VirtualSite needs siteName or index")
+        parents = []
+        for k in range(1, 10):
+            p = aidx(f"atomName{k}", f"atom{k}")
+            if p is None:
+                break
+            parents.append(p)
+        if kind in ("average2", "average3"):
+            n = 2 if kind == "average2" else 3
+            params = {"weights": [_f(el, f"weight{k + 1}") for k in range(n)]}
+        elif kind == "outOfPlane":
+            params = {"weights": [_f(el, "weight12"), _f(el, "weight13"),
+                                  _f(el, "weightCross")]}
+        elif kind == "localCoords":
+            n = len(parents)
+            params = {
+                "origin": [_f(el, f"wo{k + 1}") for k in range(n)],
+                "x": [_f(el, f"wx{k + 1}") for k in range(n)],
+                "y": [_f(el, f"wy{k + 1}") for k in range(n)],
+                "pos": [_f(el, "p1"), _f(el, "p2"), _f(el, "p3")],
+            }
+        else:
+            raise ForceFieldError(
+                f"residue {res_name!r}: unsupported VirtualSite type {kind!r}")
+        return _VSiteDef(site=site, kind=kind, atoms=tuple(parents), params=params)
+
+    def _key2(self, el) -> Tuple[str, str]:
+        c1 = el.get("class1", None)
+        if c1 is not None:
+            return (c1, el.get("class2"))
+        return ("@" + el.get("type1"), "@" + el.get("type2"))
+
+    def _parse_HarmonicBondForce(self, sec) -> None:
+        for el in sec:
+            if el.tag == "Bond":
+                self.bond_params[self._key2(el)] = (_f(el, "length"), _f(el, "k"))
+
+    def _parse_HarmonicAngleForce(self, sec) -> None:
+        for el in sec:
+            if el.tag == "Angle":
+                key = tuple(el.get(f"class{k}", "@" + el.get(f"type{k}", ""))
+                            for k in (1, 2, 3))
+                self.angle_params[key] = (_f(el, "angle"), _f(el, "k"))
+
+    def _parse_UreyBradleyForce(self, sec) -> None:
+        for el in sec:
+            if el.tag == "UreyBradley":
+                key = tuple(el.get(f"class{k}") for k in (1, 2, 3))
+                self.urey_params[key] = (_f(el, "d"), _f(el, "k"))
+
+    def _parse_torsion_terms(self, el) -> list:
+        terms = []
+        for k in range(1, 7):
+            p = el.get(f"periodicity{k}")
+            if p is None:
+                break
+            terms.append((int(p), _f(el, f"phase{k}"), _f(el, f"k{k}")))
+        return terms
+
+    def _parse_PeriodicTorsionForce(self, sec) -> None:
+        for el in sec:
+            if el.tag not in ("Proper", "Improper"):
+                continue
+            key = tuple(el.get(f"class{k}", "") for k in (1, 2, 3, 4))
+            dest = self.proper if el.tag == "Proper" else self.improper
+            dest.append((key, self._parse_torsion_terms(el)))
+
+    def _parse_NonbondedForce(self, sec) -> None:
+        self.coulomb14 = float(sec.get("coulomb14scale", "1"))
+        self.lj14 = float(sec.get("lj14scale", "1"))
+        for el in sec:
+            if el.tag == "UseAttributeFromResidue":
+                if el.get("name") == "charge":
+                    self.nb_uses_residue_charge = True
+            elif el.tag == "Atom":
+                sigma = _f(el, "sigma")
+                eps = _f(el, "epsilon")
+                q = el.get("charge")
+                q = None if q is None else float(q)
+                t = el.get("type")
+                if t is not None:
+                    self.nb_by_type[t] = (sigma, eps, q)
+                else:
+                    klass = el.get("class")
+                    for ty in self.atom_types.values():
+                        if ty.klass == klass:
+                            self.nb_by_type[ty.name] = (sigma, eps, q)
+
+    def _parse_LennardJonesForce(self, sec) -> None:
+        self.has_lj_force = True
+        self.lj_lj14 = float(sec.get("lj14scale", "1"))
+        for el in sec:
+            if el.tag == "Atom":
+                sigma = _f(el, "sigma")
+                eps = _f(el, "epsilon")
+                self.lj_by_class[el.get("class")] = (
+                    sigma, eps, _f(el, "sigma14", sigma), _f(el, "epsilon14", eps))
+            elif el.tag == "NBFixPair":
+                self.nbfix.append((el.get("class1"), el.get("class2"),
+                                   _f(el, "sigma"), _f(el, "epsilon")))
+
+    def _parse_DrudeForce(self, sec) -> None:
+        for el in sec:
+            if el.tag == "Particle":
+                self.drude_defs.append(_DrudeDef(
+                    type1=el.get("type1"), type2=el.get("type2"),
+                    type3=el.get("type3", ""), type4=el.get("type4", ""),
+                    type5=el.get("type5", ""),
+                    charge=_f(el, "charge"),
+                    polarizability=_f(el, "polarizability"),
+                    thole=_f(el, "thole", 1.3),
+                    aniso12=_f(el, "aniso12", 1.0),
+                    aniso34=_f(el, "aniso34", 1.0)))
+            elif el.tag == "NBTholePair":
+                self.nbthole_defs.append((el.get("type1"), el.get("type2"),
+                                          _f(el, "thole")))
+
+    # ------------------------------------------------------- template matching
+    def _drude_types(self) -> set:
+        return {d.type1 for d in self.drude_defs}
+
+    def _extra_atoms(self, tmpl: _Template) -> set:
+        """Template indices of atoms Modeller.addExtraParticles may add:
+        virtual sites and Drude particles."""
+        extra = {v.site for v in tmpl.vsites}
+        dtypes = self._drude_types()
+        extra.update(i for i, a in enumerate(tmpl.atoms) if a.type in dtypes)
+        return extra
+
+    def match_template(self, res_name: str, atom_names: Sequence[str]):
+        """Find the template for a residue: the atom-name multiset must equal
+        the template's names, with extra atoms (Drudes/vsites) optional.
+        Templates named like the residue are preferred."""
+        names = sorted(atom_names)
+        cands = []
+        for tmpl in self.templates.values():
+            full = sorted(a.name for a in tmpl.atoms)
+            extra = self._extra_atoms(tmpl)
+            core = sorted(a.name for i, a in enumerate(tmpl.atoms)
+                          if i not in extra)
+            if names == full or names == core:
+                cands.append(tmpl)
+        named = [t for t in cands if t.name == res_name]
+        if named:
+            cands = named
+        if not cands:
+            raise ForceFieldError(
+                f"no residue template matches {res_name!r} with atoms "
+                f"{list(atom_names)}")
+        if len(cands) > 1:
+            raise ForceFieldError(
+                f"ambiguous templates for {res_name!r}: "
+                f"{[t.name for t in cands]}")
+        return cands[0]
+
+    def _drude_def_for(self, type1: str) -> Optional[_DrudeDef]:
+        for d in self.drude_defs:
+            if d.type1 == type1:
+                return d
+        return None
+
+    def _drude_parent(self, tmpl: _Template, site: int, parent_type: str) -> int:
+        """Parent atom of a Drude within its template: the unique atom of
+        the Drude definition's type2; ties broken by the nearest preceding
+        atom (CHARMM files list the Drude near its parent) or the name
+        convention Drude = 'D' + parent name."""
+        matches = [i for i, a in enumerate(tmpl.atoms)
+                   if a.type == parent_type and i != site]
+        if len(matches) == 1:
+            return matches[0]
+        if not matches:
+            raise ForceFieldError(
+                f"residue {tmpl.name!r}: no atom of type {parent_type!r} to "
+                f"parent Drude {tmpl.atoms[site].name!r}")
+        dname = tmpl.atoms[site].name
+        for i in matches:
+            if "D" + tmpl.atoms[i].name == dname:
+                return i
+        prev = [i for i in matches if i < site]
+        return (prev[-1] if prev else matches[0])
+
+    # ------------------------------------------------------------ createSystem
+    def createSystem(self, topology: PDBTopology, nonbondedMethod=NoCutoff,
+                     nonbondedCutoff: float = 1.0, constraints=None,
+                     rigidWater: bool = True, removeCMMotion: bool = True,
+                     ewaldErrorTolerance: float = 5e-4,
+                     switchDistance: Optional[float] = None,
+                     useDispersionCorrection: bool = True, box=None) -> System:
+        """Build a System for a topology whose residues each carry ALL
+        template atoms (run Modeller.addExtraParticles first when the input
+        PDB lacks Drudes/virtual sites).  `box` is a 3-vector of orthorhombic
+        edge lengths in nm; defaults to `topology.box`'s diagonal when the
+        topology came from a PDBFile/Modeller with a CRYST1 record."""
+        n = len(topology.atoms)
+        sys_ = System()
+        nonbonded = NonbondedForce()
+        drude = DrudeForce()
+        hbond_f = HarmonicBondForce()
+        hangle_f = HarmonicAngleForce()
+        torsion_f = PeriodicTorsionForce()
+
+        if box is None:
+            b = getattr(topology, "box", None)
+            if b is not None:
+                b = np.asarray(b, np.float64)
+                box = np.diagonal(b) if b.ndim == 2 else b
+        if box is not None:
+            sys_.setDefaultPeriodicBoxVectors(
+                (float(box[0]), 0, 0), (0, float(box[1]), 0),
+                (0, 0, float(box[2])))
+
+        # per-atom resolution --------------------------------------------------
+        types: List[_AtomType] = [None] * n
+        charges = np.zeros(n)
+        res_of = np.zeros(n, np.int32)
+        tmpl_of: List[_Template] = []
+        map_of: List[Dict[int, int]] = []     # template index -> global index
+        residues = topology.residues()
+        for ri, (res_name, idxs) in enumerate(residues):
+            names = [topology.atoms[i].name for i in idxs]
+            tmpl = self.match_template(res_name, names)
+            by_name = {a.name: ti for ti, a in enumerate(tmpl.atoms)}
+            mapping = {}
+            for g in idxs:
+                name = topology.atoms[g].name
+                ti = by_name[name]
+                mapping[ti] = g
+                ta = tmpl.atoms[ti]
+                if ta.type not in self.atom_types:
+                    raise ForceFieldError(f"unknown atom type {ta.type!r}")
+                types[g] = self.atom_types[ta.type]
+                charges[g] = ta.charge
+                res_of[g] = ri
+            if len(mapping) != len(tmpl.atoms):
+                missing = [tmpl.atoms[ti].name for ti in range(len(tmpl.atoms))
+                           if ti not in mapping]
+                raise ForceFieldError(
+                    f"residue {res_name!r} is missing template atoms "
+                    f"{missing}; run Modeller.addExtraParticles first")
+            tmpl_of.append(tmpl)
+            map_of.append(mapping)
+
+        for g in range(n):
+            sys_.addParticle(types[g].mass)
+
+        # bond graph over real atoms ------------------------------------------
+        bonds: List[Tuple[int, int]] = []
+        for ri, (res_name, idxs) in enumerate(residues):
+            tmpl, mapping = tmpl_of[ri], map_of[ri]
+            for (a, b2) in tmpl.bonds:
+                bonds.append((mapping[a], mapping[b2]))
+        # external bonds: pair consecutive residues' external slots in order
+        # (covers linear chains; branched inter-residue topologies would need
+        # CONECT records, which the reference inputs don't use)
+        prev_ext: List[int] = []
+        for ri, (res_name, idxs) in enumerate(residues):
+            tmpl, mapping = tmpl_of[ri], map_of[ri]
+            ext = [mapping[e] for e in tmpl.external]
+            while prev_ext and ext:
+                bonds.append((prev_ext.pop(), ext.pop(0)))
+            prev_ext = ext
+
+        # virtual sites + drude identification --------------------------------
+        vsite_sites = set()
+        drude_rows: Dict[int, int] = {}       # global drude index -> force row
+        drude_thole: List[float] = []
+        anchor = np.arange(n, dtype=np.int64)  # excludeAtomWith anchor
+        for ri, (res_name, idxs) in enumerate(residues):
+            tmpl, mapping = tmpl_of[ri], map_of[ri]
+            for v in tmpl.vsites:
+                g = mapping[v.site]
+                vsite_sites.add(g)
+                parents = [mapping[p] for p in v.atoms]
+                sys_.setVirtualSite(g, _make_vsite(v, parents))
+                anchor[g] = parents[0]
+            for ti, ta in enumerate(tmpl.atoms):
+                d = self._drude_def_for(ta.type)
+                if d is None:
+                    continue
+                g = mapping[ti]
+                parent = mapping[self._drude_parent(tmpl, ti, d.type2)]
+
+                def opt(t):
+                    if not t:
+                        return -1
+                    m = [i for i, a in enumerate(tmpl.atoms) if a.type == t]
+                    return mapping[m[0]] if m else -1
+
+                row = drude.addParticle(g, parent, opt(d.type3), opt(d.type4),
+                                        opt(d.type5), d.charge,
+                                        d.polarizability, d.aniso12, d.aniso34)
+                drude_rows[g] = row
+                drude_thole.append(d.thole)
+                anchor[g] = parent
+
+        # constraints ----------------------------------------------------------
+        constrained: set = set()
+        dtypes = self._drude_types()
+        is_h = np.array([t.element == "H" or (0 < t.mass < 1.5
+                                              and t.name not in dtypes)
+                         for t in types])
+
+        def bond_key(i, j):
+            ci, cj = types[i].klass, types[j].klass
+            for key in ((ci, cj), (cj, ci),
+                        ("@" + types[i].name, "@" + types[j].name),
+                        ("@" + types[j].name, "@" + types[i].name)):
+                if key in self.bond_params:
+                    return self.bond_params[key]
+            return None
+
+        def angle_key(i, j, k, table):
+            ci, cj, ck = types[i].klass, types[j].klass, types[k].klass
+            for key in ((ci, cj, ck), (ck, cj, ci)):
+                if key in table:
+                    return table[key]
+            return None
+
+        water_res = set()
+        if rigidWater:
+            for ri, (res_name, idxs) in enumerate(residues):
+                real = [g for g in idxs
+                        if g not in vsite_sites and g not in drude_rows]
+                elems = sorted(types[g].element for g in real)
+                if res_name in _WATER_NAMES or elems == ["H", "H", "O"]:
+                    if elems != ["H", "H", "O"]:
+                        continue
+                    water_res.add(ri)
+                    o = [g for g in real if types[g].element == "O"][0]
+                    hs = [g for g in real if types[g].element == "H"]
+                    bp = bond_key(o, hs[0])
+                    ap = angle_key(hs[0], o, hs[1], self.angle_params)
+                    if bp is None or ap is None:
+                        raise ForceFieldError(
+                            f"rigidWater: no bond/angle parameters for "
+                            f"{res_name!r} water geometry")
+                    r_oh = bp[0]
+                    d_hh = 2.0 * r_oh * math.sin(ap[0] / 2.0)
+                    sys_.addConstraint(o, hs[0], r_oh)
+                    sys_.addConstraint(o, hs[1], r_oh)
+                    sys_.addConstraint(hs[0], hs[1], d_hh)
+                    constrained.update({frozenset((o, hs[0])),
+                                        frozenset((o, hs[1])),
+                                        frozenset((hs[0], hs[1]))})
+
+        for (i, j) in bonds:
+            key = frozenset((i, j))
+            if key in constrained:
+                continue
+            do_constrain = (constraints == AllBonds
+                            or (constraints == HBonds
+                                and (is_h[i] or is_h[j])))
+            if do_constrain:
+                bp = bond_key(i, j)
+                if bp is None:
+                    raise ForceFieldError(
+                        f"no bond parameters for classes "
+                        f"({types[i].klass}, {types[j].klass})")
+                sys_.addConstraint(i, j, bp[0])
+                constrained.add(key)
+
+        # bonded terms ---------------------------------------------------------
+        adj: List[List[int]] = [[] for _ in range(n)]
+        for (i, j) in bonds:
+            adj[i].append(j)
+            adj[j].append(i)
+
+        for (i, j) in bonds:
+            if frozenset((i, j)) in constrained:
+                continue
+            bp = bond_key(i, j)
+            if bp is None:
+                raise ForceFieldError(
+                    f"no bond parameters for classes "
+                    f"({types[i].klass}, {types[j].klass})")
+            hbond_f.addBond(i, j, bp[0], bp[1])
+
+        angles = []
+        for j in range(n):
+            nb = sorted(adj[j])
+            for x in range(len(nb)):
+                for y in range(x + 1, len(nb)):
+                    angles.append((nb[x], j, nb[y]))
+        for (i, j, k) in angles:
+            if res_of[j] in water_res:
+                continue
+            ap = angle_key(i, j, k, self.angle_params)
+            if ap is None:
+                raise ForceFieldError(
+                    f"no angle parameters for classes "
+                    f"({types[i].klass}, {types[j].klass}, {types[k].klass})")
+            hangle_f.addAngle(i, j, k, ap[0], ap[1])
+            up = angle_key(i, j, k, self.urey_params)
+            if up is not None and frozenset((i, k)) not in constrained:
+                hbond_f.addBond(i, k, up[0], up[1])
+
+        def match_torsion(entries, cls):
+            best = None
+            best_wild = 5
+            for key, terms in entries:
+                for cand in (cls, cls[::-1]):
+                    if all(k == "" or k == c for k, c in zip(key, cand)):
+                        wild = sum(1 for k in key if k == "")
+                        if wild < best_wild:
+                            best, best_wild = terms, wild
+            return best
+
+        if self.proper:
+            seen = set()
+            for (j, k) in bonds:
+                for (a, b2) in ((j, k), (k, j)):
+                    for i in adj[a]:
+                        if i == b2:
+                            continue
+                        for l in adj[b2]:
+                            if l == a or l == i:
+                                continue
+                            quad = (i, a, b2, l)
+                            if quad[::-1] in seen or quad in seen:
+                                continue
+                            seen.add(quad)
+                            terms = match_torsion(
+                                self.proper, tuple(types[x].klass for x in quad))
+                            if terms:
+                                for (per, phase, kk) in terms:
+                                    torsion_f.addTorsion(*quad, per, phase, kk)
+        if self.improper:
+            for c in range(n):
+                nb = sorted(adj[c])
+                if len(nb) < 3:
+                    continue
+                import itertools
+                matched = None
+                for perm in itertools.permutations(nb, 3):
+                    quad = (c,) + perm
+                    terms = match_torsion(
+                        self.improper, tuple(types[x].klass for x in quad))
+                    if terms:
+                        matched = (quad, terms)
+                        break
+                if matched:
+                    quad, terms = matched
+                    for (per, phase, kk) in terms:
+                        torsion_f.addTorsion(*quad, per, phase, kk)
+
+        # nonbonded ------------------------------------------------------------
+        sig = np.ones(n)
+        eps = np.zeros(n)
+        sig14 = np.ones(n)
+        eps14 = np.zeros(n)
+        for g in range(n):
+            t = types[g]
+            if t.name in self.nb_by_type:
+                s, e, q = self.nb_by_type[t.name]
+                sig[g], eps[g] = s, e
+                sig14[g], eps14[g] = s, e
+                if q is not None and not self.nb_uses_residue_charge:
+                    charges[g] = q
+            elif self.nb_by_type:
+                raise ForceFieldError(
+                    f"no NonbondedForce parameters for type {t.name!r}")
+            if self.has_lj_force and t.klass in self.lj_by_class:
+                s, e, s14, e14 = self.lj_by_class[t.klass]
+                sig[g], eps[g] = s, e
+                sig14[g], eps14[g] = s14, e14
+        for g in range(n):
+            nonbonded.addParticle(charges[g], sig[g], eps[g])
+
+        nonbonded.setNonbondedMethod(nonbondedMethod)
+        nonbonded.setCutoffDistance(nonbondedCutoff)
+        nonbonded.setEwaldErrorTolerance(ewaldErrorTolerance)
+        nonbonded.setUseDispersionCorrection(useDispersionCorrection)
+        if switchDistance is not None:
+            nonbonded.setUseSwitchingFunction(True)
+            nonbonded.setSwitchingDistance(switchDistance)
+
+        # exceptions: anchor-graph distances (excludeAtomWith semantics) ------
+        real_adj: List[List[int]] = [[] for _ in range(n)]
+        for (i, j) in bonds:
+            ai, aj = int(anchor[i]), int(anchor[j])
+            if ai != aj:
+                real_adj[ai].append(aj)
+                real_adj[aj].append(ai)
+        for key in constrained:
+            i, j = tuple(key)
+            ai, aj = int(anchor[i]), int(anchor[j])
+            if ai != aj and aj not in real_adj[ai]:
+                real_adj[ai].append(aj)
+                real_adj[aj].append(ai)
+        group: Dict[int, List[int]] = {}
+        for g in range(n):
+            group.setdefault(int(anchor[g]), []).append(g)
+
+        lj14scale = self.lj_lj14 if self.has_lj_force else self.lj14
+        seen_exc = set()
+
+        def add_exception(a, b2, scale14):
+            key = (min(a, b2), max(a, b2))
+            if key in seen_exc:
+                return
+            seen_exc.add(key)
+            if scale14:
+                qq = charges[a] * charges[b2] * self.coulomb14
+                ss = 0.5 * (sig14[a] + sig14[b2])
+                ee = math.sqrt(eps14[a] * eps14[b2]) * lj14scale
+                nonbonded.addException(a, b2, qq, ss, ee)
+            else:
+                nonbonded.addException(a, b2, 0.0, 1.0, 0.0)
+
+        for a0 in group:
+            # BFS to distance 3 over anchors
+            dist = {a0: 0}
+            frontier = [a0]
+            for d in range(1, 4):
+                nxt = []
+                for u in frontier:
+                    for v in real_adj[u]:
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+            for b0, d in dist.items():
+                if b0 < a0:
+                    continue
+                for a in group[a0]:
+                    for b2 in group[b0]:
+                        if a == b2:
+                            continue
+                        if d <= 2:
+                            add_exception(a, b2, False)
+                        elif d == 3:
+                            add_exception(a, b2, True)
+
+        # Thole screened pairs between 1-2 / 1-3 bonded Drude parents ---------
+        rows = sorted(drude_rows.items())  # (global drude idx, row)
+        parent_of_row = {row: int(anchor[g]) for g, row in rows}
+        for gi, ri_ in rows:
+            pi = parent_of_row[ri_]
+            dist = {pi: 0}
+            frontier = [pi]
+            for d in range(1, 3):
+                nxt = []
+                for u in frontier:
+                    for v in real_adj[u]:
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+            for gj, rj_ in rows:
+                if rj_ <= ri_:
+                    continue
+                pj = parent_of_row[rj_]
+                if pj in dist and dist[pj] >= 1:
+                    drude.addScreenedPair(
+                        ri_, rj_, drude_thole[ri_] + drude_thole[rj_])
+
+        # NBTHOLE (extension tag): screened NONBONDED ion pairs ---------------
+        if self.nbthole_defs:
+            type_of_row = {row: types[g].name for g, row in rows}
+            for (t1, t2, th) in self.nbthole_defs:
+                r1 = [r for r, t in type_of_row.items() if t == t1]
+                r2 = [r for r, t in type_of_row.items() if t == t2]
+                for a in r1:
+                    for b2 in r2:
+                        if a == b2 or (t1 == t2 and a > b2):
+                            continue
+                        if parent_of_row[a] == parent_of_row[b2]:
+                            continue
+                        drude.addNBTholePair(a, b2, th)
+
+        # NBFIX pair overrides -------------------------------------------------
+        for (c1, c2, s, e) in self.nbfix:
+            p1 = [g for g in range(n) if types[g].klass == c1]
+            p2 = [g for g in range(n) if types[g].klass == c2]
+            if p1 and p2:
+                nonbonded.addLJPairOverride(p1, p2, s, e)
+
+        # assemble -------------------------------------------------------------
+        sys_.addForce(nonbonded)
+        if drude.getNumParticles():
+            sys_.addForce(drude)
+        if hbond_f.getNumBonds():
+            sys_.addForce(hbond_f)
+        if hangle_f.getNumAngles():
+            sys_.addForce(hangle_f)
+        if torsion_f.getNumTorsions():
+            sys_.addForce(torsion_f)
+        if removeCMMotion:
+            sys_.addForce(CMMotionRemover())
+        return sys_
+
+
+def _make_vsite(v: _VSiteDef, parents: List[int]):
+    if v.kind == "average2":
+        w = v.params["weights"]
+        return TwoParticleAverageSite(parents[0], parents[1], w[0], w[1])
+    if v.kind == "average3":
+        w = v.params["weights"]
+        return ThreeParticleAverageSite(parents[0], parents[1], parents[2],
+                                        w[0], w[1], w[2])
+    if v.kind == "outOfPlane":
+        w = v.params["weights"]
+        return OutOfPlaneSite(parents[0], parents[1], parents[2],
+                              w[0], w[1], w[2])
+    if v.kind == "localCoords":
+        p = v.params
+        return LocalCoordinatesSite(parents, p["origin"], p["x"], p["y"],
+                                    p["pos"])
+    raise ForceFieldError(f"unsupported virtual site kind {v.kind!r}")
+
+
+def _vsite_position(v: _VSiteDef, pos: np.ndarray, parents: List[int]):
+    ppos = pos[parents]
+    if v.kind in ("average2", "average3"):
+        w = np.asarray(v.params["weights"])
+        return (w[:, None] * ppos).sum(0)
+    if v.kind == "outOfPlane":
+        w12, w13, wc = v.params["weights"]
+        r12 = ppos[1] - ppos[0]
+        r13 = ppos[2] - ppos[0]
+        return ppos[0] + w12 * r12 + w13 * r13 + wc * np.cross(r12, r13)
+    if v.kind == "localCoords":
+        p = v.params
+        origin = (np.asarray(p["origin"])[:, None] * ppos).sum(0)
+        xdir = (np.asarray(p["x"])[:, None] * ppos).sum(0)
+        ydir = (np.asarray(p["y"])[:, None] * ppos).sum(0)
+        xhat = xdir / np.linalg.norm(xdir)
+        z = np.cross(xdir, ydir)
+        zhat = z / np.linalg.norm(z)
+        yhat = np.cross(zhat, xhat)
+        local = p["pos"]
+        return origin + local[0] * xhat + local[1] * yhat + local[2] * zhat
+    raise ForceFieldError(f"unsupported virtual site kind {v.kind!r}")
+
+
+class Modeller:
+    """Holds a topology + positions and edits them (the subset of OpenMM's
+    Modeller the reference workflow uses: addExtraParticles,
+    example/nacl_tg.py:38-40)."""
+
+    def __init__(self, topology: PDBTopology, positions, box=None):
+        self.topology = topology
+        self.positions = np.asarray(positions, np.float64)
+        if box is None:
+            box = getattr(topology, "box", None)
+        self.box = None if box is None else np.asarray(box, np.float64)
+
+    def addExtraParticles(self, forcefield: ForceField) -> None:
+        """Add the template atoms missing from each residue (Drude shells at
+        their parent's position, virtual sites at their computed position),
+        re-ordering each residue into template order."""
+        atoms = self.topology.atoms
+        new_atoms: List[PDBAtom] = []
+        new_pos: List[np.ndarray] = []
+        dtypes = forcefield._drude_types()
+        for res_name, idxs in self.topology.residues():
+            names = [atoms[i].name for i in idxs]
+            tmpl = forcefield.match_template(res_name, names)
+            have = {atoms[i].name: i for i in idxs}
+            a0 = atoms[idxs[0]]
+            # first pass: place real + drude atoms in template order
+            placed: Dict[int, np.ndarray] = {}
+            deferred: List[int] = []
+            for ti, ta in enumerate(tmpl.atoms):
+                if ta.name in have:
+                    placed[ti] = self.positions[have[ta.name]]
+                elif ta.type in dtypes:
+                    d = forcefield._drude_def_for(ta.type)
+                    pi = forcefield._drude_parent(tmpl, ti, d.type2)
+                    if tmpl.atoms[pi].name not in have:
+                        raise ForceFieldError(
+                            f"residue {res_name!r}: Drude {ta.name!r} parent "
+                            f"{tmpl.atoms[pi].name!r} missing from input")
+                    placed[ti] = self.positions[have[tmpl.atoms[pi].name]]
+                else:
+                    deferred.append(ti)
+            vs_by_site = {v.site: v for v in tmpl.vsites}
+            for ti in deferred:
+                v = vs_by_site.get(ti)
+                if v is None:
+                    raise ForceFieldError(
+                        f"residue {res_name!r}: atom {tmpl.atoms[ti].name!r} "
+                        "is missing and is neither a Drude nor a virtual site")
+                ppos = np.stack([placed[p] for p in v.atoms])
+                placed[ti] = _vsite_position(v, ppos,
+                                             list(range(len(v.atoms))))
+            for ti, ta in enumerate(tmpl.atoms):
+                elem = (forcefield.atom_types[ta.type].element
+                        or ta.name[:1])
+                new_atoms.append(PDBAtom(
+                    serial=len(new_atoms) + 1, name=ta.name,
+                    res_name=res_name, chain=a0.chain, res_seq=a0.res_seq,
+                    element=elem))
+                new_pos.append(placed[ti])
+        top = PDBTopology(new_atoms)
+        if self.box is not None:
+            top.box = self.box
+        self.topology = top
+        self.positions = np.asarray(new_pos, np.float64)

@@ -26,6 +26,22 @@ class PDBTopology:
     def __len__(self):
         return len(self.atoms)
 
+    def residues(self):
+        """Group atoms into residues: maximal runs of identical
+        (chain, res_seq, res_name).  Returns [(res_name, [atom indices])]
+        in file order — the grouping the app-layer ForceField matches
+        templates against (the role OpenMM's Topology.residues() plays in
+        the reference workflow, /root/reference/example/nacl_tg.py:30)."""
+        out: List[tuple] = []
+        key = None
+        for i, a in enumerate(self.atoms):
+            k = (a.chain, a.res_seq, a.res_name)
+            if k != key:
+                out.append((a.res_name, []))
+                key = k
+            out[-1][1].append(i)
+        return out
+
 
 class PDBFile:
     """Parses ATOM/HETATM/CRYST1 records.  positions are in nm (PDB files
@@ -59,6 +75,8 @@ class PDBFile:
                     coords.append((float(line[30:38]), float(line[38:46]),
                                    float(line[46:54])))
         self.topology = PDBTopology(atoms)
+        if self.box is not None:
+            self.topology.box = self.box  # flows into ForceField.createSystem
         self.positions = np.array(coords, np.float64) * 0.1  # A -> nm
 
     def getTopology(self):
@@ -83,8 +101,12 @@ def write_model(f, positions_nm: np.ndarray, topology: Optional[PDBTopology],
                                            a.res_seq, a.element)
         else:
             name, res, chain, seq, elem = "X", "UNK", "A", i // 1000 + 1, "X"
-        f.write(f"ATOM  {(i + 1) % 100000:5d} {name:<4.4s}{res:<4.4s}{chain}"
-                f"{seq % 10000:4d}    {p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}"
+        # column layout matches the reference's example PDBs (resName at
+        # cols 17-20, chain 21, x at 30 — example/nacl_1m_pos.pdb) so our
+        # reader round-trips what we write
+        f.write(f"ATOM  {(i + 1) % 100000:5d} {name:<4.4s} {res:<4.4s}"
+                f"{chain:1.1s}{seq % 10000:4d}    "
+                f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}"
                 f"  1.00  0.00          {elem:>2.2s}\n")
     f.write("ENDMDL\n")
 
