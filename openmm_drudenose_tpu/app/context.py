@@ -141,10 +141,17 @@ class Context:
                 from ..forces import cellpair
                 cfg = t0.cellpair_cfg
                 self._cp_cfg = cfg
+                # when the Pallas sweep skips the exclusion test at far
+                # stencil offsets, every rebuild must verify (and latch)
+                # that no excluded pair spans >= 2 cells
+                excl_ij = (t0.nbl_exclusions
+                           if getattr(t0, "pallas_excl_skip", False)
+                           else None)
 
                 def neighbor_fn(positions, box):
                     return cellpair.build_cellsort(positions,
-                                                   jnp.diagonal(box), cfg)
+                                                   jnp.diagonal(box), cfg,
+                                                   excl_ij=excl_ij)
                 self._neighbor_fn = neighbor_fn
                 self._rebuild_interval = cfg.rebuild_interval
             else:
@@ -337,6 +344,15 @@ class Context:
                 self._jit_neighbor_fn = jax.jit(self._neighbor_fn)
             nbl = self._jit_neighbor_fn(self._state.positions,
                                         self._state.box)
+            if (getattr(nbl, "excl_span_exceeded", None) is not None
+                    and bool(nbl.excl_span_exceeded)):
+                # an excluded pair already spans >= 2 cells at setup (long
+                # exclusion relative to the cell size): the Pallas
+                # far-offset exclusion skip is unsound for this system —
+                # disable it and recompile before any dynamics run
+                self._nb_kwargs["pallas_excl_skip"] = False
+                self._build_potential()
+                continue
             if (getattr(nbl, "stencil_invalid", None) is not None
                     and bool(nbl.stencil_invalid)):
                 # NPT shrink invalidated the compile-time stencil: replan
@@ -418,23 +434,10 @@ class Context:
         measured on v5e via scripts/ab_rebuild.py)."""
         if self._jit_rebuild is not None:
             return self._jit_rebuild
-        neighbor_fn = self._neighbor_fn
         skin = (self._cp_cfg.skin if self._cp_cfg is not None
                 else getattr(self._nbl_cfg, "skin", None))
-
-        def rebuild(state):
-            nbl = neighbor_fn(state.positions, state.box)
-            old = state.neighbors
-            nbl = nbl._replace(overflow=nbl.overflow | old.overflow)
-            if skin is not None and getattr(
-                    old, "drift_exceeded", None) is not None:
-                d = state.positions - old.ref_positions
-                exceeded = jnp.max(jnp.sum(d * d, axis=-1)) > skin * skin
-                nbl = nbl._replace(
-                    drift_exceeded=exceeded | old.drift_exceeded)
-            return state._replace(neighbors=nbl)
-
-        self._jit_rebuild = jax.jit(rebuild)
+        self._jit_rebuild = jax.jit(
+            tgnh._make_neighbor_rebuild(self._neighbor_fn, skin))
         return self._jit_rebuild
 
     def _ensure_pe(self) -> None:
@@ -504,6 +507,7 @@ class Context:
                                        "overflowing after growth")
                 remaining -= k_chunk
             self._check_rebuild_drift()
+            self._check_excl_span()
         self._ke_valid = True
         if self._forces_only is not None:
             self._pe_valid = False
@@ -536,6 +540,24 @@ class Context:
                 "reduce the step size or the rebuild interval (usually a "
                 "sign of a violently unequilibrated start: minimize "
                 "first)", RuntimeWarning, stacklevel=3)
+
+    def _check_excl_span(self) -> None:
+        """Raise when a mid-run rebuild latched excl_span_exceeded: an
+        excluded (intramolecular) pair was binned >= 2 cells apart while
+        the Pallas sweep was skipping the exclusion test at far stencil
+        offsets — the steps since that rebuild double-counted the pair.
+        Only ever set when the skip is active (excl_ij was passed to
+        build_cellsort); a setup-time span is handled transparently in
+        _ensure_neighbors by disabling the skip before any dynamics."""
+        nbl = self._state.neighbors
+        span = getattr(nbl, "excl_span_exceeded", None)
+        if span is not None and bool(span):
+            raise RuntimeError(
+                "an excluded pair stretched across >= 2 cells mid-run "
+                "while the Pallas far-offset exclusion skip was active — "
+                "recent forces double-counted it (the molecule has likely "
+                "become unstable; if the geometry is intentional, pass "
+                "nb_options={'pallas_excl_skip': False})")
 
     def _check_hardwall_runaway(self) -> None:
         """Surface the device-latched runaway flag: a Drude moved >2x past

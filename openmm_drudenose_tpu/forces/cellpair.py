@@ -59,6 +59,13 @@ class CellSort(NamedTuple):
     # (N,) pencil slot of each atom (inverse of pen_atom) — the
     # hand-written PME interpolation force's slot->atom gather
     pen_inv: jax.Array = None
+    # an excluded (intramolecular) pair was binned into cells >= 2 apart
+    # in some dimension at this rebuild — the Pallas sweep's far-offset
+    # exclusion-test skip (ops/pallas_sweep.py excl_skip) would then miss
+    # it; latched only when build_cellsort is given excl_ij (i.e. when the
+    # skip is active).  Cell assignment is frozen between rebuilds, so
+    # checking at rebuild time is exact, not heuristic.
+    excl_span_exceeded: jax.Array = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,7 +231,13 @@ def build_exclusion_words(n_atoms: int, exc_i, exc_j,
     return words
 
 
-def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
+def build_cellsort(positions, box_diag, cfg: CellPairConfig,
+                   excl_ij=None) -> CellSort:
+    """excl_ij: optional (exc_i, exc_j) static index arrays of the excluded
+    pairs.  When given, the rebuild latches CellSort.excl_span_exceeded if
+    any excluded pair lands in cells >= 2 apart in some dimension (after
+    periodic min-imaging of the cell delta) — the exact soundness condition
+    for the Pallas sweep's far-offset exclusion-test skip."""
     n = positions.shape[0]
     grid = jnp.asarray(cfg.grid, jnp.int32)
     n_cells = cfg.n_cells
@@ -252,6 +265,15 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
     frac = positions / box_diag - image
     cell3 = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
     flat = (cell3[:, 0] * cfg.grid[1] + cell3[:, 1]) * cfg.grid[2] + cell3[:, 2]
+
+    excl_span = None
+    if excl_ij is not None and len(excl_ij[0]):
+        ei = jnp.asarray(np.asarray(excl_ij[0], np.int32))
+        ej = jnp.asarray(np.asarray(excl_ij[1], np.int32))
+        d3 = cell3[ei] - cell3[ej]
+        # periodic min-image of the integer cell delta
+        d3 = jnp.mod(d3 + grid // 2, grid) - grid // 2
+        excl_span = jnp.any(jnp.max(jnp.abs(d3), axis=1) >= 2)
 
     order = jnp.argsort(flat)
     sorted_flat = flat[order]
@@ -299,7 +321,8 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig) -> CellSort:
                     image=image.astype(jnp.int32),
                     stencil_invalid=stencil_invalid,
                     drift_exceeded=jnp.zeros((), jnp.bool_),
-                    pen_atom=pen_atom, pen_inv=pen_inv)
+                    pen_atom=pen_atom, pen_inv=pen_inv,
+                    excl_span_exceeded=excl_span)
 
 
 # ---------------------------------------------------------------------------

@@ -546,17 +546,27 @@ class NonbondedForce:
                 if not pallas_sweep.supports(cp_cfg, dtype):
                     use_pallas_sweep = False
 
+            pallas_excl_skip = False
             if use_pallas_sweep:
                 from ..ops import pallas_sweep
                 ps_method = ("ewald" if method in (self.Ewald, self.PME)
                              else "rf")
+                # skip the exclusion bitmask test at stencil offsets with
+                # any |o| >= 2 (cells there are >= one whole cell apart —
+                # no intramolecular pair reaches); soundness is latched per
+                # rebuild via CellSort.excl_span_exceeded (the Context
+                # passes the exclusion pairs to build_cellsort whenever
+                # this attribute is True)
+                pallas_excl_skip = bool(
+                    nb_kwargs.get("pallas_excl_skip", True))
 
                 def sweep_forces(params, positions, box_diag, neighbors):
                     return pallas_sweep.pair_forces_pallas(
                         params, positions, box_diag, neighbors, cp_cfg,
                         ps_method,
                         alpha=pme.alpha if ps_method == "ewald" else 0.0,
-                        krf=krf, crf=crf, coulomb_scale=ONE_4PI_EPS0)
+                        krf=krf, crf=crf, coulomb_scale=ONE_4PI_EPS0,
+                        excl_skip=pallas_excl_skip)
             else:
                 def sweep_forces(params, positions, box_diag, neighbors):
                     _, f = cp.pair_energy_forces(
@@ -566,6 +576,7 @@ class NonbondedForce:
 
             energy.needs_neighbors = True
             energy.cellpair_cfg = cp_cfg
+            energy.pallas_excl_skip = pallas_excl_skip
             energy.nbl_cutoff = cutoff
             energy.nbl_exclusions = (exc_i, exc_j)
             # active (non-excluded) exception pairs, exposed for the

@@ -179,7 +179,8 @@ def group_kinetic_energies(spec: SystemSpec, static: StaticSpec, velocities,
 # ---------------------------------------------------------------------------
 
 def propagate_nh_chain(spec: SystemSpec, static: StaticSpec, ke,
-                       eta, eta_dot, eta_dot_dot, dt):
+                       eta, eta_dot, eta_dot_dot, dt,
+                       return_final_ke: bool = False):
     """Half-step NH chain update for all G+2 baths at once.
 
     Mirrors CudaIntegrateDrudeTGNHStepKernel::propagateNHChain
@@ -189,7 +190,10 @@ def propagate_nh_chain(spec: SystemSpec, static: StaticSpec, ke,
     components of (G+2,)-vectors updated together on device.  The Drude bath
     freezes chain links >= 1 unless use_drude_nh_chains (link_active mask).
 
-    Returns (vscale, eta, eta_dot, eta_dot_dot).
+    Returns (vscale, eta, eta_dot, eta_dot_dot); with return_final_ke also
+    the loop's damped KE vector (== vscale^2 * ke bit-for-bit, the KE the
+    system will measure after apply_vscale — the NH-pair fusion in
+    make_multi_step reuses it to skip one full KE evaluation per step).
     """
     M = static.n_chains
     a = eta.dtype
@@ -245,6 +249,8 @@ def propagate_nh_chain(spec: SystemSpec, static: StaticSpec, ke,
     eta, eta_dot, eta_dot_dot, ke, vscale = jax.lax.fori_loop(
         0, static.drude_steps, one_iter,
         (eta, eta_dot, eta_dot_dot, ke, vscale0))
+    if return_final_ke:
+        return vscale, eta, eta_dot, eta_dot_dot, ke
     return vscale, eta, eta_dot, eta_dot_dot
 
 
@@ -470,10 +476,17 @@ def make_step(static: StaticSpec,
                                group_ke=ke)
         return state, new_vt
 
-    def step(spec: SystemSpec, state: SimState) -> SimState:
-        dt = spec.dt.astype(state.positions.dtype)
+    def apply_barostat(spec, state):
+        if static.baro_freq > 0:
+            from . import barostat
+            state = barostat.maybe_attempt_mc_move(
+                spec, static, state, energy_and_forces,
+                recompute_current=forces_fn is not None,
+                n_mol=baro_n_mol)
+        return state
 
-        # -- updateContextState equivalents (barostat / CM motion removal) --
+    def update_context_state(spec, state):
+        """Barostat / CM motion removal (DrudeTGNHIntegrator.cpp:186-189)."""
         if static.cm_freq > 0:
             def remove_cm(v):
                 mom = jnp.sum(spec.mass[:, None] * v, axis=0)
@@ -486,15 +499,14 @@ def make_step(static: StaticSpec,
             state = state._replace(velocities=jax.lax.cond(
                 state.step % static.cm_freq == 0, remove_cm, lambda v: v,
                 state.velocities))
-        if static.baro_freq > 0:
-            from . import barostat
-            state = barostat.maybe_attempt_mc_move(
-                spec, static, state, energy_and_forces,
-                recompute_current=forces_fn is not None,
-                n_mol=baro_n_mol)
+        return apply_barostat(spec, state)
 
-        # -- first NH half step + velocity scaling (3, N) -------------------
-        state, vt = nh_half(spec, state, state.velocities.T)
+    def core(spec, state, vt):
+        """Everything between the two NH half-steps: first half kick through
+        velocity constraints.  Takes post-NH1 (3, N) velocities; returns
+        (state, v) with positions/forces/step/time advanced and v the
+        post-velocity-constraint (N, 3) velocities (NH2 still pending)."""
+        dt = spec.dt.astype(state.positions.dtype)
 
         # -- first half kick; position delta --------------------------------
         vt = half_kick_t(spec, static, vt, state.forces.T, dt)
@@ -558,23 +570,33 @@ def make_step(static: StaticSpec,
                 pos, v, spec.inv_mass, spec.shake_idx, spec.shake_dist,
                 static.constraint_tol, static.shake_max_iter)
 
-        # -- second NH half step ----------------------------------------------
         state = state._replace(positions=pos, forces=forces,
-                               potential_energy=pe.astype(state.eta.dtype))
+                               potential_energy=pe.astype(state.eta.dtype),
+                               step=state.step + 1,
+                               time=state.time + spec.dt)
+        return state, v
+
+    def step(spec: SystemSpec, state: SimState) -> SimState:
+        state = update_context_state(spec, state)
+        # -- first NH half step + velocity scaling (3, N) -------------------
+        state, vt = nh_half(spec, state, state.velocities.T)
+        state, v = core(spec, state, vt)
+        # -- second NH half step ----------------------------------------------
         state, vt = nh_half(spec, state, v.T)
+        return state._replace(velocities=vt.T)
 
-        return state._replace(
-            velocities=vt.T,
-            step=state.step + 1,
-            time=state.time + spec.dt)
-
+    step.update_context_state = update_context_state
+    step.apply_barostat = apply_barostat
+    step.nh_half = nh_half
+    step.core = core
     return step
 
 
 def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
                     inner_steps: int, neighbor_fn: Callable = None,
                     rebuild_interval: int = 16, forces_fn: Callable = None,
-                    skin: float = None):
+                    skin: float = None, fuse_nh: bool = True,
+                    reduce_axis: str = None, baro_n_mol: int = None):
     """lax.scan over `inner_steps` steps per host call.
 
     With neighbor_fn, rebuilds are STATICALLY SEGMENTED: the scan runs as
@@ -585,8 +607,29 @@ def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
     (Context._ensure_neighbors), so the FIRST segment reuses that structure
     and the device rebuild runs only between segments.  Overflow and
     full-skin drift breaches latch into the carried Neighbors flags exactly
-    as the host-side rebuild would."""
-    step = make_step(static, energy_and_forces, forces_fn=forces_fn)
+    as the host-side rebuild would.
+
+    fuse_nh: the second NH half of step k and the first NH half of step
+    k+1 are adjacent (nothing between them changes velocities except the
+    analytically-correctable CM removal), so the scan body measures the
+    per-bath KE ONCE, propagates both chain halves, and applies both bath
+    scalings as one elementwise-composed apply_vscale — saving one full
+    group-KE evaluation and one velocity-scaling pass per step.  The
+    composition is exact in real arithmetic (bath scalings commute with
+    the COM/internal/pair-relative decomposition, and CM removal shifts
+    only the COM bath's KE by -M_tot |v_cm|^2); floats differ from the
+    unfused path at roundoff order only.
+
+    reduce_axis / baro_n_mol: forwarded to make_step for device-local
+    state under shard_map (parallel/resident.py) — the fused body psums
+    its single KE measurement and the CM momentum over the axis."""
+    step = make_step(static, energy_and_forces, forces_fn=forces_fn,
+                     reduce_axis=reduce_axis, baro_n_mol=baro_n_mol)
+
+    if fuse_nh and inner_steps >= 2:
+        return _make_multi_step_fused(static, step, inner_steps, neighbor_fn,
+                                      rebuild_interval, skin,
+                                      reduce_axis=reduce_axis)
 
     def body_factory(spec):
         def body(s, _):
@@ -600,19 +643,7 @@ def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
             return state
         return multi
 
-    def rebuild(state):
-        nbl = neighbor_fn(state.positions, state.box)
-        nbl = nbl._replace(overflow=nbl.overflow | state.neighbors.overflow)
-        if skin is not None and getattr(
-                state.neighbors, "drift_exceeded", None) is not None:
-            # an atom outran the full skin since the previous rebuild:
-            # pairs may have been missed (latched)
-            d = state.positions - state.neighbors.ref_positions
-            exceeded = jnp.max(jnp.sum(d * d, axis=-1)) > skin * skin
-            nbl = nbl._replace(
-                drift_exceeded=exceeded | state.neighbors.drift_exceeded)
-        return state._replace(neighbors=nbl)
-
+    rebuild = _make_neighbor_rebuild(neighbor_fn, skin)
     first = min(rebuild_interval, inner_steps)
     n_seg, tail = divmod(inner_steps - first, rebuild_interval)
 
@@ -629,5 +660,143 @@ def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
             state = rebuild(state)
             state, _ = jax.lax.scan(body, state, None, length=tail)
         return state
+
+    return multi
+
+
+def _make_neighbor_rebuild(neighbor_fn, skin):
+    """state -> state with a fresh neighbor structure; sticky flags
+    (overflow, full-skin drift breach, excluded-pair cell span) latch
+    forward across rebuilds so one host readback per chunk sees them."""
+    def rebuild(state):
+        nbl = neighbor_fn(state.positions, state.box)
+        nbl = nbl._replace(overflow=nbl.overflow | state.neighbors.overflow)
+        if skin is not None and getattr(
+                state.neighbors, "drift_exceeded", None) is not None:
+            # an atom outran the full skin since the previous rebuild:
+            # pairs may have been missed (latched)
+            d = state.positions - state.neighbors.ref_positions
+            exceeded = jnp.max(jnp.sum(d * d, axis=-1)) > skin * skin
+            nbl = nbl._replace(
+                drift_exceeded=exceeded | state.neighbors.drift_exceeded)
+        old_span = getattr(state.neighbors, "excl_span_exceeded", None)
+        if (old_span is not None
+                and getattr(nbl, "excl_span_exceeded", None) is not None):
+            nbl = nbl._replace(
+                excl_span_exceeded=nbl.excl_span_exceeded | old_span)
+        return state._replace(neighbors=nbl)
+    return rebuild
+
+
+def _make_multi_step_fused(static: StaticSpec, step, inner_steps: int,
+                           neighbor_fn, rebuild_interval: int, skin,
+                           reduce_axis: str = None):
+    """Fused-NH scan: [UCS + NH1 + core] once, then inner_steps-1 bodies of
+    [NH2 of the previous step + NH1 of this one on a single KE measurement
+    + one composed velocity scaling + core], then a final NH2.
+
+    Mid-scan the carried state is 'pending': state.velocities hold the
+    post-velocity-constraint velocities with the second NH half not yet
+    applied.  The prologue/epilogue keep the host-visible states settled,
+    so Context/ensemble/sharded semantics (KESum = the value cached at the
+    last NH half-step, reference CudaDrudeTGNHKernels.cpp:654-661) are
+    unchanged."""
+    G = static.n_temp_groups
+
+    def fused_body(spec, state):
+        accum = state.eta.dtype
+        vt = state.velocities.T
+
+        # one KE measurement serves BOTH adjacent NH halves
+        ke, com_vel_t, norm_vel_t = group_kinetic_energies_t(
+            spec, static, vt, accum)
+        if reduce_axis is not None:
+            ke = jax.lax.psum(ke, reduce_axis)
+        vs_a, eta, ed, edd, ke_a = propagate_nh_chain(
+            spec, static, ke, state.eta, state.eta_dot, state.eta_dot_dot,
+            spec.dt, return_final_ke=True)
+
+        # CM motion removal between the halves: a uniform velocity shift
+        # leaves internal/Drude baths untouched and lowers the COM bath's
+        # 2KE by exactly M_tot |v_cm|^2 (Sum_res M_res v_com = M_tot v_cm)
+        m01 = None
+        if static.cm_freq > 0:
+            m01 = (state.step % static.cm_freq == 0).astype(accum)
+            mom = jnp.sum((spec.mass[None, :] * vt).astype(accum), axis=1)
+            total_mass = jnp.sum(spec.mass).astype(accum)
+            if reduce_axis is not None:
+                mom = jax.lax.psum(mom, reduce_axis)
+                total_mass = jax.lax.psum(total_mass, reduce_axis)
+            v_cm = mom / total_mass                    # of the unscaled vt
+            v_cm_s = vs_a[G] * v_cm                    # after the NH2 scale
+            ke_a = ke_a.at[G].add(
+                -m01 * total_mass * jnp.sum(v_cm_s * v_cm_s))
+
+        state = state._replace(eta=eta, eta_dot=ed, eta_dot_dot=edd)
+        state = step.apply_barostat(spec, state)       # velocity-independent
+
+        vs_b, eta, ed, edd = propagate_nh_chain(
+            spec, static, ke_a, state.eta, state.eta_dot, state.eta_dot_dot,
+            spec.dt)
+        state = state._replace(eta=eta, eta_dot=ed, eta_dot_dot=edd,
+                               ke_sum=0.5 * jnp.sum(ke_a), group_ke=ke_a)
+
+        # one composed scaling (bath scalings compose elementwise across
+        # the COM/internal/pair-relative decomposition)
+        new_vt = apply_vscale_t(spec, static, vt, com_vel_t, norm_vel_t,
+                                vs_a * vs_b)
+        if m01 is not None:
+            sub = ((m01 * vs_b[G] * vs_a[G]) * v_cm).astype(new_vt.dtype)
+            new_vt = jnp.where((spec.inv_mass > 0)[None, :],
+                               new_vt - sub[:, None], new_vt)
+
+        state, v = step.core(spec, state, new_vt)
+        return state._replace(velocities=v)
+
+    def prologue(spec, state):
+        state = step.update_context_state(spec, state)
+        state, vt = step.nh_half(spec, state, state.velocities.T)
+        state, v = step.core(spec, state, vt)
+        return state._replace(velocities=v)            # NH2 pending
+
+    def epilogue(spec, state):
+        state, vt = step.nh_half(spec, state, state.velocities.T)
+        return state._replace(velocities=vt.T)
+
+    def body_factory(spec):
+        def body(s, _):
+            return fused_body(spec, s), None
+        return body
+
+    if neighbor_fn is None:
+        def multi(spec: SystemSpec, state: SimState) -> SimState:
+            state = prologue(spec, state)
+            state, _ = jax.lax.scan(body_factory(spec), state, None,
+                                    length=inner_steps - 1)
+            return epilogue(spec, state)
+        return multi
+
+    rebuild = _make_neighbor_rebuild(neighbor_fn, skin)
+    # rebuild cadence by POSITION UPDATES: the prologue performs one, each
+    # fused body one more — boundaries land exactly where the unfused
+    # segmentation puts them
+    first_f = min(rebuild_interval, inner_steps) - 1
+    n_seg, tail = divmod(inner_steps - 1 - first_f, rebuild_interval)
+
+    def multi(spec: SystemSpec, state: SimState) -> SimState:
+        body = body_factory(spec)
+        state = prologue(spec, state)
+        if first_f:
+            state, _ = jax.lax.scan(body, state, None, length=first_f)
+        if n_seg:
+            def seg(s, _):
+                s = rebuild(s)
+                s, _ = jax.lax.scan(body, s, None, length=rebuild_interval)
+                return s, None
+            state, _ = jax.lax.scan(seg, state, None, length=n_seg)
+        if tail:
+            state = rebuild(state)
+            state, _ = jax.lax.scan(body, state, None, length=tail)
+        return epilogue(spec, state)
 
     return multi

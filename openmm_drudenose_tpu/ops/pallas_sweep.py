@@ -90,7 +90,7 @@ def _make_pair_g(method, cutoff, alpha=0.0, krf=0.0, crf=0.0):
 def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                        method, alpha=0.0, krf=0.0, crf=0.0,
                        coulomb_scale=None, interpret=False,
-                       debug_outputs=False):
+                       debug_outputs=False, excl_skip=True):
     """forces (N, 3) for the direct-space sum — Pallas half-stencil sweep.
 
     Same physics as forces/cellpair._sweep_regular with with_energy=False
@@ -157,6 +157,15 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
 
     offsets = np.array(cfg.offsets, np.int32)
     n_off = len(offsets)
+    # offsets with any |o| >= 2 have a cell-to-cell gap of >= one cell edge
+    # (>= r_list/2 > any bonded-exclusion span), so the exclusion bitmask
+    # test is skipped there: excluded pairs are intramolecular and short,
+    # and pairs beyond the cutoff are zeroed by the r2 test anyway.  The
+    # rebuild latches CellSort.excl_span_exceeded if an excluded pair ever
+    # stretches past (min cell edge - skin), making the skip unsound
+    # (forces/cellpair.build_cellsort).
+    off_needs_excl = (np.max(np.abs(offsets), axis=1) <= 1
+                      if excl_skip else np.ones(n_off, bool))
     lay_idx = ((np.arange(gx)[:, None] + np.arange(-w, w + 1)[None]) % gx
                ).astype(np.int32)                            # (gx, n_lay)
     hvec = jnp.asarray([h[0], h[1], h[2]], dtype)
@@ -278,6 +287,8 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                 vC = slab_[pl.ds(bj, 1), pl.ds(lcol + dC, n_yz)]
                 return jnp.where(mz_hi, vB, jnp.where(mz_lo, vC, vA))
 
+            needs_excl = bool(off_needs_excl[oi])
+
             def slot_body(bj, acc2):
                 fx, fy, fz, rxa, rya, rza = acc2
                 dx = xa - (bview(xs, bj) + tx)
@@ -285,10 +296,14 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                 dz = za - (bview(zs, bj) + tz)
                 r2 = dx * dx + dy * dy + dz * dz
                 valid = r2 < cutoff2
-                dg = bview(gids, bj) - gida
-                in_win = jnp.abs(dg) <= W
-                bit = jnp.where(in_win, dg + W, 0)
-                excl = in_win & (((ewa >> bit) & 1) == 1)
+                if needs_excl:
+                    dg = bview(gids, bj) - gida
+                    in_win = jnp.abs(dg) <= W
+                    bit = jnp.where(in_win, dg + W, 0)
+                    excl = in_win & (((ewa >> bit) & 1) == 1)
+                    keep = valid & ~excl
+                else:
+                    keep = valid
                 r2s = jnp.where(valid, jnp.maximum(r2, 1e-6), 1.0)
                 inv_r = jax.lax.rsqrt(r2s)
                 inv_r2 = inv_r * inv_r
@@ -296,7 +311,7 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                 sig = 0.5 * (siga + bview(sigs, bj))
                 eps = sepsa * bview(sepss, bj)
                 g = pair_g(qq, sig, eps, r2s, inv_r, inv_r2)
-                g2 = jnp.where(valid & ~excl, -2.0 * g, 0.0)
+                g2 = jnp.where(keep, -2.0 * g, 0.0)
                 # reaction rows (1, n_yz) in the ROW frame, accumulated
                 # into (C, n_yz) values via a one-hot(b-slot) outer
                 # product — no dynamic-sublane stores

@@ -1837,15 +1837,15 @@ class ResidentContext:
                 self._pair_eg, self._coulomb_scale, self._pme,
                 self._drude_energy, self._pme_self, self._disp,
                 bonded_fns=self._bonded_fns, nt_tab=self._nt_tab)
-            step = tgnh.make_step(self._static_loc, eaf,
-                                  reduce_axis=layout.axis,
-                                  baro_n_mol=self._n_mol_global)
+            # NH-pair fused scan (tgnh._make_multi_step_fused): one psum'd
+            # KE measurement serves the adjacent NH halves of consecutive
+            # steps — halves the per-step global communication too (the
+            # (G+2) KE psum is TGNH's only inner-loop collective)
+            multi = tgnh.make_multi_step(self._static_loc, eaf, inner,
+                                         reduce_axis=layout.axis,
+                                         baro_n_mol=self._n_mol_global)
             sim = self._sim_from(st, tables)
-
-            def body(s, _):
-                return step(spec_loc, s), None
-
-            sim, _ = jax.lax.scan(body, sim, None, length=inner)
+            sim = multi(spec_loc, sim)
             return self._pack(st, sim)
 
         fn = jax.jit(_shard_map(seg, self._mesh, in_specs=(self._specs,),
