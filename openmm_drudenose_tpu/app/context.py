@@ -18,7 +18,7 @@ import numpy as np
 
 from .. import precision as precision_mod
 from ..constraints import shake as shake_mod
-from ..constraints.vsites import apply_vsites
+from ..constraints.vsites import apply_vsites, spread_vsite_forces
 from ..core import spec as spec_mod
 from ..core.state import SimState
 from ..integrators import tgnh
@@ -201,11 +201,11 @@ class Context:
             nb_fn, nb_params = nb_split
             recip_f = getattr(nb_fn, "recip_forces", None)
 
-            def potential_rest(positions, box, neighbors, pos_err):
-                """Everything autodiffed in the force-only path: with an
+            def rest_energy_composed(pos, box, neighbors, pos_err):
+                """Everything autodiffed in the force-only path, as a
+                function of the COMPOSED (vsite-updated) positions: with an
                 analytic reciprocal force available, only the extras; else
                 extras + PME reciprocal."""
-                pos = apply_vsites(spec, static, positions)
                 if recip_f is not None:
                     e = nb_fn.extras_energy(nb_params, pos, box)
                 else:
@@ -222,17 +222,29 @@ class Context:
                 return e
 
             def forces_only(positions, box, neighbors=None, pos_err=None):
-                pos_comp, vjp_fn = jax.vjp(
-                    lambda p: apply_vsites(spec, static, p), positions)
+                """Total force on the raw particles: every term is
+                evaluated at the composed positions; the single J^T
+                application at the end moves vsite-row forces onto the
+                parents.  With average-only vsites the spread is the
+                scatter-free gather table (constraints/vsites.py) and
+                NOTHING in this path autodiffs through apply_vsites — the
+                vsite scatter and its scatter-add adjoint vanish from the
+                hot loop."""
                 box_diag = jnp.diagonal(box)
-                f_analytic = nb_fn.sweep_forces(nb_params, pos_comp,
-                                                box_diag, neighbors)
+                if spec.vs_spread_src is not None:
+                    pos_comp = apply_vsites(spec, static, positions)
+                    spread = lambda f: spread_vsite_forces(spec, static, f)
+                else:
+                    pos_comp, vjp_fn = jax.vjp(
+                        lambda p: apply_vsites(spec, static, p), positions)
+                    spread = lambda f: vjp_fn(f)[0]
+                f = nb_fn.sweep_forces(nb_params, pos_comp, box_diag,
+                                       neighbors)
                 if recip_f is not None:
-                    f_analytic = f_analytic + recip_f(nb_params, pos_comp,
-                                                      box_diag, neighbors)
-                grad = jax.grad(potential_rest)(positions, box, neighbors,
-                                                pos_err)
-                return vjp_fn(f_analytic)[0] - grad
+                    f = f + recip_f(nb_params, pos_comp, box_diag, neighbors)
+                f = f - jax.grad(rest_energy_composed)(pos_comp, box,
+                                                       neighbors, pos_err)
+                return spread(f)
 
             self._forces_only = forces_only
         self._step_fns: Dict[int, callable] = {}

@@ -16,6 +16,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def spread_vsite_forces(spec, static, forces):
+    """J^T of apply_vsites as pure gathers (scatter-free).
+
+    Exact for systems whose vsites are ALL 2/3-particle averages (the
+    Jacobian is a constant sparse matrix captured in spec.vs_spread_src /
+    vs_spread_w at spec build); callers must fall back to jax.vjp when the
+    tables are None (OOP / LocalCoordinates sites).  Matches the autodiff
+    spread to roundoff (tests/test_vsite_spread.py); rows of massless
+    average sites come out exactly zero — their force has been moved to
+    the parents, the W^T F spreading OpenMM hand-codes."""
+    src = spec.vs_spread_src
+    w = spec.vs_spread_w
+    out = w[:, 0, None] * forces[src[:, 0]]
+    for k in range(1, src.shape[1]):
+        out = out + w[:, k, None] * forces[src[:, k]]
+    return out
+
+
 def apply_vsites(spec, static, positions):
     if static.n_vsites_avg:
         p = positions[spec.vs_avg_p]             # (Va, 3, 3)

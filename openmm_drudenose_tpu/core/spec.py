@@ -118,6 +118,15 @@ class SystemSpec(NamedTuple):
     # barostat
     baro_pressure: jax.Array   # scalar, kJ/mol/nm^3
     baro_kt: jax.Array         # scalar, kB * T_baro
+    # scatter-free J^T spread of vsite forces (constraints/vsites.py
+    # spread_vsite_forces): row j lists the force rows feeding atom j —
+    # itself with weight 1 (absent when j IS an average site: its raw
+    # position never reaches the potential) plus (site, weight) for every
+    # average site j parents.  Built only when ALL vsites are 2/3-particle
+    # averages (constant Jacobian); None otherwise (OOP/LC Jacobians are
+    # position-dependent — those systems keep the autodiff spread).
+    vs_spread_src: jax.Array = None   # (N, R) int32, pad 0
+    vs_spread_w: jax.Array = None     # (N, R), pad 0.0
 
 
 def _find_drude_force(system):
@@ -342,6 +351,27 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         lc_yw[row, :k] = vs.y_weights
         lc_local[row] = vs.local_position
 
+    # ---- J^T spread tables (average-only vsite systems) -------------------
+    spread_src = spread_w = None
+    if avg_idx and not oop_idx and not lc:
+        refs = [[] for _ in range(n)]
+        is_avg = np.zeros(n, bool)
+        is_avg[avg_idx] = True
+        for row, site in enumerate(avg_idx):
+            for k in range(3):
+                if avg_w[row][k] != 0.0:
+                    refs[avg_p[row][k]].append((site, avg_w[row][k]))
+        for j in range(n):
+            if not is_avg[j]:
+                refs[j].insert(0, (j, 1.0))
+        r_max = max(len(r_) for r_ in refs)
+        spread_src = np.zeros((n, r_max), np.int32)
+        spread_w = np.zeros((n, r_max), np.float64)
+        for j, r_ in enumerate(refs):
+            for k, (s_, w_) in enumerate(r_):
+                spread_src[j, k] = s_
+                spread_w[j, k] = w_
+
     # ---- uniform molecule-major layout detection --------------------------
     # When every residue is K consecutive atoms and the within-block partner
     # offset pattern is identical across residues (true for homogeneous
@@ -420,5 +450,9 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         vs_lc_local=jnp.asarray(lc_local, r),
         baro_pressure=jnp.asarray(baro_pressure, a),
         baro_kt=jnp.asarray(BOLTZ * baro_temp, a),
+        vs_spread_src=(jnp.asarray(spread_src) if spread_src is not None
+                       else None),
+        vs_spread_w=(jnp.asarray(spread_w, r) if spread_w is not None
+                     else None),
     )
     return spec, static, init_edd
