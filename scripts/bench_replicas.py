@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""64-replica vmap ensemble throughput on the current device — the
+single-chip half of BASELINE.md's scale-out row ("64-replica vmap
+ensemble" / BASELINE.json config 5).
+
+Runs N independent SWM4-NDP water replicas (~4k atoms each, PME +
+cellpair, TGNH, hard wall — BASELINE.json config 2's system) as one
+vmapped multi-step with per-replica in-scan neighbor rebuilds, and
+reports per-replica step time and AGGREGATE ensemble ns/day.
+"""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--replicas", type=int, default=64)
+    p.add_argument("--molecules", type=int, default=800)  # 4k atoms
+    p.add_argument("--steps", type=int, default=128)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import openmm_drudenose_tpu as dn
+    from openmm_drudenose_tpu.io import builders
+    from openmm_drudenose_tpu.parallel.ensemble import ReplicaEnsemble
+
+    system, positions = builders.build_water_box(args.molecules)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
+    ctx.setPositions(positions)
+    # settle the lattice start per replica before timing
+    ctx.setVelocitiesToTemperature(300.0, seed=0)
+    integ.step(500)
+
+    n_atoms = args.molecules * 5
+    ens = ReplicaEnsemble(ctx, n_replicas=args.replicas, seed=7)
+    ens.setVelocitiesToTemperature(300.0, seed=3)
+
+    ens.step(args.steps)           # compile + settle divergent replicas
+    ke = np.asarray(ens.kinetic_energies())
+    assert np.all(np.isfinite(ke)), "non-finite replica KE"
+
+    best = 0.0
+    for _ in range(args.repeats):
+        t0 = time.time()
+        ens.step(args.steps)
+        jax.block_until_ready(ens.state.positions)
+        best = max(best, args.steps / (time.time() - t0))
+    ke = np.asarray(ens.kinetic_energies())
+    assert np.all(np.isfinite(ke)), "non-finite replica KE after timing"
+
+    ns_day_each = best * 1e-3 * 1e-3 * 86400.0     # 1 fs steps
+    print(f"{args.replicas} replicas x {n_atoms} atoms "
+          f"({args.replicas * n_atoms} total):")
+    print(f"  ensemble step rate : {best:8.1f} steps/s "
+          f"({1e3 / best:.2f} ms/step)")
+    print(f"  per-replica        : {ns_day_each:8.3f} ns/day")
+    print(f"  AGGREGATE          : {ns_day_each * args.replicas:8.2f} "
+          f"ns/day across the ensemble")
+
+
+if __name__ == "__main__":
+    main()
