@@ -90,7 +90,8 @@ def _make_pair_g(method, cutoff, alpha=0.0, krf=0.0, crf=0.0):
 def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                        method, alpha=0.0, krf=0.0, crf=0.0,
                        coulomb_scale=None, interpret=False,
-                       debug_outputs=False, excl_skip=True):
+                       debug_outputs=False, excl_skip=True,
+                       debug_lmax_clamp=None):
     """forces (N, 3) for the direct-space sum — Pallas half-stencil sweep.
 
     Same physics as forces/cellpair._sweep_regular with with_energy=False
@@ -178,6 +179,11 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     occ = jnp.sum((cellsort.slot_atom < n).reshape(n_cells, C),
                   axis=1).reshape(gx, n_yz)
     lay_max = jnp.max(occ, axis=1).astype(jnp.int32)         # (gx,)
+    if debug_lmax_clamp is not None:
+        # probe-only: cap the b-slot loop bound without changing the tile
+        # height, isolating which dimension the sweep cost scales with
+        # (scripts/probe_split.py) — NOT physics-safe
+        lay_max = jnp.minimum(lay_max, jnp.int32(debug_lmax_clamp))
 
     def kernel(lay_ref, lmax_ref, hvec_ref,
                x_ref, y_ref, z_ref, q_ref, sig_ref, seps_ref, gid_ref,
