@@ -267,6 +267,62 @@ class NonbondedForce:
 
         has_exceptions = n_active_exc > 0 or (
             len(self._exceptions) > 0 and method in (self.Ewald, self.PME))
+
+        # exceptions + Ewald exclusion corrections as scatter-free
+        # custom-vjp pair-list terms (forces/pairterms.py), shared by the
+        # dense and cellpair strategies.  Uniform molecule-major layouts
+        # (same detection as core/spec.py) use the lane-shift variant: all
+        # rows are intra-block, so each distinct |j - i| evaluates as one
+        # elementwise pass with rolls instead of pair + incidence gathers.
+        exc_term = corr_term = None
+        if strategy in ("dense", "cellpair"):
+            from . import pairterms
+            uniform_k = 0
+            try:
+                from ..core import topology
+                resid_u = np.asarray(topology.molecule_ids(system))
+                n_res_u = int(resid_u.max()) + 1 if len(resid_u) else 0
+                if n_res_u and n % n_res_u == 0:
+                    K_u = n // n_res_u
+                    if np.array_equal(resid_u, np.arange(n) // K_u):
+                        uniform_k = K_u
+            except Exception:
+                uniform_k = 0
+
+            def shifted(i_rows, j_rows):
+                return (uniform_k and pairterms.uniform_pair_shifts(
+                    n, uniform_k, i_rows, j_rows) is not None)
+
+            if n_active_exc:
+                if shifted(exc_i[act], exc_j[act]):
+                    exc_term = pairterms.make_uniform_pair_term(
+                        n, uniform_k, exc_i[act], exc_j[act],
+                        {"qq": ONE_4PI_EPS0 * exc_qq[act],
+                         "sigma": exc_sigma[act], "eps": exc_eps[act]},
+                        lambda qq, sigma, eps: pairterms.exception_eg(
+                            jnp.asarray(qq, dtype), jnp.asarray(sigma, dtype),
+                            jnp.asarray(eps, dtype)),
+                        periodic=periodic)
+                else:
+                    exc_term = pairterms.make_pair_list_term(
+                        n, exc_i[act], exc_j[act], pairterms.exception_eg(
+                            jnp.asarray(ONE_4PI_EPS0 * exc_qq[act], dtype),
+                            jnp.asarray(exc_sigma[act], dtype),
+                            jnp.asarray(exc_eps[act], dtype)),
+                        periodic=periodic)
+            if len(self._exceptions) and method in (self.Ewald, self.PME):
+                qq_full = ONE_4PI_EPS0 * charge[exc_i] * charge[exc_j]
+                if shifted(exc_i, exc_j):
+                    corr_term = pairterms.make_uniform_pair_term(
+                        n, uniform_k, exc_i, exc_j, {"qq": qq_full},
+                        lambda qq: pairterms.ewald_correction_eg(
+                            jnp.asarray(qq, dtype), pme.alpha),
+                        periodic=periodic)
+                else:
+                    corr_term = pairterms.make_pair_list_term(
+                        n, exc_i, exc_j, pairterms.ewald_correction_eg(
+                            jnp.asarray(qq_full, dtype), pme.alpha),
+                        periodic=periodic)
         disp = None
         if self._use_dispersion_correction and periodic and use_cutoff \
                 and method != self.NoCutoff:
@@ -333,35 +389,63 @@ class NonbondedForce:
             return etot
 
         if strategy == "dense":
-            def energy(params, positions, box):
-                box_diag = jnp.diagonal(box)
+            # analytic all-pairs sweep (forces/dense.py): row-block scan
+            # over the full (N, N) matrix, custom-vjp forces, force-only
+            # fast path — no neighbor structure, so Context.step is a
+            # single scanned device program
+            from . import cellpair as cp
+            from . import dense as dense_mod
+            nb_kwargs = nb_kwargs or {}
+            if method in (self.Ewald, self.PME):
+                pair_eg = cp.make_pair_eg("ewald", cutoff, alpha=pme.alpha,
+                                          use_switch=use_switch,
+                                          r_switch=r_switch,
+                                          excl_in_sweep=False)
+            elif method in (self.CutoffPeriodic, self.CutoffNonPeriodic):
+                pair_eg = cp.make_pair_eg("rf", cutoff, krf=krf, crf=crf,
+                                          use_switch=use_switch,
+                                          r_switch=r_switch)
+            else:
+                pair_eg = cp.make_pair_eg("none", 1.0)
+            sweep_energy, sweep_f = dense_mod.make_custom_energy(
+                pair_eg, ONE_4PI_EPS0, params["pair_mask"],
+                cutoff if use_cutoff else 1.0, periodic, use_cutoff,
+                block_rows=int(nb_kwargs.get("block_rows", 512)))
 
-                # per-component (N, N) distances (avoid a trailing xyz axis)
-                def dist2_comp(c):
-                    p = positions[:, c]
-                    d = p[:, None] - p[None, :]
-                    if periodic:
-                        b = box_diag[c]
-                        d = d - b * jnp.round(d / b)
-                    return d * d
-                r2 = dist2_comp(0) + dist2_comp(1) + dist2_comp(2)
-                q = params["charge"]
-                qq = ONE_4PI_EPS0 * q[:, None] * q[None, :]
-                sig = 0.5 * (params["sigma"][:, None] + params["sigma"][None, :])
-                ep = jnp.sqrt(params["eps"][:, None] * params["eps"][None, :])
-                valid = params["pair_mask"]
-                e = 0.5 * jnp.sum(pair_energy(qq, sig, ep, r2, valid))
+            def rest_energy(params, positions, box, neighbors=None):
+                """Everything except the direct-space sweep: the force-only
+                step evaluates the sweep's analytic forces separately and
+                autodiffs only this part."""
+                box_diag = jnp.diagonal(box)
+                e = jnp.zeros((), positions.dtype)
+                if exc_term is not None:
+                    e = e + exc_term(positions, box_diag)
+                if corr_term is not None:
+                    e = e + corr_term(positions, box_diag)
                 for t in override_terms:
                     e = e + t(positions, box_diag)
-                if has_exceptions:
-                    e = e + exceptions_energy(params, positions, box_diag)
                 if method in (self.Ewald, self.PME):
                     e = e + params["pme_self"]
-                    e = e + pme.reciprocal_energy(params["charge"], positions, box_diag)
+                    e = e + pme.reciprocal_energy(params["charge"],
+                                                  positions, box_diag)
                 if disp is not None:
                     vol = box_diag[0] * box_diag[1] * box_diag[2]
                     e = e + disp / vol
                 return e
+
+            def energy(params, positions, box):
+                box_diag = jnp.diagonal(box)
+                return (sweep_energy(params, positions, box_diag)
+                        + rest_energy(params, positions, box))
+
+            def sweep_forces(params, positions, box_diag, neighbors=None):
+                return sweep_f(params, positions, box_diag)
+
+            energy.rest_energy = rest_energy
+            energy.sweep_forces = sweep_forces
+            energy.recip_forces = None
+            energy.pme_setup = (pme if method in (self.Ewald, self.PME)
+                                else None)
         elif strategy == "cellpair":
             # dense cell-pair block sweep (forces/cellpair.py): spatially
             # sorted atoms, fused block math, analytic in-block forces
@@ -414,62 +498,6 @@ class NonbondedForce:
                 raise ValueError("cellpair strategy requires a cutoff method")
             pair_term = cp.make_custom_energy(cp_cfg, pair_eg, ONE_4PI_EPS0,
                                               impl=impl)
-
-            # exceptions + Ewald exclusion corrections as scatter-free
-            # custom-vjp pair-list terms (forces/pairterms.py).  Uniform
-            # molecule-major layouts (same detection as core/spec.py) use
-            # the lane-shift variant: all rows are intra-block, so each
-            # distinct |j - i| evaluates as one elementwise pass with
-            # rolls instead of pair + incidence gathers.
-            from . import pairterms
-            uniform_k = 0
-            try:
-                from ..core import topology
-                resid_u = np.asarray(topology.molecule_ids(system))
-                n_res_u = int(resid_u.max()) + 1 if len(resid_u) else 0
-                if n_res_u and n % n_res_u == 0:
-                    K_u = n // n_res_u
-                    if np.array_equal(resid_u, np.arange(n) // K_u):
-                        uniform_k = K_u
-            except Exception:
-                uniform_k = 0
-
-            def shifted(i_rows, j_rows):
-                return (uniform_k and pairterms.uniform_pair_shifts(
-                    n, uniform_k, i_rows, j_rows) is not None)
-
-            exc_term = None
-            if n_active_exc:
-                if shifted(exc_i[act], exc_j[act]):
-                    exc_term = pairterms.make_uniform_pair_term(
-                        n, uniform_k, exc_i[act], exc_j[act],
-                        {"qq": ONE_4PI_EPS0 * exc_qq[act],
-                         "sigma": exc_sigma[act], "eps": exc_eps[act]},
-                        lambda qq, sigma, eps: pairterms.exception_eg(
-                            jnp.asarray(qq, dtype), jnp.asarray(sigma, dtype),
-                            jnp.asarray(eps, dtype)),
-                        periodic=periodic)
-                else:
-                    exc_term = pairterms.make_pair_list_term(
-                        n, exc_i[act], exc_j[act], pairterms.exception_eg(
-                            jnp.asarray(ONE_4PI_EPS0 * exc_qq[act], dtype),
-                            jnp.asarray(exc_sigma[act], dtype),
-                            jnp.asarray(exc_eps[act], dtype)),
-                        periodic=periodic)
-            corr_term = None
-            if len(self._exceptions) and method in (self.Ewald, self.PME):
-                qq_full = ONE_4PI_EPS0 * charge[exc_i] * charge[exc_j]
-                if shifted(exc_i, exc_j):
-                    corr_term = pairterms.make_uniform_pair_term(
-                        n, uniform_k, exc_i, exc_j, {"qq": qq_full},
-                        lambda qq: pairterms.ewald_correction_eg(
-                            jnp.asarray(qq, dtype), pme.alpha),
-                        periodic=periodic)
-                else:
-                    corr_term = pairterms.make_pair_list_term(
-                        n, exc_i, exc_j, pairterms.ewald_correction_eg(
-                            jnp.asarray(qq_full, dtype), pme.alpha),
-                        periodic=periodic)
 
             def extras_energy(params, positions, box):
                 """Everything but the sweep and the PME reciprocal sum:

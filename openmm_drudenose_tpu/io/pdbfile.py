@@ -85,6 +85,21 @@ class PDBFile:
     def getPositions(self, asNumpy: bool = True):
         return self.positions
 
+    @staticmethod
+    def writeFile(topology, positions, file, box_nm=None) -> None:
+        """OpenMM-parity writer (PDBFile.writeFile(topology, positions,
+        open(path, 'w')) — the reference example's output call,
+        example/nacl_tg.py:79,98).  `file` may be an open handle or a
+        path; positions in nm."""
+        box = box_nm if box_nm is not None else getattr(topology, "box", None)
+        if box is not None:
+            box = np.diagonal(box) if np.ndim(box) == 2 else box
+        if hasattr(file, "write"):
+            write_model(file, positions, topology, model=1, box_nm=box)
+        else:
+            with open(file, "w") as f:
+                write_model(f, positions, topology, model=1, box_nm=box)
+
 
 def write_model(f, positions_nm: np.ndarray, topology: Optional[PDBTopology],
                 model: int = 1, box_nm=None) -> None:

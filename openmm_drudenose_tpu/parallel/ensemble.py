@@ -105,6 +105,11 @@ class ReplicaEnsemble:
             self.state = shard_ensemble(mesh, self.state)
         self._step_fns = {}
         self._nbl_fn = None
+        self._rebuild_fn = None
+        self._jit_potential = None
+        self._pe_stale = False
+        self._hardwall_warned = False
+        self._drift_warned = False
 
     def setVelocitiesToTemperature(self, temperature: float, seed: int = 0):
         from ..units import BOLTZ
@@ -120,7 +125,8 @@ class ReplicaEnsemble:
         fn = self._step_fns.get(inner)
         if fn is None:
             multi = tgnh.make_multi_step(self._static,
-                                         self._ctx._energy_and_forces, inner)
+                                         self._ctx._energy_and_forces, inner,
+                                         forces_fn=self._ctx._forces_only)
             vstep = jax.vmap(lambda st: multi(self._spec, st))
             if self._mesh is not None:
                 sh = state_sharding(self._mesh, self.state)
@@ -130,10 +136,59 @@ class ReplicaEnsemble:
             self._step_fns[inner] = fn
         return fn
 
+    def _get_rebuild(self):
+        """Jitted vmapped state -> state neighbor refresh with latched
+        flags (overflow / full-skin drift / excluded-pair span), dispatched
+        between interval scans with NO readback — the same host-pipelined
+        [rebuild] -> [scan] pattern as Context.step (async dispatch hides
+        the ~30 ms/call host latency as long as nothing synchronizes)."""
+        if self._rebuild_fn is None:
+            ctx = self._ctx
+            skin = (ctx._cp_cfg.skin if ctx._cp_cfg is not None
+                    else getattr(ctx._nbl_cfg, "skin", None))
+            rebuild = tgnh._make_neighbor_rebuild(ctx._neighbor_fn, skin)
+            self._rebuild_fn = jax.jit(jax.vmap(rebuild))
+        return self._rebuild_fn
+
+    def _grow_capacity(self) -> None:
+        """Grow the shared neighbor-structure capacity from the measured
+        max cell occupancy across ALL replicas (mirrors
+        Context._grow_pair_capacity; +8 floor guarantees progress)."""
+        ctx = self._ctx
+        if ctx._cp_cfg is not None:
+            cfg = ctx._cp_cfg
+            pos = np.asarray(self.state.positions, np.float64)   # (R, N, 3)
+            boxd = np.stack([np.diagonal(b) for b in
+                             np.asarray(self.state.box, np.float64)])
+            grid = np.asarray(cfg.grid)
+            frac = pos / boxd[:, None, :]
+            frac = frac - np.floor(frac)
+            cell = np.minimum((frac * grid).astype(np.int64), grid - 1)
+            flat = ((cell[..., 0] * grid[1] + cell[..., 1]) * grid[2]
+                    + cell[..., 2])
+            flat = flat + np.arange(pos.shape[0])[:, None] * cfg.n_cells
+            occ_max = int(np.bincount(
+                flat.ravel(), minlength=pos.shape[0] * cfg.n_cells).max())
+            new_cap = max(-(-int(occ_max * 1.1 + 2) // 8) * 8,
+                          cfg.capacity + 8)
+            ctx._nb_kwargs["capacity"] = min(new_cap, self._static.n_atoms)
+            ctx._build_potential()
+        else:
+            from ..forces import neighborlist
+            ctx._nbl_cfg = neighborlist.grow(ctx._nbl_cfg,
+                                             self._static.n_atoms)
+            ctx._rebind_neighbor_fn()
+        self._nbl_fn = None
+        self._rebuild_fn = None
+        self._jit_potential = None
+        self._step_fns.clear()
+
     def _rebuild_neighbors(self) -> None:
-        """Per-replica neighbor rebuild (vmapped cellsort / cell list),
-        growing the shared capacity when any replica overflows — same
-        escape hatch as Context._ensure_neighbors."""
+        """Cold per-replica neighbor rebuild (vmapped cellsort / cell
+        list), growing the shared capacity when any replica overflows —
+        same escape hatch as Context._ensure_neighbors.  Used at step()
+        entry and after a chunk retry; steady-state rebuilds go through
+        the readback-free _get_rebuild path instead."""
         ctx = self._ctx
         for _ in range(8):
             if self._nbl_fn is None:
@@ -141,18 +196,7 @@ class ReplicaEnsemble:
             nbl = self._nbl_fn(self.state.positions, self.state.box)
             if not bool(jnp.any(nbl.overflow)):
                 break
-            if ctx._cp_cfg is not None:
-                from ..forces import cellpair
-                ctx._nb_kwargs["capacity"] = cellpair.grow(
-                    ctx._cp_cfg, self._static.n_atoms).capacity
-            else:
-                from ..forces import neighborlist
-                ctx._nbl_cfg = neighborlist.grow(ctx._nbl_cfg,
-                                                 self._static.n_atoms)
-                ctx._rebind_neighbor_fn()
-            ctx._build_potential()
-            self._nbl_fn = None
-            self._step_fns.clear()
+            self._grow_capacity()
         else:
             raise RuntimeError("replica neighbor structure capacity still "
                                "overflowing after growth")
@@ -162,18 +206,85 @@ class ReplicaEnsemble:
         if self._ctx._neighbor_fn is None:
             self.state = self._get_step(int(steps))(self.state)
             return
-        # chunked: rebuild per-replica neighbors every rebuild_interval
-        # steps on the host boundary, scan rebuild-free steps in between
-        # (a lax.cond rebuild would degrade to a select under vmap and
+        # host-pipelined [vmapped rebuild] -> [interval-step scan] pairs
+        # with no readbacks; latched overflow checked once per
+        # 8*interval-step chunk, chunk re-run from the saved state after
+        # capacity growth (exactly Context.step's pattern — an in-scan
+        # lax.cond rebuild would degrade to a select under vmap and
         # rebuild every step)
         interval = self._ctx._rebuild_interval
+        chunk = 8 * interval
         remaining = int(steps)
         while remaining > 0:
-            k = min(interval, remaining)
-            self.state = self.state._replace(neighbors=None)
-            self._rebuild_neighbors()
-            self.state = self._get_step(k)(self.state)
-            remaining -= k
+            k_chunk = min(chunk, remaining)
+            if self.state.neighbors is None:
+                self._rebuild_neighbors()
+            saved = self.state
+            for _ in range(8):
+                st = saved
+                rebuild = self._get_rebuild()
+                r = k_chunk
+                while r > 0:
+                    k = min(interval, r)
+                    st = rebuild(st)
+                    st = self._get_step(k)(st)
+                    r -= k
+                if bool(jnp.any(st.neighbors.overflow)):
+                    # slots were dropped from the overflowing rebuild
+                    # onward — every step since is invalid
+                    self.state = saved._replace(neighbors=None)
+                    self._grow_capacity()
+                    self._rebuild_neighbors()
+                    saved = self.state
+                    continue
+                self.state = st
+                break
+            else:
+                raise RuntimeError("replica neighbor structure capacity "
+                                   "still overflowing after growth")
+            remaining -= k_chunk
+        self._check_flags()
+
+    def _check_flags(self) -> None:
+        """One host readback per step() call: surface the device-latched
+        per-replica guard flags (hard-wall runaway, full-skin drift,
+        excluded-pair cell span) with Context's semantics."""
+        import warnings
+        hw = self.state.hardwall_runaway
+        if hw is not None and bool(jnp.any(hw)):
+            if self._ctx._hardwall_strict:
+                raise RuntimeError(
+                    "a replica's Drude particle moved too far beyond the "
+                    "hard wall constraint (displacement exceeded 2x "
+                    "maxDrudeDistance); the ensemble has likely become "
+                    "unstable — reduce the step size")
+            if not self._hardwall_warned:
+                self._hardwall_warned = True
+                warnings.warn(
+                    "a Drude particle transiently moved >2x past the hard "
+                    "wall in at least one replica (bounced back; "
+                    "hardwall_strict=True raises instead)",
+                    RuntimeWarning, stacklevel=3)
+        nbl = self.state.neighbors
+        if nbl is None:
+            return
+        drift = getattr(nbl, "drift_exceeded", None)
+        if (drift is not None and not self._drift_warned
+                and bool(jnp.any(drift))):
+            self._drift_warned = True
+            warnings.warn(
+                "an atom moved further than the neighbor skin between "
+                "rebuilds in at least one replica — pair interactions may "
+                "have been missed; reduce the step size or the rebuild "
+                "interval", RuntimeWarning, stacklevel=3)
+        span = getattr(nbl, "excl_span_exceeded", None)
+        if span is not None and bool(jnp.any(span)):
+            raise RuntimeError(
+                "an excluded pair stretched across >= 2 cells mid-run in "
+                "at least one replica while the Pallas far-offset "
+                "exclusion skip was active — recent forces double-counted "
+                "it (pass nb_options={'pallas_excl_skip': False} if the "
+                "geometry is intentional)")
 
     def step(self, steps: int) -> None:
         if self._mesh is not None:
@@ -181,11 +292,29 @@ class ReplicaEnsemble:
                 self._step_inner(steps)
         else:
             self._step_inner(steps)
+        if self._ctx._forces_only is not None:
+            self._pe_stale = True
 
     def kinetic_energies(self):
         return np.asarray(self.state.ke_sum)
 
     def potential_energies(self):
+        """Per-replica potential energies, recomputed on demand when the
+        force-only step path left state.potential_energy stale (same
+        semantics as Context._ensure_pe)."""
+        if self._pe_stale:
+            if (self.state.neighbors is None
+                    and self._ctx._neighbor_fn is not None):
+                self._rebuild_neighbors()
+            if self._jit_potential is None:
+                self._jit_potential = jax.jit(jax.vmap(
+                    lambda p, b, nb, pe: self._ctx._potential(p, b, nb, pe)))
+            pe = self._jit_potential(self.state.positions, self.state.box,
+                                     self.state.neighbors,
+                                     self.state.pos_err)
+            self.state = self.state._replace(
+                potential_energy=pe.astype(self.state.eta.dtype))
+            self._pe_stale = False
         return np.asarray(self.state.potential_energy)
 
     def positions(self):

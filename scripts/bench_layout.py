@@ -7,6 +7,9 @@ both layouts, inside a lax.scan to amortize dispatch.  Decides the SimState
 layout (core/state.py)."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")

@@ -11,8 +11,10 @@ reports per-replica step time and AGGREGATE ensemble ns/day.
 
 import argparse
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import numpy as np
@@ -24,6 +26,9 @@ def main():
     p.add_argument("--molecules", type=int, default=800)  # 4k atoms
     p.add_argument("--steps", type=int, default=128)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--strategy", default="auto",
+                   help="nonbonded strategy (auto resolves to the dense "
+                        "all-pairs sweep at <= 4096 atoms)")
     args = p.parse_args()
 
     import jax
@@ -34,7 +39,8 @@ def main():
     system, positions = builders.build_water_box(args.molecules)
     integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
     integ.setMaxDrudeDistance(0.02)
-    ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
+    ctx = dn.Context(system, integ, precision="single",
+                     strategy=args.strategy)
     ctx.setPositions(positions)
     # settle the lattice start per replica before timing
     ctx.setVelocitiesToTemperature(300.0, seed=0)

@@ -5,6 +5,9 @@ full multi-step) to size the replica lane-fold win before building it.
 Run on the real TPU."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")

@@ -8,6 +8,9 @@ pair.  Here each partner costs ONE gather of a packed (N, 8) row
 the split design nets ~+4-5 ms at C0=32.  Run on the real TPU."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")

@@ -1,6 +1,9 @@
 """Smoke: single Drude pair, TGNH dual bath — quick version of the
 reference testSinglePair (Test*DrudeTGNHIntegrator.cpp:54-109)."""
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax
 jax.config.update("jax_enable_x64", True)

@@ -127,3 +127,36 @@ def test_replica_ensemble_cellpair():
     integ.step(20)
     np.testing.assert_allclose(ens.positions()[2], ctx.getPositions(),
                                atol=1e-10)
+
+
+def test_replica_ensemble_dense():
+    """Replica ensembles over the dense all-pairs strategy: no neighbor
+    structure, so the whole run is one vmapped scan (the BASELINE config-5
+    small-replica fast path); trajectories must match the Context path and
+    stale potential energies must be recomputed on demand."""
+    system, positions = swm4_water_box(grid_size=2, add_cm_motion=False)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005, 20, 2)
+    integ.setMaxDrudeDistance(0.05)
+    ctx = dn.Context(system, integ, precision="double", strategy="dense")
+    ctx.setPositions(positions)
+    ctx.applyConstraints(1e-6)
+    ctx.setVelocitiesToTemperature(200.0, seed=0)
+    ctx._ensure_forces()
+    assert ctx._neighbor_fn is None           # really the dense path
+    assert ctx._forces_only is not None       # force-only fast path wired
+
+    from openmm_drudenose_tpu.parallel.ensemble import ReplicaEnsemble
+    ens = ReplicaEnsemble(ctx, n_replicas=3, seed=5)
+    ens.setVelocitiesToTemperature(200.0, seed=9)
+    v2 = np.asarray(ens.state.velocities[2]).copy()
+    ens.step(12)
+    pe = ens.potential_energies()             # recomputed (stale after step)
+    assert pe.shape == (3,)
+    assert np.all(np.isfinite(pe))
+
+    ctx.setVelocities(v2)
+    integ.step(12)
+    np.testing.assert_allclose(ens.positions()[2], ctx.getPositions(),
+                               atol=1e-10)
+    st = ctx.getState(energy=True)
+    np.testing.assert_allclose(pe[2], st.getPotentialEnergy(), rtol=1e-10)
