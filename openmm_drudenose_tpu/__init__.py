@@ -33,6 +33,7 @@ from .app.serialization import (serialize_integrator, deserialize_integrator,
                                 save_checkpoint, load_checkpoint)
 from .app.forcefield import ForceField, Modeller
 from .parallel.ensemble import ReplicaEnsemble
+from .parallel.flatrep import FlatReplicaEnsemble
 from .units import BOLTZ, ONE_4PI_EPS0
 
 __version__ = "0.1.0"
@@ -43,7 +44,8 @@ __all__ = [
     "HarmonicAngleForce", "PeriodicTorsionForce", "CMMotionRemover",
     "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",
     "Simulation", "StateDataReporter", "CheckpointReporter", "DCDReporter",
-    "PDBReporter", "ReplicaEnsemble", "ForceField", "Modeller",
+    "PDBReporter", "ReplicaEnsemble", "FlatReplicaEnsemble", "ForceField",
+    "Modeller",
     "serialize_integrator",
     "deserialize_integrator",
     "save_checkpoint", "load_checkpoint", "BOLTZ", "ONE_4PI_EPS0",

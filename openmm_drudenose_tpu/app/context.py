@@ -76,9 +76,15 @@ class Context:
     def __init__(self, system, integrator, precision="single",
                  strategy: str = "auto", seed: int = 0,
                  hardwall_strict: bool = False,
-                 nb_options: dict | None = None):
+                 nb_options: dict | None = None,
+                 ensemble_r: int = 1):
+        # ensemble_r > 1: the system is a flattened replica ensemble
+        # (replica-major atom order) — set by parallel/flatrep.py, which
+        # also passes nb_options={"ensemble": (R, rx, rz)} so the cellpair
+        # grid embeds the replicas; NH baths become per-replica (R, G+2)
         self._system = system
         self._integrator = integrator
+        self._ensemble_r = int(ensemble_r)
         integrator._context = self
         # hardwall_strict=True raises when a Drude moves >2x past the hard
         # wall (the Reference platform's throw,
@@ -92,7 +98,7 @@ class Context:
         r, a = self._prec.real, self._prec.accum
 
         self._spec, self._static, init_edd = spec_mod.build_spec(
-            system, integrator, r, a)
+            system, integrator, r, a, ensemble_r=self._ensemble_r)
 
         self._strategy = strategy
         # nb_options: advanced strategy tuning forwarded to the nonbonded
@@ -107,7 +113,7 @@ class Context:
         box = np.array(system.getDefaultPeriodicBoxVectors(), np.float64)
         from ..core.state import zeros_state
         st = zeros_state(self._static.n_atoms, nb, self._static.n_chains,
-                         box, r, a, seed=seed)
+                         box, r, a, seed=seed, ensemble_r=self._ensemble_r)
         self._state = st._replace(eta_dot_dot=jnp.asarray(init_edd, a))
         self._forces_valid = False
 
@@ -398,12 +404,18 @@ class Context:
             cfg = self._cp_cfg
             pos = np.asarray(self._state.positions, np.float64)
             box = np.diagonal(np.asarray(self._state.box, np.float64))
-            grid = np.asarray(cfg.grid)
+            # embedded replica-ensemble grids bin in the per-replica frame;
+            # occupancy per extended cell == per (replica, local cell)
+            grid = np.asarray(cfg.phys_grid)
             frac = pos / box
             frac = frac - np.floor(frac)
             cell = np.minimum((frac * grid).astype(np.int64), grid - 1)
             flat = ((cell[:, 0] * grid[1] + cell[:, 1]) * grid[2]
                     + cell[:, 2])
+            if cfg.n_replicas > 1:
+                n0 = pos.shape[0] // cfg.n_replicas
+                rep = np.arange(pos.shape[0]) // n0
+                flat = rep * int(np.prod(grid)) + flat
             occ_max = int(np.bincount(flat, minlength=cfg.n_cells).max())
             new_cap = max(-(-int(occ_max * 1.1 + 2) // 8) * 8,
                           cfg.capacity + 8)
@@ -772,7 +784,8 @@ class Context:
             self._ensure_pe()
             kwargs["potential_energy"] = float(self._state.potential_energy)
             if self._ke_valid:
-                ke = float(st.ke_sum)
+                # flattened ensembles cache per-replica sums (E,)
+                ke = float(np.sum(np.asarray(st.ke_sum)))
             else:
                 m = np.asarray(self._spec.mass, np.float64)
                 v = np.asarray(st.velocities, np.float64)
@@ -786,7 +799,7 @@ class Context:
                              0.0)
             # convert NkbT-relative ratio to kelvin via the bath targets
             targets = np.full_like(temps, self._integrator.getTemperature())
-            targets[-1] = self._integrator.getDrudeTemperature()
+            targets[..., -1] = self._integrator.getDrudeTemperature()
             kwargs["group_temperatures"] = temps * targets
         return State(**kwargs)
 
@@ -803,13 +816,15 @@ class Context:
         old = self._state
         r, a = self._prec.real, self._prec.accum
         self._spec, self._static, init_edd = spec_mod.build_spec(
-            self._system, self._integrator, r, a)
+            self._system, self._integrator, r, a,
+            ensemble_r=self._ensemble_r)
         self._build_potential()
         from ..core.state import zeros_state
         box = np.array(self._system.getDefaultPeriodicBoxVectors(),
                        np.float64)
         st = zeros_state(self._static.n_atoms, self._static.n_baths,
-                         self._static.n_chains, box, r, a)
+                         self._static.n_chains, box, r, a,
+                         ensemble_r=self._ensemble_r)
         st = st._replace(eta_dot_dot=jnp.asarray(init_edd, a))
         if preserveState and old.positions.shape == st.positions.shape:
             st = st._replace(positions=old.positions,

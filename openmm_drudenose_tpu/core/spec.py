@@ -64,6 +64,11 @@ class StaticSpec:
     # layouts disable it explicitly because of the dummy tail)
     uniform_k: int = 0
     partner_offsets: tuple = ()
+    # flattened replica ensembles (parallel/flatrep.py): the system is R
+    # identical replicas in replica-major atom order; NH baths become
+    # (R, G+2) with PER-REPLICA constants (nh_nkbt etc. are per replica),
+    # and all KE/CM reductions run per replica
+    ensemble_r: int = 1
 
     @property
     def n_baths(self) -> int:
@@ -174,8 +179,16 @@ def _partition_constraints(system, masses):
     return settle, shake
 
 
-def build_spec(system, integrator, real_dtype, accum_dtype):
-    """Returns (SystemSpec, StaticSpec, init_eta_dot_dot (np))."""
+def build_spec(system, integrator, real_dtype, accum_dtype,
+               ensemble_r: int = 1):
+    """Returns (SystemSpec, StaticSpec, init_eta_dot_dot (np)).
+
+    ensemble_r > 1: the system is a flattened replica ensemble — R
+    identical replicas in replica-major atom order (parallel/flatrep.py).
+    All per-atom bookkeeping is computed on the full (replicated) system;
+    the NH bath constants are reduced to PER-REPLICA values (the DOF
+    accounting is linear in R once the CMMotionRemover's -3 is applied per
+    replica), because the baths themselves become (R, G+2)."""
     n = system.getNumParticles()
     drude_force = _find_drude_force(system)
 
@@ -254,13 +267,29 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         if isinstance(f, CMMotionRemover):
             cm_freq = f.getFrequency()
             if use_com:
-                # reference reduces the COM bath by 3 (CudaDrudeTGNHKernels.cpp:204-212)
-                dof[G] -= 3
+                # reference reduces the COM bath by 3 (CudaDrudeTGNHKernels.cpp:204-212);
+                # a flattened ensemble removes each replica's own CM
+                dof[G] -= 3 * ensemble_r
         elif isinstance(f, MonteCarloBarostat):
             from ..units import BAR_TO_KJ_PER_MOL_NM3
             baro_freq = f.getFrequency()
             baro_pressure = f.getDefaultPressure() * BAR_TO_KJ_PER_MOL_NM3
             baro_temp = f.getDefaultTemperature()
+
+    if ensemble_r > 1:
+        if n % ensemble_r or (n_res and n_res % ensemble_r) \
+                or n_pairs % ensemble_r:
+            raise SpecError("flattened ensemble: atom/residue/pair counts "
+                            "must be divisible by the replica count")
+        if baro_freq:
+            raise SpecError("flattened ensembles do not support a barostat "
+                            "(per-replica boxes would break the shared "
+                            "embedded cell grid)")
+        # per-replica bath constants: identical replicas make the ext
+        # accounting exactly R x the template's (CM -3 handled above)
+        dof = dof / ensemble_r
+        red_mass = red_mass / ensemble_r
+        drude_dof = drude_dof // ensemble_r
 
     # ---- NH chain constants (CudaDrudeTGNHKernels.cpp:214-235) ------------
     M = integrator.getNumNHChains()
@@ -409,6 +438,7 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         constraint_tol=float(integrator.getConstraintTolerance()),
         uniform_k=uniform_k,
         partner_offsets=partner_offsets,
+        ensemble_r=ensemble_r,
     )
 
     r, a = real_dtype, accum_dtype
@@ -455,4 +485,8 @@ def build_spec(system, integrator, real_dtype, accum_dtype):
         vs_spread_w=(jnp.asarray(spread_w, r) if spread_w is not None
                      else None),
     )
+    if ensemble_r > 1:
+        # per-replica NH chain state: (R, G+2, M)
+        init_edd = np.broadcast_to(
+            init_edd, (ensemble_r,) + init_edd.shape).copy()
     return spec, static, init_edd

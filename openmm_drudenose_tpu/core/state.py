@@ -47,18 +47,22 @@ class SimState(NamedTuple):
 
 
 def zeros_state(n_atoms: int, n_groups: int, n_chains: int, box,
-                real_dtype, accum_dtype, seed: int = 0) -> SimState:
+                real_dtype, accum_dtype, seed: int = 0,
+                ensemble_r: int = 1) -> SimState:
+    # flattened replica ensembles carry per-replica NH baths: leading R
+    # axis on the chain state, per-replica ke_sum/group_ke
+    lead = (ensemble_r,) if ensemble_r > 1 else ()
     return SimState(
         positions=jnp.zeros((n_atoms, 3), real_dtype),
         velocities=jnp.zeros((n_atoms, 3), real_dtype),
         forces=jnp.zeros((n_atoms, 3), real_dtype),
         potential_energy=jnp.zeros((), accum_dtype),
         box=jnp.asarray(box, real_dtype),
-        eta=jnp.zeros((n_groups, n_chains), accum_dtype),
-        eta_dot=jnp.zeros((n_groups, n_chains + 1), accum_dtype),
-        eta_dot_dot=jnp.zeros((n_groups, n_chains), accum_dtype),
-        ke_sum=jnp.zeros((), accum_dtype),
-        group_ke=jnp.zeros((n_groups,), accum_dtype),
+        eta=jnp.zeros(lead + (n_groups, n_chains), accum_dtype),
+        eta_dot=jnp.zeros(lead + (n_groups, n_chains + 1), accum_dtype),
+        eta_dot_dot=jnp.zeros(lead + (n_groups, n_chains), accum_dtype),
+        ke_sum=jnp.zeros(lead, accum_dtype),
+        group_ke=jnp.zeros(lead + (n_groups,), accum_dtype),
         step=jnp.zeros((), jnp.int32),
         time=jnp.zeros((), accum_dtype),
         key=jax.random.PRNGKey(seed),

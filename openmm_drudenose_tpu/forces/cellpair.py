@@ -95,6 +95,17 @@ class CellPairConfig:
                              # r_list at plan time; build_cellsort latches
                              # stencil_invalid if a live (NPT) box brings
                              # any of them back within range
+    # flattened replica ensembles (parallel/flatrep.py): R identical
+    # replicas embedded in ONE extended cell grid along x and z —
+    # grid = (rx*gx0, gy0, rz*gz0) — with per-replica wrap periods, so the
+    # sweep's tiles fill the 128-lane axis even when each replica's own
+    # (y, z) plane is tiny.  Atoms are replica-major: atom a belongs to
+    # replica a // (n_atoms / n_replicas), replica r = r_x * rz + r_z.
+    # Stencil wraps stay inside each replica's band by construction, so
+    # replicas never interact.
+    n_replicas: int = 1
+    x_period: int = 0        # per-replica gx (0 = grid[0], no x embedding)
+    z_period: int = 0        # per-replica gz (0 = grid[2], no z embedding)
 
     @property
     def r_list(self) -> float:
@@ -103,6 +114,13 @@ class CellPairConfig:
     @property
     def n_cells(self) -> int:
         return int(np.prod(self.grid))
+
+    @property
+    def phys_grid(self) -> tuple:
+        """The per-replica (physical) grid dimensions: wrap periods for
+        embedded replica ensembles, the plain grid otherwise."""
+        return (self.x_period or self.grid[0], self.grid[1],
+                self.z_period or self.grid[2])
 
 
 def _neighbor_offsets(grid, window) -> np.ndarray:
@@ -198,6 +216,112 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
         window=window)
 
 
+def make_ensemble_config(cutoff: float, box_diag0, n0: int, n_replicas: int,
+                         exc_i, exc_j, rx: int, rz: int,
+                         skin: float = 0.1, rebuild_interval: int = 16,
+                         cells_per_cutoff: int = 2,
+                         density_margin: float = 1.35,
+                         capacity: int | None = None,
+                         allow_half: bool = True) -> CellPairConfig:
+    """Cell-pair config for a FLATTENED replica ensemble: rx*rz identical
+    replicas of an n0-atom system (replica-major atom order, shared box
+    `box_diag0`) embedded in one extended grid (rx*gx0, gy0, rz*gz0) with
+    per-replica wrap periods.  Small replicas then fill the sweep's
+    128-lane tiles — the whole point (a vmapped per-replica sweep at
+    n_yz ~ 25 lanes pads ~5x; see ROADMAP round-3 design notes).
+
+    exc_i/exc_j are the TEMPLATE replica's excluded pairs (the exclusion
+    window and trim geometry are per-replica properties)."""
+    if rx * rz != n_replicas:
+        raise ValueError(f"rx*rz = {rx}*{rz} != n_replicas = {n_replicas}")
+    box_diag0 = np.asarray(box_diag0, np.float64)
+    r_list = cutoff + skin
+    target = r_list / cells_per_cutoff
+    pgrid = tuple(max(int(np.floor(L / target)), 1) for L in box_diag0)
+    cell_size = box_diag0 / np.array(pgrid)
+    window = tuple(int(np.ceil(r_list / cell_size[d])) for d in range(3))
+    if not all(g >= 2 * w + 1 for g, w in zip(pgrid, window)):
+        raise ValueError(
+            f"flattened ensembles need a regular per-replica grid "
+            f"(>= 2w+1 cells per dim); got grid {pgrid}, window {window} — "
+            f"the replica box is too small for the cutoff")
+    if capacity is None:
+        density = n0 / float(np.prod(box_diag0))
+        cap = int(np.ceil(density * np.prod(cell_size) * density_margin)) + 2
+        capacity = max(int(np.ceil(cap / 8)) * 8, 8)
+
+    offsets = _neighbor_offsets(pgrid, window)
+    half = allow_half
+    if half:
+        sel = [o for o in offsets.tolist() if (o[0], o[1], o[2]) > (0, 0, 0)]
+        offsets = np.array([[0, 0, 0]] + sel, np.int32)
+    trimmed = ()
+    gap = np.maximum(np.abs(offsets) - 1, 0) * cell_size[None, :]
+    reach = np.sqrt(np.sum(gap * gap, axis=1))
+    drop = reach > r_list
+    if np.any(drop):
+        trimmed = tuple(map(tuple, np.maximum(
+            np.abs(offsets[drop]) - 1, 0).tolist()))
+        offsets = offsets[~drop]
+
+    # extended-grid neighbor maps: offsets wrap modulo the PER-REPLICA
+    # periods in x and z (y is not embedded), so stencil neighbors stay in
+    # the owning replica's band
+    gx0, gy0, gz0 = pgrid
+    grid = (rx * gx0, gy0, rz * gz0)
+    n_cells = int(np.prod(grid))
+    cz = np.arange(n_cells)
+    ix = cz // (grid[1] * grid[2])
+    iy = (cz // grid[2]) % grid[1]
+    iz = cz % grid[2]
+    bx, lx = ix // gx0, ix % gx0          # x band, local x
+    bz, lz = iz // gz0, iz % gz0
+
+    def flat(jx, jy, jz):
+        return (jx * grid[1] + jy) * grid[2] + jz
+
+    def wrapped(sign):
+        out = np.empty((n_cells, len(offsets)), np.int64)
+        for k, (ox, oy, oz) in enumerate(offsets.tolist()):
+            jx = bx * gx0 + (lx + sign * ox) % gx0
+            jy = (iy + sign * oy) % gy0
+            jz = bz * gz0 + (lz + sign * oz) % gz0
+            out[:, k] = flat(jx, jy, jz)
+        return out
+
+    nbr = wrapped(+1)
+    inv = wrapped(-1)
+
+    exc_i = np.asarray(exc_i, np.int64)
+    exc_j = np.asarray(exc_j, np.int64)
+    W = int(np.abs(exc_i - exc_j).max()) if len(exc_i) else 0
+    n_words = max((2 * W + 1 + 30) // 31, 1)
+
+    return CellPairConfig(
+        cutoff=float(cutoff), skin=float(skin), grid=grid,
+        capacity=int(capacity),
+        nbr_map=(tuple(nbr.reshape(-1).tolist()), nbr.shape),
+        n_offsets=len(offsets), rebuild_interval=int(rebuild_interval),
+        excl_window=W, excl_words=n_words, half_stencil=half,
+        inv_map=(tuple(inv.reshape(-1).tolist()), inv.shape),
+        offsets=tuple(map(tuple, offsets.tolist())), regular=True,
+        window=window, trimmed=trimmed,
+        n_replicas=int(n_replicas), x_period=gx0, z_period=gz0)
+
+
+def _local_c3(cfg: CellPairConfig) -> np.ndarray:
+    """(n_cells, 3) per-replica-LOCAL cell indices (float64): the sweep's
+    cell centers are local to each replica's own box frame, so embedded
+    ensemble grids reduce the extended index modulo the wrap periods."""
+    grid = cfg.grid
+    px, py, pz = cfg.phys_grid
+    cz = np.arange(int(np.prod(grid)))
+    ix = (cz // (grid[1] * grid[2])) % px
+    iy = (cz // grid[2]) % py
+    iz = cz % pz
+    return np.stack([ix, iy, iz], axis=1).astype(np.float64)
+
+
 def _shift_table(cfg: CellPairConfig) -> np.ndarray:
     """(n_off, 3, n_cells) int8 periodic-image shift of each offset's
     neighbor cell relative to the row cell: +1 when the stencil wraps the
@@ -239,7 +363,8 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
     periodic min-imaging of the cell delta) — the exact soundness condition
     for the Pallas sweep's far-offset exclusion-test skip."""
     n = positions.shape[0]
-    grid = jnp.asarray(cfg.grid, jnp.int32)
+    pgrid_t = cfg.phys_grid
+    grid = jnp.asarray(pgrid_t, jnp.int32)
     n_cells = cfg.n_cells
     C = cfg.capacity
 
@@ -248,12 +373,12 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
     # this silently — latch a flag so the Context replans the grid
     if cfg.window is not None:
         wcell = (jnp.asarray(cfg.window, positions.dtype)
-                 * box_diag / jnp.asarray(cfg.grid, positions.dtype))
+                 * box_diag / jnp.asarray(pgrid_t, positions.dtype))
         stencil_invalid = jnp.any(wcell < cfg.r_list)
         if cfg.trimmed:
             # a shrinking NPT box can bring a trimmed far-corner offset
             # back within r_list reach even while the window still covers
-            h_live = box_diag / jnp.asarray(cfg.grid, positions.dtype)
+            h_live = box_diag / jnp.asarray(pgrid_t, positions.dtype)
             gap = jnp.asarray(cfg.trimmed, positions.dtype) * h_live
             reach2 = jnp.sum(gap * gap, axis=1)
             stencil_invalid = stencil_invalid | jnp.any(
@@ -261,17 +386,31 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
     else:
         stencil_invalid = jnp.zeros((), jnp.bool_)
 
+    # bin in the PER-REPLICA box frame; embedded ensembles then shift each
+    # atom's (x, z) cell indices into its replica's band of the extended
+    # grid (replica-major atoms: replica = index // n0, r = r_x*rz + r_z)
     image = jnp.floor(positions / box_diag)
     frac = positions / box_diag - image
     cell3 = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
-    flat = (cell3[:, 0] * cfg.grid[1] + cell3[:, 1]) * cfg.grid[2] + cell3[:, 2]
+    if cfg.n_replicas > 1:
+        n0 = n // cfg.n_replicas
+        rz_count = cfg.grid[2] // cfg.z_period
+        rep = np.arange(n, dtype=np.int32) // n0
+        band_x = jnp.asarray((rep // rz_count) * cfg.x_period)
+        band_z = jnp.asarray((rep % rz_count) * cfg.z_period)
+        flat = (((cell3[:, 0] + band_x) * cfg.grid[1] + cell3[:, 1])
+                * cfg.grid[2] + cell3[:, 2] + band_z)
+    else:
+        flat = ((cell3[:, 0] * cfg.grid[1] + cell3[:, 1]) * cfg.grid[2]
+                + cell3[:, 2])
 
     excl_span = None
     if excl_ij is not None and len(excl_ij[0]):
         ei = jnp.asarray(np.asarray(excl_ij[0], np.int32))
         ej = jnp.asarray(np.asarray(excl_ij[1], np.int32))
         d3 = cell3[ei] - cell3[ej]
-        # periodic min-image of the integer cell delta
+        # periodic min-image of the integer cell delta (per-replica grid;
+        # excluded pairs never cross replicas)
         d3 = jnp.mod(d3 + grid // 2, grid) - grid // 2
         excl_span = jnp.any(jnp.max(jnp.abs(d3), axis=1) >= 2)
 
@@ -435,7 +574,6 @@ def _sweep_regular(params, positions, box_diag, cellsort,
     their mixed-axis reductions from the VPU entirely."""
     n = positions.shape[0]
     n_cells, C = cfg.n_cells, cfg.capacity
-    grid = np.array(cfg.grid)
     dtype = positions.dtype
     cutoff2 = cfg.cutoff * cfg.cutoff
     W = cfg.excl_window
@@ -451,12 +589,12 @@ def _sweep_regular(params, positions, box_diag, cellsort,
     inv = jnp.asarray(np.array(inv_flat, np.int32).reshape(inv_shape))
     offs = jnp.asarray(np.array(cfg.offsets, np.float64), dtype)  # (n_off,3)
 
-    # cell centers (static index grid x traced cell size: NPT-safe)
-    h = box_diag.astype(dtype) / jnp.asarray(grid, dtype)
-    cz = np.arange(n_cells)
-    c3 = np.stack([cz // (grid[1] * grid[2]),
-                   (cz // grid[2]) % grid[1],
-                   cz % grid[2]], axis=1).astype(np.float64) + 0.5
+    # cell centers (static index grid x traced cell size: NPT-safe);
+    # replica-LOCAL indices for embedded ensemble grids — every replica's
+    # band repeats the same per-replica centers, so the cell-local
+    # coordinate identity a_loc - (b_loc + o*h) holds per replica
+    h = box_diag.astype(dtype) / jnp.asarray(cfg.phys_grid, dtype)
+    c3 = _local_c3(cfg) + 0.5
     centers = [jnp.asarray(c3[:, d], dtype) * h[d] for d in range(3)]
 
     loc = [blocks[k] - centers[d][:, None]

@@ -454,14 +454,55 @@ class NonbondedForce:
             impl = None
             box0 = np.diagonal(
                 np.array(system.getDefaultPeriodicBoxVectors(), np.float64))
-            cp_cfg = cp.make_config(
-                cutoff, box0, n, exc_i, exc_j,
-                allow_half=nb_kwargs.get("allow_half", True),
-                **{k: v for k, v in nb_kwargs.items()
-                   if k in ("skin", "rebuild_interval", "cells_per_cutoff",
-                            "capacity", "density_margin",
-                            "grid_x_multiple")})
-            if method in (self.Ewald, self.PME):
+            # flattened replica ensembles (parallel/flatrep.py): R identical
+            # replicas embedded in ONE extended cell grid so small replicas
+            # fill the sweep's 128-lane tiles; the system is the replicated
+            # (replica-major) ext system, the box is the per-replica box
+            ens = nb_kwargs.get("ensemble")
+            if ens:
+                ens_r, ens_rx, ens_rz = (int(v) for v in ens)
+                if n % ens_r:
+                    raise ValueError("ensemble atom count not divisible by "
+                                     "the replica count")
+                n0_e = n // ens_r
+                cp_cfg = cp.make_ensemble_config(
+                    cutoff, box0, n0_e, ens_r, exc_i, exc_j,
+                    rx=ens_rx, rz=ens_rz,
+                    allow_half=nb_kwargs.get("allow_half", True),
+                    **{k: v for k, v in nb_kwargs.items()
+                       if k in ("skin", "rebuild_interval",
+                                "cells_per_cutoff", "capacity",
+                                "density_margin")})
+                if disp is not None:
+                    # _dispersion_coefficient on the ext arrays counts
+                    # R^2 n0^2 pairs; replicas don't interact -> R n0^2,
+                    # divided by the PER-REPLICA volume downstream
+                    disp = disp / ens_r
+                if method in (self.Ewald, self.PME):
+                    # same cell-aligned grid plan as a single-replica
+                    # pencil context (setup_pme rounds K up to cell-grid
+                    # multiples), so a flattened ensemble reproduces R
+                    # independent Contexts bit-for-bit; the pencil tables
+                    # themselves are unused (the reciprocal sum is vmapped
+                    # per replica below)
+                    from . import pme as pme_mod
+                    alpha0, gx0, _, _ = self._pme_params
+                    pme = pme_mod.setup_pme(
+                        cutoff=cutoff, tol=self._ewald_tol, box_diag=box0,
+                        alpha=alpha0 or None,
+                        grid=pme.grid if gx0 > 0 else None,
+                        cell_grid=cp_cfg.phys_grid)
+                    pme = dataclasses.replace(pme, cell_grid=None)
+            else:
+                ens_r = 1
+                cp_cfg = cp.make_config(
+                    cutoff, box0, n, exc_i, exc_j,
+                    allow_half=nb_kwargs.get("allow_half", True),
+                    **{k: v for k, v in nb_kwargs.items()
+                       if k in ("skin", "rebuild_interval",
+                                "cells_per_cutoff", "capacity",
+                                "density_margin", "grid_x_multiple")})
+            if method in (self.Ewald, self.PME) and not ens:
                 # re-plan the reciprocal grid as a multiple of the cell
                 # grid: the pencil spread (pme.spread_pencils) reuses the
                 # sweep's cell-sorted slots for local-window spreading
@@ -521,18 +562,36 @@ class NonbondedForce:
                     e = e + disp / vol
                 return e
 
+            recip_energy = None
+            if method in (self.Ewald, self.PME):
+                if ens_r > 1:
+                    # replicas overlap in physical coordinates (each lives
+                    # in the per-replica box frame): one shared grid would
+                    # interfere their charges, so the reciprocal sum is
+                    # vmapped per replica
+                    def recip_energy(params, positions, box_diag, nbl):
+                        q = params["charge"].reshape(ens_r, n0_e)
+                        p = positions.reshape(ens_r, n0_e, 3)
+                        return jnp.sum(jax.vmap(
+                            lambda qq, pp: pme.reciprocal_energy(
+                                qq, pp, box_diag))(q, p))
+                elif pme.cell_grid is not None:
+                    def recip_energy(params, positions, box_diag, nbl):
+                        return pme.reciprocal_energy_sorted(
+                            params["charge"], positions, box_diag,
+                            nbl, cp_cfg.capacity)
+                else:
+                    def recip_energy(params, positions, box_diag, nbl):
+                        return pme.reciprocal_energy(
+                            params["charge"], positions, box_diag)
+
             def energy(params, positions, box, neighbors):
                 box_diag = jnp.diagonal(box)
                 e = pair_term(params, positions, box_diag, neighbors)
                 e = e + extras_energy(params, positions, box)
-                if method in (self.Ewald, self.PME):
-                    if pme.cell_grid is not None:
-                        e = e + pme.reciprocal_energy_sorted(
-                            params["charge"], positions, box_diag,
-                            neighbors, cp_cfg.capacity)
-                    else:
-                        e = e + pme.reciprocal_energy(
-                            params["charge"], positions, box_diag)
+                if recip_energy is not None:
+                    e = e + recip_energy(params, positions, box_diag,
+                                         neighbors)
                 return e
             def rest_energy(params, positions, box, neighbors):
                 """Everything except the direct-space sweep (extras + PME
@@ -540,14 +599,9 @@ class NonbondedForce:
                 analytic forces separately and autodiffs only this part."""
                 box_diag = jnp.diagonal(box)
                 e = extras_energy(params, positions, box)
-                if method in (self.Ewald, self.PME):
-                    if pme.cell_grid is not None:
-                        e = e + pme.reciprocal_energy_sorted(
-                            params["charge"], positions, box_diag,
-                            neighbors, cp_cfg.capacity)
-                    else:
-                        e = e + pme.reciprocal_energy(
-                            params["charge"], positions, box_diag)
+                if recip_energy is not None:
+                    e = e + recip_energy(params, positions, box_diag,
+                                         neighbors)
                 return e
 
             recip_forces = None

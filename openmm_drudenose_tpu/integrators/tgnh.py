@@ -124,15 +124,23 @@ def group_kinetic_energies_t(spec: SystemSpec, static: StaticSpec, vt,
     Plus the (3, R)/(3, N) com/norm velocities for reuse by the scale
     kernel."""
     G = static.n_temp_groups
+    E = static.ensemble_r
     com_vel_t, norm_vel_t = com_and_norm_velocities_t(spec, static, vt)
 
     cv = com_vel_t.astype(accum_dtype)
     nv = norm_vel_t.astype(accum_dtype)
     mass = spec.mass.astype(accum_dtype)
 
+    def rsum(x_flat):
+        """Full sum (scalar) — or per-replica sums (E,) for flattened
+        ensembles (replica-major layout: replica = index // block)."""
+        if E == 1:
+            return jnp.sum(x_flat)
+        return jnp.sum(x_flat.reshape(E, -1), axis=1)
+
     # COM bath: sum_res M_res |v_com|^2
-    ke_com = jnp.sum(spec.res_mass.astype(accum_dtype)
-                     * jnp.sum(cv * cv, axis=0))
+    ke_com = rsum(spec.res_mass.astype(accum_dtype)
+                  * jnp.sum(cv * cv, axis=0))
 
     # normal particles: m |nv|^2 into their group
     ke_atom = mass * jnp.sum(nv * nv, axis=0)
@@ -150,19 +158,20 @@ def group_kinetic_energies_t(spec: SystemSpec, static: StaticSpec, vt,
         ke_cm = 0.5 * mtot * jnp.sum(cm * cm, axis=0)       # half per member
         ke_rel = 0.5 * mu * jnp.sum(rel * rel, axis=0)
         ke_group_directed = jnp.where(spec.is_pair, ke_cm, ke_atom)
-        ke_drude = jnp.sum(jnp.where(spec.is_pair, ke_rel, 0.0))
+        ke_drude = rsum(jnp.where(spec.is_pair, ke_rel, 0.0))
     else:
         ke_group_directed = ke_atom
-        ke_drude = jnp.zeros((), accum_dtype)
+        ke_drude = jnp.zeros((E,) if E > 1 else (), accum_dtype)
 
     # per-group reduction: G is small and static, so masked sums beat a
     # segment_sum scatter on TPU
     if G == 1:
-        ke_groups = [jnp.sum(ke_group_directed)]
+        ke_groups = [rsum(ke_group_directed)]
     else:
-        ke_groups = [jnp.sum(jnp.where(spec.tg == g, ke_group_directed, 0.0))
+        ke_groups = [rsum(jnp.where(spec.tg == g, ke_group_directed, 0.0))
                      for g in range(G)]
-    ke = jnp.stack(ke_groups + [ke_com, ke_drude])
+    # (G+2,) — or (E, G+2) per-replica bath vectors for ensembles
+    ke = jnp.stack(ke_groups + [ke_com, ke_drude], axis=-1)
     return ke, com_vel_t, norm_vel_t
 
 
@@ -200,6 +209,9 @@ def propagate_nh_chain(spec: SystemSpec, static: StaticSpec, ke,
     dtc = (dt / static.drude_steps).astype(a)
     dtc2, dtc4, dtc8 = dtc / 2, dtc / 4, dtc / 8
 
+    # NH constants are per-replica (G+2,)-shaped even for flattened
+    # ensembles (build_spec divides the ext accounting by R); they
+    # broadcast against (..., G+2) bath vectors and (..., G+2, M) chains
     eta_mass = spec.nh_eta_mass
     nkbt = spec.nh_nkbt
     kbt_chain = spec.nh_kbt_chain
@@ -208,41 +220,43 @@ def propagate_nh_chain(spec: SystemSpec, static: StaticSpec, ke,
     mass0_pos = eta_mass[:, 0] > 0
 
     # initial etaDotDot[0] from current KE (CudaDrudeTGNHKernels.cpp:560-562,605)
-    edd0 = jnp.where(mass0_pos, (ke - nkbt) * inv_eta_mass0, eta_dot_dot[:, 0])
-    eta_dot_dot = eta_dot_dot.at[:, 0].set(edd0)
+    edd0 = jnp.where(mass0_pos, (ke - nkbt) * inv_eta_mass0,
+                     eta_dot_dot[..., 0])
+    eta_dot_dot = eta_dot_dot.at[..., 0].set(edd0)
 
     def one_iter(_, carry):
         eta, eta_dot, eta_dot_dot, ke, vscale = carry
         # downward sweep: links M-1 .. 0
         for i in reversed(range(M)):
-            expfac = jnp.exp(-dtc8 * eta_dot[:, i + 1])
-            new = (eta_dot[:, i] * expfac + eta_dot_dot[:, i] * dtc4) * expfac
-            eta_dot = eta_dot.at[:, i].set(
-                jnp.where(link[:, i], new, eta_dot[:, i]))
+            expfac = jnp.exp(-dtc8 * eta_dot[..., i + 1])
+            new = (eta_dot[..., i] * expfac
+                   + eta_dot_dot[..., i] * dtc4) * expfac
+            eta_dot = eta_dot.at[..., i].set(
+                jnp.where(link[:, i], new, eta_dot[..., i]))
         # scale velocities and KE
-        damp = jnp.exp(-dtc2 * eta_dot[:, 0])
+        damp = jnp.exp(-dtc2 * eta_dot[..., 0])
         vscale = vscale * damp
         ke = ke * damp * damp
         # advance chain positions
-        eta = eta + jnp.where(link, dtc2 * eta_dot[:, :M], 0.0)
+        eta = eta + jnp.where(link, dtc2 * eta_dot[..., :M], 0.0)
         # refresh link-0 acceleration from damped KE and re-kick link 0
         edd0 = jnp.where(mass0_pos, (ke - nkbt) * inv_eta_mass0,
-                         eta_dot_dot[:, 0])
-        eta_dot_dot = eta_dot_dot.at[:, 0].set(edd0)
-        expfac0 = jnp.exp(-dtc8 * eta_dot[:, 1])
-        eta_dot = eta_dot.at[:, 0].set(
-            (eta_dot[:, 0] * expfac0 + edd0 * dtc4) * expfac0)
+                         eta_dot_dot[..., 0])
+        eta_dot_dot = eta_dot_dot.at[..., 0].set(edd0)
+        expfac0 = jnp.exp(-dtc8 * eta_dot[..., 1])
+        eta_dot = eta_dot.at[..., 0].set(
+            (eta_dot[..., 0] * expfac0 + edd0 * dtc4) * expfac0)
         # upward sweep: links 1 .. M-1
         for i in range(1, M):
-            expfac = jnp.exp(-dtc8 * eta_dot[:, i + 1])
-            d = eta_dot[:, i] * expfac
-            eddi = ((eta_mass[:, i - 1] * eta_dot[:, i - 1] ** 2 - kbt_chain)
-                    * _safe_inv(eta_mass[:, i]))
+            expfac = jnp.exp(-dtc8 * eta_dot[..., i + 1])
+            d = eta_dot[..., i] * expfac
+            eddi = ((eta_mass[:, i - 1] * eta_dot[..., i - 1] ** 2
+                     - kbt_chain) * _safe_inv(eta_mass[:, i]))
             d = (d + eddi * dtc4) * expfac
-            eta_dot = eta_dot.at[:, i].set(jnp.where(link[:, i], d,
-                                                     eta_dot[:, i]))
-            eta_dot_dot = eta_dot_dot.at[:, i].set(
-                jnp.where(link[:, i], eddi, eta_dot_dot[:, i]))
+            eta_dot = eta_dot.at[..., i].set(jnp.where(link[:, i], d,
+                                                       eta_dot[..., i]))
+            eta_dot_dot = eta_dot_dot.at[..., i].set(
+                jnp.where(link[:, i], eddi, eta_dot_dot[..., i]))
         return eta, eta_dot, eta_dot_dot, ke, vscale
 
     vscale0 = jnp.ones_like(ke)
@@ -267,15 +281,26 @@ def apply_vscale_t(spec: SystemSpec, static: StaticSpec, vt,
     G = static.n_temp_groups
     r = vt.dtype
     vs = vscale.astype(r)
-    vs_atom = vs[spec.tg][None, :]
-    vs_com = vs[G]
+    if static.ensemble_r > 1:
+        # per-replica bath scales (E, G+2): resolve each atom's three
+        # scales by static flat-index gathers (replica-major layout)
+        E, G2 = static.ensemble_r, G + 2
+        rep = np.arange(static.n_atoms, dtype=np.int32) \
+            // (static.n_atoms // E) * G2
+        vsf = vs.reshape(E * G2)
+        vs_atom = vsf[jnp.asarray(rep) + spec.tg][None, :]
+        vs_com = vsf[jnp.asarray(rep + G)][None, :]
+        vs_drude = vsf[jnp.asarray(rep + G + 1)][None, :]
+    else:
+        vs_atom = vs[spec.tg][None, :]
+        vs_com = vs[G]
+        vs_drude = vs[G + 1]
     vel_com_part = vt - norm_vel_t  # = com_vel[resid] for massive atoms
 
     movable = (spec.inv_mass > 0)[None, :]
     new_v = vs_atom * norm_vel_t + vs_com * vel_com_part
 
     if static.has_pairs:
-        vs_drude = vs[G + 1]
         j = spec.partner
         m_i = spec.mass
         m_j = spec.mass[j]
@@ -470,7 +495,7 @@ def make_step(static: StaticSpec,
             spec.dt)
         new_vt = apply_vscale_t(spec, static, vt, com_vel_t, norm_vel_t,
                                 vscale)
-        ke_sum = 0.5 * jnp.sum(ke)
+        ke_sum = 0.5 * jnp.sum(ke, axis=-1)   # (E,) per replica / scalar
         state = state._replace(eta=eta, eta_dot=eta_dot,
                                eta_dot_dot=eta_dot_dot, ke_sum=ke_sum,
                                group_ke=ke)
@@ -489,6 +514,17 @@ def make_step(static: StaticSpec,
         """Barostat / CM motion removal (DrudeTGNHIntegrator.cpp:186-189)."""
         if static.cm_freq > 0:
             def remove_cm(v):
+                E = static.ensemble_r
+                if E > 1:
+                    # per-replica CM removal (replica-major layout)
+                    n0 = static.n_atoms // E
+                    mv = (spec.mass[:, None] * v).reshape(E, n0, 3)
+                    mom = jnp.sum(mv, axis=1, keepdims=True)   # (E, 1, 3)
+                    total_mass = jnp.sum(spec.mass.reshape(E, n0),
+                                         axis=1)[:, None, None]
+                    vr = (v.reshape(E, n0, 3)
+                          - mom / total_mass).reshape(-1, 3)
+                    return jnp.where((spec.inv_mass > 0)[:, None], vr, v)
                 mom = jnp.sum(spec.mass[:, None] * v, axis=0)
                 total_mass = jnp.sum(spec.mass)
                 if reduce_axis is not None:
@@ -720,17 +756,31 @@ def _make_multi_step_fused(static: StaticSpec, step, inner_steps: int,
         # leaves internal/Drude baths untouched and lowers the COM bath's
         # 2KE by exactly M_tot |v_cm|^2 (Sum_res M_res v_com = M_tot v_cm)
         m01 = None
+        E = static.ensemble_r
         if static.cm_freq > 0:
             m01 = (state.step % static.cm_freq == 0).astype(accum)
-            mom = jnp.sum((spec.mass[None, :] * vt).astype(accum), axis=1)
-            total_mass = jnp.sum(spec.mass).astype(accum)
-            if reduce_axis is not None:
-                mom = jax.lax.psum(mom, reduce_axis)
-                total_mass = jax.lax.psum(total_mass, reduce_axis)
-            v_cm = mom / total_mass                    # of the unscaled vt
-            v_cm_s = vs_a[G] * v_cm                    # after the NH2 scale
-            ke_a = ke_a.at[G].add(
-                -m01 * total_mass * jnp.sum(v_cm_s * v_cm_s))
+            if E > 1:
+                # per-replica CM (replica-major): (3, E) momenta
+                n0 = static.n_atoms // E
+                mom = jnp.sum((spec.mass[None, :] * vt).astype(accum)
+                              .reshape(3, E, n0), axis=2)
+                total_mass = jnp.sum(spec.mass.reshape(E, n0),
+                                     axis=1).astype(accum)
+                v_cm = mom / total_mass[None, :]
+                v_cm_s = vs_a[:, G][None, :] * v_cm
+                ke_a = ke_a.at[:, G].add(
+                    -m01 * total_mass * jnp.sum(v_cm_s * v_cm_s, axis=0))
+            else:
+                mom = jnp.sum((spec.mass[None, :] * vt).astype(accum),
+                              axis=1)
+                total_mass = jnp.sum(spec.mass).astype(accum)
+                if reduce_axis is not None:
+                    mom = jax.lax.psum(mom, reduce_axis)
+                    total_mass = jax.lax.psum(total_mass, reduce_axis)
+                v_cm = mom / total_mass                # of the unscaled vt
+                v_cm_s = vs_a[G] * v_cm                # after the NH2 scale
+                ke_a = ke_a.at[G].add(
+                    -m01 * total_mass * jnp.sum(v_cm_s * v_cm_s))
 
         state = state._replace(eta=eta, eta_dot=ed, eta_dot_dot=edd)
         state = step.apply_barostat(spec, state)       # velocity-independent
@@ -739,16 +789,25 @@ def _make_multi_step_fused(static: StaticSpec, step, inner_steps: int,
             spec, static, ke_a, state.eta, state.eta_dot, state.eta_dot_dot,
             spec.dt)
         state = state._replace(eta=eta, eta_dot=ed, eta_dot_dot=edd,
-                               ke_sum=0.5 * jnp.sum(ke_a), group_ke=ke_a)
+                               ke_sum=0.5 * jnp.sum(ke_a, axis=-1),
+                               group_ke=ke_a)
 
         # one composed scaling (bath scalings compose elementwise across
         # the COM/internal/pair-relative decomposition)
         new_vt = apply_vscale_t(spec, static, vt, com_vel_t, norm_vel_t,
                                 vs_a * vs_b)
         if m01 is not None:
-            sub = ((m01 * vs_b[G] * vs_a[G]) * v_cm).astype(new_vt.dtype)
-            new_vt = jnp.where((spec.inv_mass > 0)[None, :],
-                               new_vt - sub[:, None], new_vt)
+            if E > 1:
+                n0 = static.n_atoms // E
+                sub = ((m01 * vs_b[:, G] * vs_a[:, G])[None, :]
+                       * v_cm).astype(new_vt.dtype)         # (3, E)
+                shifted = (new_vt.reshape(3, E, n0)
+                           - sub[:, :, None]).reshape(3, -1)
+            else:
+                sub = ((m01 * vs_b[G] * vs_a[G]) * v_cm).astype(new_vt.dtype)
+                shifted = new_vt - sub[:, None]
+            new_vt = jnp.where((spec.inv_mass > 0)[None, :], shifted,
+                               new_vt)
 
         state, v = step.core(spec, state, new_vt)
         return state._replace(velocities=v)

@@ -50,14 +50,29 @@ except Exception:  # pragma: no cover
 
 
 def supports(cfg, dtype) -> bool:
+    # embedded replica-ensemble grids: layers wrap per x band
+    # (cfg.x_period) and the in-layer z wrap has period cfg.z_period —
+    # both static, so the kernel handles them with per-band index tables;
+    # a band must still span a full stencil in x
+    px = getattr(cfg, "x_period", 0) or cfg.grid[0]
+    # VMEM budget: 8 doubled-layer slabs (C, n_lay*lay_stride) + the
+    # reaction output block (3C, n_lay*fr_stride) must fit the ~16 MB
+    # scoped-vmem limit (huge extended-ensemble (y,z) planes blow it —
+    # measured OOM at n_yz = 1600, C = 48)
+    n_yz = cfg.grid[1] * cfg.grid[2]
+    n_lay = 2 * cfg.window[0] + 1
+    lay_stride = -(-2 * n_yz // 128) * 128
+    fr_stride = -(-n_yz // 128) * 128
+    vmem = 4 * cfg.capacity * n_lay * (8 * lay_stride + 2 * 3 * fr_stride)
     return (HAVE_PALLAS and cfg.regular and cfg.half_stencil
             and cfg.excl_words == 1 and 2 * cfg.excl_window + 1 <= 31
             and dtype == jnp.float32
-            and cfg.grid[0] >= 2 * cfg.window[0] + 1
+            and px >= 2 * cfg.window[0] + 1
+            and vmem <= 12 * 1024 * 1024
             # Mosaic rejects dynamic-sublane loads narrower than one
             # 128-lane tile ("dynamic load with unaligned indices"); the
             # (y,z) plane is the kernel's lane axis
-            and cfg.grid[1] * cfg.grid[2] >= 128)
+            and n_yz >= 128)
 
 
 def _make_pair_g(method, cutoff, alpha=0.0, krf=0.0, crf=0.0):
@@ -132,10 +147,12 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     s = cp._sorted_arrays(params, positions, cellsort, cfg, n,
                           box_diag=box_diag)
     blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
-    h = box_diag.astype(dtype) / jnp.asarray(np.array(cfg.grid), dtype)
-    cz_ = np.arange(n_cells)
-    c3 = np.stack([cz_ // (gy * gz), (cz_ // gz) % gy, cz_ % gz],
-                  axis=1).astype(np.float64) + 0.5
+    # cell centers / cell size in the PER-REPLICA frame (phys == grid for
+    # plain systems; embedded ensembles repeat per-replica centers per band)
+    h = box_diag.astype(dtype) / jnp.asarray(np.array(cfg.phys_grid), dtype)
+    c3 = cp._local_c3(cfg) + 0.5
+    px = cfg.x_period or gx        # x-band layer-wrap period
+    pz = cfg.z_period or gz        # in-layer z-wrap period
 
     def layer_double(ft):
         # (C, n_cells) -> (C, gx*lay_stride): per x-layer [cells|cells|pad]
@@ -167,7 +184,11 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     # (forces/cellpair.build_cellsort).
     off_needs_excl = (np.max(np.abs(offsets), axis=1) <= 1
                       if excl_skip else np.ones(n_off, bool))
-    lay_idx = ((np.arange(gx)[:, None] + np.arange(-w, w + 1)[None]) % gx
+    # halo layer indices wrap within each x band (period px): replicas
+    # embedded along x never read each other's layers
+    _lx = np.arange(gx)
+    lay_idx = ((_lx[:, None] // px) * px
+               + (_lx[:, None] % px + np.arange(-w, w + 1)[None]) % px
                ).astype(np.int32)                            # (gx, n_lay)
     hvec = jnp.asarray([h[0], h[1], h[2]], dtype)
     cutoff2 = cfg.cutoff * cfg.cutoff
@@ -221,7 +242,9 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
         gida = gids[:, pl.ds(own0, n_yz)]
         ewa = ews[:, pl.ds(0, n_yz)]
 
-        cz_lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_yz), 1) % gz
+        # local z within the wrap period (gz % pz == 0, so iota % pz is
+        # the per-replica z index directly)
+        cz_lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_yz), 1) % pz
         col = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
 
         hx = hvec_ref[0]
@@ -274,18 +297,18 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
             # forward view: src(l) = l + d0 (+-gz where cz+oz wraps),
             # modulo the doubled-layer trick
             d0 = oy * gz + oz
-            mz_hi = (cz_lane + oz) >= gz
+            mz_hi = (cz_lane + oz) >= pz
             mz_lo = (cz_lane + oz) < 0
             dA = d0 % n_yz
-            dB = (d0 - gz) % n_yz
-            dC = (d0 + gz) % n_yz
+            dB = (d0 - pz) % n_yz
+            dC = (d0 + pz) % n_yz
             # inverse view (for the reaction): offsets negated
             d0i = -d0
-            mzi_hi = (cz_lane - oz) >= gz
+            mzi_hi = (cz_lane - oz) >= pz
             mzi_lo = (cz_lane - oz) < 0
             dAi = d0i % n_yz
-            dBi = (d0i - gz) % n_yz
-            dCi = (d0i + gz) % n_yz
+            dBi = (d0i - pz) % n_yz
+            dCi = (d0i + pz) % n_yz
 
             def bview(slab_, bj):
                 vA = slab_[pl.ds(bj, 1), pl.ds(lcol + dA, n_yz)]
@@ -392,11 +415,19 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     if debug_outputs:
         return fown, freact
     # overlap-add the reaction slabs: program i's layer block L belongs to
-    # absolute layer (i + L - w) mod gx
+    # absolute layer band(i)*px + (lx(i) + L - w) mod px — a per-band roll
+    # (plain grids have one band, px == gx)
     fr = freact.reshape(gx, 3, C, n_lay, fr_stride)[..., :n_yz]
     total = fown.reshape(gx, 3, C, n_yz)
+    n_band = gx // px
     for L in range(n_lay):
-        total = total + jnp.roll(fr[:, :, :, L, :], L - w, axis=0)
+        v = fr[:, :, :, L, :]
+        if n_band > 1:
+            v = jnp.roll(v.reshape(n_band, px, 3, C, n_yz), L - w,
+                         axis=1).reshape(gx, 3, C, n_yz)
+        else:
+            v = jnp.roll(v, L - w, axis=0)
+        total = total + v
     # (gx, 3, C, n_yz) -> (3, n_cells*C) slot-major forces -> atom order
     f = jnp.transpose(total, (1, 0, 3, 2)).reshape(3, n_cells * C)
     f_slots = jnp.stack([f[0], f[1], f[2]], axis=1)

@@ -29,25 +29,40 @@ def main():
     p.add_argument("--strategy", default="auto",
                    help="nonbonded strategy (auto resolves to the dense "
                         "all-pairs sweep at <= 4096 atoms)")
+    p.add_argument("--flat", action="store_true",
+                   help="use the flattened embedded-grid ensemble "
+                        "(parallel/flatrep.py) instead of the vmap one")
+    p.add_argument("--rx", type=int, default=None,
+                   help="flat ensemble replica-grid factor along x "
+                        "(default: auto)")
+    p.add_argument("--capacity", type=int, default=0)
     args = p.parse_args()
 
     import jax
     import openmm_drudenose_tpu as dn
     from openmm_drudenose_tpu.io import builders
     from openmm_drudenose_tpu.parallel.ensemble import ReplicaEnsemble
+    from openmm_drudenose_tpu.parallel.flatrep import FlatReplicaEnsemble
 
     system, positions = builders.build_water_box(args.molecules)
     integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
     integ.setMaxDrudeDistance(0.02)
+    nb = {"capacity": args.capacity} if args.capacity else {}
     ctx = dn.Context(system, integ, precision="single",
-                     strategy=args.strategy)
+                     strategy=args.strategy, nb_options=nb)
     ctx.setPositions(positions)
     # settle the lattice start per replica before timing
     ctx.setVelocitiesToTemperature(300.0, seed=0)
     integ.step(500)
 
     n_atoms = args.molecules * 5
-    ens = ReplicaEnsemble(ctx, n_replicas=args.replicas, seed=7)
+    if args.flat:
+        ens = FlatReplicaEnsemble(ctx, n_replicas=args.replicas,
+                                  rx=args.rx, seed=7)
+        state_pos = lambda: ens.context._state.positions
+    else:
+        ens = ReplicaEnsemble(ctx, n_replicas=args.replicas, seed=7)
+        state_pos = lambda: ens.state.positions
     ens.setVelocitiesToTemperature(300.0, seed=3)
 
     ens.step(args.steps)           # compile + settle divergent replicas
@@ -58,7 +73,7 @@ def main():
     for _ in range(args.repeats):
         t0 = time.time()
         ens.step(args.steps)
-        jax.block_until_ready(ens.state.positions)
+        jax.block_until_ready(state_pos())
         best = max(best, args.steps / (time.time() - t0))
     ke = np.asarray(ens.kinetic_energies())
     assert np.all(np.isfinite(ke)), "non-finite replica KE after timing"
