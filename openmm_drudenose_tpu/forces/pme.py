@@ -27,6 +27,14 @@ from ..units import ONE_4PI_EPS0
 
 PME_ORDER = 5
 
+# MXU precision of the spread/interpolation contractions.  HIGHEST because
+# TPU f32 dot_general defaults to BFLOAT16 inputs, which would round the
+# B-spline weights to ~0.4% — far above f32 (see CLAUDE.md / the round-2
+# bf16 matmul-precision bug).  Module-level so perf probes can A/B it
+# (scripts/probe_mm_precision.py); production paths must keep HIGHEST
+# unless an on-chip accuracy study says otherwise.
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def find_fft_dimension(minimum: int) -> int:
     """Smallest 2,3,5-smooth integer >= minimum (good jnp.fft sizes)."""
@@ -242,7 +250,7 @@ def spread_charge_grid(grid, charges, positions, box_diag):
         # which would round the B-spline weights to ~0.4% (grid charge and
         # interpolation-force error far above f32)
         return Q + jnp.dot(Wx.T, Wyz, preferred_element_type=dtype,
-                           precision=jax.lax.Precision.HIGHEST), None
+                           precision=MM_PRECISION), None
 
     # scan (not fori_loop) so reverse-mode autodiff works through the chunks
     Q, _ = jax.lax.scan(body, jnp.zeros((K1, K2 * K3), dtype),
@@ -360,7 +368,7 @@ def spread_pencils(grid, cell_grid, capacity, charges, positions, box_diag,
     # batched MXU contraction over slots: (P, lwx*lwy, K3)
     T = jax.lax.dot_general(
         WxyT, Wz, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MM_PRECISION,
         preferred_element_type=dtype)
     T = T.reshape(gx, gy, lwx, lwy, K3)
     return _assemble_colors(T, grid, (ppcx, lwx, ncx), (ppcy, lwy, ncy))
@@ -441,7 +449,7 @@ def spread_pencils_packed(grid, cell_grid, charges, positions, box_diag,
         n_pencils, lwx * lwy, Cp)
     T = jax.lax.dot_general(
         WxyT, Wz, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MM_PRECISION,
         preferred_element_type=dtype)
     T = T.reshape(gx, gy, lwx, lwy, K3)
     return _assemble_colors(T, grid, (ppcx, lwx, ncx), (ppcy, lwy, ncy))
@@ -573,7 +581,7 @@ def recip_energy_forces_packed(grid, alpha, bm2x, bm2y, bm2z, cell_grid,
         n_pencils, lwx * lwy, Cp)
     T = jax.lax.dot_general(
         WxyT, Wz, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=dtype)
+        precision=MM_PRECISION, preferred_element_type=dtype)
     Q = _assemble_colors(T.reshape(gx, gy, lwx, lwy, K3), grid,
                          plan_x, plan_y)
     energy, Phi = jax.value_and_grad(
@@ -591,7 +599,7 @@ def recip_energy_forces_packed(grid, alpha, bm2x, bm2y, bm2z, cell_grid,
         # (P, Cp, K3) <- sum_lwxy AxyT[p, lwxy, c] * Win[p, lwxy, k3]
         return jax.lax.dot_general(
             AxyT, Win, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MM_PRECISION,
             preferred_element_type=dtype)
 
     V = contract(WxyT)                                   # shared by fz

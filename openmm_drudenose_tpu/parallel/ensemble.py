@@ -120,6 +120,10 @@ class ReplicaEnsemble:
             k, self._ctx._state.velocities.shape,
             self._ctx._state.velocities.dtype) * sigma)(keys)
         self.state = self.state._replace(velocities=v)
+        if self._mesh is not None:
+            # the fresh velocity array is uncommitted; restore the ensemble
+            # sharding or the step's pinned in_shardings reject it
+            self.state = shard_ensemble(self._mesh, self.state)
 
     def _get_step(self, inner: int):
         fn = self._step_fns.get(inner)

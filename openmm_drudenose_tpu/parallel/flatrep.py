@@ -191,21 +191,23 @@ class FlatReplicaEnsemble:
         t = ens.group_temperatures()         # (64, G+2)
 
     rx/rz: the replica grid factorization along the extended x and z cell
-    axes (rx*rz == R).  The default picks the smallest rz (divisor of R)
-    whose (y, z) plane fills one 128-lane tile and stacks the rest along
-    x — filling lanes without blowing the Pallas kernel's VMEM layer
-    slabs (which scale with gy*rz*gz).  Positions default to R copies of
-    the template's current positions.
+    axes.  The default layout may PAD the ensemble with extra replicas
+    (rx*rz >= R) when that fills the sweep's 128-lane tiles better than
+    any exact factorization — e.g. 64 replicas of a (5, 5, 5)-cell box run
+    as 13x5 = 65 (lane pad 128/125 = 1.02) instead of 8x8 = 64 (256/200 =
+    1.28).  Pad replicas are real physics (independent trajectories) that
+    are simply never reported; every accessor returns the requested R.
+    Passing rx/rz explicitly keeps the exact rx*rz == R behavior.
+    Positions default to R copies of the template's current positions.
     """
 
     def __init__(self, context, n_replicas: int, rx: int | None = None,
                  rz: int | None = None, seed: int = 0,
-                 nb_options: dict | None = None):
+                 nb_options: dict | None = None, pad_replicas: bool = True):
         from ..app.context import Context
         R = int(n_replicas)
         if rx is None and rz is None:
-            rz = self._auto_rz(context, R, nb_options)
-            rx = R // rz
+            rx, rz = self._auto_layout(context, R, nb_options, pad_replicas)
         elif rz is None:
             if R % rx:
                 raise ValueError("rx must divide n_replicas")
@@ -214,54 +216,94 @@ class FlatReplicaEnsemble:
             if R % rz:
                 raise ValueError("rz must divide n_replicas")
             rx = R // rz
-        if rx * rz != R:
-            raise ValueError("rx*rz must equal n_replicas")
+        if rx * rz < R:
+            raise ValueError("rx*rz must be >= n_replicas")
+        R_int = rx * rz                      # internal (padded) replica count
         self._n_replicas = R
+        self._r_int = R_int
         self._n0 = context._system.getNumParticles()
         self._template = context
-        ext_system = replicate_system(context._system, R)
-        ext_integ = _clone_integrator(context._integrator, R)
+        ext_system = replicate_system(context._system, R_int)
+        ext_integ = _clone_integrator(context._integrator, R_int)
         nb = dict(context._nb_kwargs)
         nb.update(nb_options or {})
-        nb["ensemble"] = (R, rx, rz)
+        nb["ensemble"] = (R_int, rx, rz)
         self.context = Context(ext_system, ext_integ,
                                precision=context._prec,
                                strategy="cellpair", seed=seed,
                                hardwall_strict=context._hardwall_strict,
-                               nb_options=nb, ensemble_r=R)
+                               nb_options=nb, ensemble_r=R_int)
+        self._jit_pe = None
         pos0 = np.asarray(context._state.positions, np.float64)
         self.setPositions(np.broadcast_to(pos0, (R,) + pos0.shape))
 
     @staticmethod
-    def _auto_rz(context, R: int, nb_options) -> int:
-        """Smallest divisor of R whose extended (y, z) cell plane reaches
-        one 128-lane tile (the per-replica grid plan mirrors
-        cellpair.make_ensemble_config's)."""
+    def _auto_layout(context, R: int, nb_options,
+                     pad_replicas: bool = True) -> tuple:
+        """(rx, rz) minimizing the modeled step cost.
+
+        Cost model (calibrated on the session-8 v5e probe, where the sweep
+        was ~half the flattened step): the sweep scales with PADDED lane
+        slots rx*ceil(n_yz0*rz/128)*128 and everything else with the
+        internal replica count rx*rz, weighted half/half.  With
+        pad_replicas, rx*rz may exceed R by up to 25% when lane fill wins;
+        otherwise only exact factorizations compete."""
         nb = dict(context._nb_kwargs)
         nb.update(nb_options or {})
         nbf = [f for f in context._system.getForces()
                if type(f).__name__ == "NonbondedForce"]
         if not nbf:
-            return R
+            return 1, R
         r_list = nbf[0].getCutoffDistance() + nb.get("skin", 0.1)
         target = r_list / nb.get("cells_per_cutoff", 2)
         box0 = np.diagonal(np.array(
             context._system.getDefaultPeriodicBoxVectors(), np.float64))
         pg = [max(int(np.floor(L / target)), 1) for L in box0]
         n_yz0 = pg[1] * pg[2]
+        best = None
         for rz in range(1, R + 1):
-            if R % rz == 0 and n_yz0 * rz >= 128:
-                return rz
-        return R
+            rx = -(-R // rz)                 # ceil: smallest rx covering R
+            if not pad_replicas and R % rz:
+                continue
+            r_int = rx * rz
+            if r_int > max(R + 1, int(R * 1.25)):
+                continue
+            lanes = -(-n_yz0 * rz // 128) * 128
+            # n_yz < 128 also disengages the Pallas sweep (ops/pallas_sweep
+            # supports()), worth ~1.5x on the sweep term
+            pallas_penalty = 1.0 if n_yz0 * rz >= 128 else 1.5
+            cost = (0.5 * pallas_penalty * (rx * lanes) / (R * n_yz0)
+                    + 0.5 * r_int / R)
+            key = (cost, r_int, rz)
+            if best is None or key < best[0]:
+                best = (key, (rx, rz))
+        return best[1]
 
     # -- state I/O ----------------------------------------------------------
 
     def setPositions(self, positions) -> None:
-        """(R, N0, 3) per-replica positions (or (N0, 3), broadcast)."""
+        """(R, N0, 3) per-replica positions (or (N0, 3), broadcast).  Pad
+        replicas (rx*rz > R layouts) receive copies of replica 0."""
         p = np.asarray(positions, np.float64)
         if p.ndim == 2:
             p = np.broadcast_to(p, (self._n_replicas,) + p.shape)
+        if p.shape[0] == self._n_replicas and self._r_int > self._n_replicas:
+            pad = np.broadcast_to(
+                p[0], (self._r_int - self._n_replicas,) + p.shape[1:])
+            p = np.concatenate([p, pad], axis=0)
         self.context.setPositions(p.reshape(-1, 3))
+
+    def setVelocities(self, velocities) -> None:
+        """(R, N0, 3) per-replica velocities (or (N0, 3), broadcast).  Pad
+        replicas receive copies of replica 0's."""
+        v = np.asarray(velocities, np.float64)
+        if v.ndim == 2:
+            v = np.broadcast_to(v, (self._n_replicas,) + v.shape)
+        if v.shape[0] == self._n_replicas and self._r_int > self._n_replicas:
+            pad = np.broadcast_to(
+                v[0], (self._r_int - self._n_replicas,) + v.shape[1:])
+            v = np.concatenate([v, pad], axis=0)
+        self.context.setVelocities(v.reshape(-1, 3))
 
     def setVelocitiesToTemperature(self, temperature: float,
                                    seed: int = 0) -> None:
@@ -269,36 +311,71 @@ class FlatReplicaEnsemble:
 
     def positions(self) -> np.ndarray:
         """(R, N0, 3)."""
-        return np.asarray(self.context._state.positions,
-                          np.float64).reshape(self._n_replicas, self._n0, 3)
+        return np.asarray(self.context._state.positions, np.float64).reshape(
+            self._r_int, self._n0, 3)[:self._n_replicas]
 
     def velocities(self) -> np.ndarray:
         return np.asarray(self.context._state.velocities,
-                          np.float64).reshape(self._n_replicas, self._n0, 3)
+                          np.float64).reshape(
+            self._r_int, self._n0, 3)[:self._n_replicas]
 
     def kinetic_energies(self) -> np.ndarray:
         """(R,) per-replica KE: the cached value of the last NH half-step
         (KESum semantics, reference CudaDrudeTGNHKernels.cpp:654-661), or
         instantaneous per-replica 1/2 m v^2 before any step has run."""
         if self.context._ke_valid:
-            return np.asarray(self.context._state.ke_sum, np.float64)
+            return np.asarray(self.context._state.ke_sum,
+                              np.float64)[:self._n_replicas]
         m = np.asarray(self.context._spec.mass, np.float64)
         v = np.asarray(self.context._state.velocities, np.float64)
         ke = 0.5 * m * np.sum(v * v, axis=-1)
-        return ke.reshape(self._n_replicas, self._n0).sum(axis=1)
+        return ke.reshape(self._r_int,
+                          self._n0).sum(axis=1)[:self._n_replicas]
 
     def group_temperatures(self) -> np.ndarray:
         """(R, G+2) per-replica per-bath temperatures (K)."""
         st = self.context.getState(energy=True, groups=True)
-        return np.asarray(st.getGroupTemperatures(), np.float64)
+        return np.asarray(st.getGroupTemperatures(),
+                          np.float64)[:self._n_replicas]
 
-    def potential_energies(self) -> None:
-        raise NotImplementedError(
-            "per-replica potential energies are not decomposed by the "
-            "flattened sweep; use total_potential_energy() or the vmap "
-            "ReplicaEnsemble")
+    def potential_energies(self) -> np.ndarray:
+        """(R,) per-replica potential energies.
+
+        The flattened sweep only produces the ensemble total, so this
+        re-evaluates the TEMPLATE context's potential per replica (vmapped,
+        with per-replica neighbor rebuilds) on the current positions — a
+        reporting path, not a hot path.  Identical physics by construction
+        (tests/test_flatrep.py pins flattened == independent Contexts)."""
+        import jax
+        import jax.numpy as jnp
+        tpl = self._template
+        tpl._ensure_forces()
+        R, n0 = self._n_replicas, self._n0
+        st = self.context._state
+        pos = jnp.reshape(st.positions, (self._r_int, n0, 3))[:R]
+        perr = (None if st.pos_err is None
+                else jnp.reshape(st.pos_err, (self._r_int, n0, 3))[:R])
+        box = st.box          # the per-replica box (no barostat in flatrep)
+        if self._jit_pe is None:
+            nbf = tpl._neighbor_fn
+            pot = tpl._potential
+
+            def one(p, pe):
+                nb = None if nbf is None else nbf(p, box)
+                return pot(p, box, nb, pe)
+
+            if perr is None:
+                self._jit_pe = jax.jit(jax.vmap(lambda p: one(p, None)))
+            else:
+                self._jit_pe = jax.jit(jax.vmap(one))
+        out = (self._jit_pe(pos) if perr is None
+               else self._jit_pe(pos, perr))
+        return np.asarray(out, np.float64)
 
     def total_potential_energy(self) -> float:
+        """Sum of the R requested replicas' PEs (pad replicas excluded)."""
+        if self._r_int != self._n_replicas:
+            return float(self.potential_energies().sum())
         st = self.context.getState(energy=True)
         return float(st.getPotentialEnergy())
 
@@ -310,3 +387,9 @@ class FlatReplicaEnsemble:
     @property
     def n_replicas(self) -> int:
         return self._n_replicas
+
+    @property
+    def n_replicas_padded(self) -> int:
+        """Internal rx*rz replica count (== n_replicas unless the auto
+        layout padded the ensemble to fill lane tiles)."""
+        return self._r_int

@@ -133,7 +133,7 @@ def test_flat_ensemble_matches_independent_contexts():
         vels[r] = v
 
     # reference: R independent contexts
-    ref_pos, ref_ke, ref_gt = [], [], []
+    ref_pos, ref_ke, ref_gt, ref_pe = [], [], [], []
     for r in range(R):
         s, p, it = _template()
         ctx = dn.Context(s, it, precision="double", strategy="cellpair",
@@ -145,6 +145,7 @@ def test_flat_ensemble_matches_independent_contexts():
         ref_pos.append(np.asarray(st.getPositions()))
         ref_ke.append(st.getKineticEnergy())
         ref_gt.append(np.asarray(st.getGroupTemperatures()))
+        ref_pe.append(st.getPotentialEnergy())
 
     # flattened ensemble
     tctx = dn.Context(system, integ, precision="double",
@@ -158,10 +159,86 @@ def test_flat_ensemble_matches_independent_contexts():
     got_pos = ens.positions()
     got_ke = ens.kinetic_energies()
     got_gt = ens.group_temperatures()
+    got_pe = ens.potential_energies()
     for r in range(R):
         np.testing.assert_allclose(got_pos[r], ref_pos[r], atol=1e-9)
         np.testing.assert_allclose(got_ke[r], ref_ke[r], rtol=1e-9)
         np.testing.assert_allclose(got_gt[r], ref_gt[r], rtol=1e-8)
+        np.testing.assert_allclose(got_pe[r], ref_pe[r], rtol=1e-9)
+    # the per-replica decomposition must also sum to the flattened total
+    np.testing.assert_allclose(got_pe.sum(), ens.total_potential_energy(),
+                               rtol=1e-9)
+
+
+def test_flat_ensemble_padded_layout():
+    """rx*rz > R layouts: pad replicas run real physics but are invisible.
+    3 requested replicas in a 2x2 = 4-slot embedding must match 3
+    independent Contexts, every accessor must return R-shaped arrays, and
+    total_potential_energy must exclude the pad."""
+    R = 3
+    nb = {"capacity": 48, "skin": 0.1}
+    system, pos, integ = _template()
+    n0 = system.getNumParticles()
+    masses = np.array([system.getParticleMass(i) for i in range(n0)])
+    rng = np.random.default_rng(23)
+    vels = []
+    for r in range(R):
+        v = rng.normal(0, 0.3, (n0, 3))
+        v[masses == 0] = 0.0
+        vels.append(v)
+
+    ref_pos, ref_ke, ref_pe = [], [], []
+    for r in range(R):
+        s, p, it = _template()
+        ctx = dn.Context(s, it, precision="double", strategy="cellpair",
+                         nb_options=dict(nb))
+        ctx.setPositions(p)
+        ctx.setVelocities(vels[r])
+        it.step(10)
+        st = ctx.getState(positions=True, energy=True)
+        ref_pos.append(np.asarray(st.getPositions()))
+        ref_ke.append(st.getKineticEnergy())
+        ref_pe.append(st.getPotentialEnergy())
+
+    tctx = dn.Context(system, integ, precision="double",
+                      strategy="cellpair", nb_options=dict(nb))
+    tctx.setPositions(pos)
+    ens = FlatReplicaEnsemble(tctx, R, rx=2, rz=2)
+    assert ens.n_replicas == 3 and ens.n_replicas_padded == 4
+    assert ens.context._static.ensemble_r == 4
+    ens.setVelocities(np.stack(vels))
+    ens.step(10)
+
+    got_pos = ens.positions()
+    got_ke = ens.kinetic_energies()
+    got_pe = ens.potential_energies()
+    assert got_pos.shape == (R, n0, 3)
+    assert got_ke.shape == (R,) and got_pe.shape == (R,)
+    for r in range(R):
+        np.testing.assert_allclose(got_pos[r], ref_pos[r], atol=1e-9)
+        np.testing.assert_allclose(got_ke[r], ref_ke[r], rtol=1e-9)
+        np.testing.assert_allclose(got_pe[r], ref_pe[r], rtol=1e-9)
+    np.testing.assert_allclose(ens.total_potential_energy(), sum(ref_pe),
+                               rtol=1e-9)
+
+
+def test_flat_auto_layout_prefers_exact_lane_fill():
+    """The auto layout's cost model: when some rz fills 128 lanes exactly
+    (n_yz0*rz == 128) with rx*rz == R, nothing can beat it."""
+    system, pos, integ = _template()
+    tctx = dn.Context(system, integ, precision="double",
+                      strategy="cellpair",
+                      nb_options={"capacity": 48, "skin": 0.1})
+    tctx.setPositions(pos)
+    box = np.diagonal(np.array(system.getDefaultPeriodicBoxVectors()))
+    r_list = 0.55 + 0.1
+    pg = [max(int(np.floor(L / (r_list / 2))), 1) for L in box]
+    n_yz0 = pg[1] * pg[2]
+    rx, rz = FlatReplicaEnsemble._auto_layout(tctx, 64, None)
+    assert rx * rz >= 64
+    lanes = -(-n_yz0 * rz // 128) * 128
+    # padded lane slots within 10% of the unpadded ideal
+    assert rx * lanes <= 1.10 * 64 * n_yz0 or rx * rz == 64
 
 
 def test_pallas_sweep_ensemble_interpret():

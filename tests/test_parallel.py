@@ -160,3 +160,46 @@ def test_replica_ensemble_dense():
                                atol=1e-10)
     st = ctx.getState(energy=True)
     np.testing.assert_allclose(pe[2], st.getPotentialEnergy(), rtol=1e-10)
+
+
+def test_flat_ensembles_sharded_over_mesh():
+    """Composition closing BASELINE config 5 at scale: D flat sub-ensembles
+    (each an embedded-grid FlatReplicaEnsemble, parallel/flatrep.py) sharded
+    over an 8-device 'replica' mesh via ReplicaEnsemble — 8 x 2 = 16
+    independent replicas, full lane efficiency per device, zero inter-device
+    communication.  Member 5's trajectory must match the standalone flat
+    ensemble run with the same velocities."""
+    from openmm_drudenose_tpu.io import builders
+    from openmm_drudenose_tpu.parallel.ensemble import ReplicaEnsemble
+    from openmm_drudenose_tpu.parallel.flatrep import FlatReplicaEnsemble
+
+    system, positions = builders.build_water_box(
+        200, method=dn.NonbondedForce.PME, cutoff=0.55)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.001, 20, 2,
+                                   False)
+    integ.setMaxDrudeDistance(0.02)
+    nb = {"capacity": 48, "skin": 0.1}
+    tctx = dn.Context(system, integ, precision="double",
+                      strategy="cellpair", nb_options=dict(nb))
+    tctx.setPositions(positions)
+    flat = FlatReplicaEnsemble(tctx, 2)
+    assert flat.context._static.ensemble_r == 2
+
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest should provide 8 virtual devices"
+    mesh = Mesh(np.array(devices[:8]), ("replica",))
+    rens = ReplicaEnsemble(flat.context, n_replicas=8, mesh=mesh, seed=3)
+    rens.setVelocitiesToTemperature(300.0, seed=9)
+    v5 = np.asarray(rens.state.velocities[5]).copy()
+    rens.step(4)
+    ke = rens.kinetic_energies()
+    assert ke.shape == (8, 2)          # (device replicas, embedded replicas)
+    assert np.all(np.isfinite(ke))
+    assert not np.allclose(rens.positions()[0], rens.positions()[1])
+
+    # member 5 == the standalone flat ensemble with the same velocities
+    flat.context.setVelocities(v5)
+    flat.step(4)
+    np.testing.assert_allclose(rens.positions()[5],
+                               flat.context._state.positions, atol=1e-10)
+    np.testing.assert_allclose(ke[5], flat.kinetic_energies(), rtol=1e-10)
