@@ -282,15 +282,26 @@ def apply_vscale_t(spec: SystemSpec, static: StaticSpec, vt,
     r = vt.dtype
     vs = vscale.astype(r)
     if static.ensemble_r > 1:
-        # per-replica bath scales (E, G+2): resolve each atom's three
-        # scales by static flat-index gathers (replica-major layout)
-        E, G2 = static.ensemble_r, G + 2
-        rep = np.arange(static.n_atoms, dtype=np.int32) \
-            // (static.n_atoms // E) * G2
-        vsf = vs.reshape(E * G2)
-        vs_atom = vsf[jnp.asarray(rep) + spec.tg][None, :]
-        vs_com = vsf[jnp.asarray(rep + G)][None, :]
-        vs_drude = vsf[jnp.asarray(rep + G + 1)][None, :]
+        # per-replica bath scales (E, G+2), replica-major atoms: expand a
+        # bath column to per-atom rows by broadcast+reshape and resolve the
+        # group dimension by masked sums — flat (N,) gathers here measured
+        # ~3x the whole-op cost on TPU (scripts/probe_flat_parts.py)
+        E = static.ensemble_r
+        n0 = static.n_atoms // E
+
+        def per_atom(col):
+            return jnp.broadcast_to(
+                vs[:, col][:, None], (E, n0)).reshape(1, -1)
+
+        if G == 1:
+            vs_atom = per_atom(0)
+        else:
+            vs_atom = per_atom(0)
+            for g in range(1, G):
+                vs_atom = jnp.where(spec.tg[None, :] == g,
+                                    per_atom(g), vs_atom)
+        vs_com = per_atom(G)
+        vs_drude = per_atom(G + 1)
     else:
         vs_atom = vs[spec.tg][None, :]
         vs_com = vs[G]

@@ -12,9 +12,9 @@ real chips.  Memory: the replicated per-device state at 1M atoms is
 scale (parallel/sharded.py docstring)."""
 
 import os
+import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys
 
 # the collective-call timeouts matter on a low-core host: 8 virtual
 # devices time-slice the cores, so heavy per-device programs reach a

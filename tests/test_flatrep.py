@@ -222,6 +222,59 @@ def test_flat_ensemble_padded_layout():
                                rtol=1e-9)
 
 
+def test_flat_ensemble_two_temp_groups():
+    """G=2 user groups exercise apply_vscale_t's masked-sum vs_atom path
+    for per-replica (E, G+2) baths: a 2-replica flat ensemble must match
+    2 independent Contexts (first 100 molecules group 0, rest group 1)."""
+    R = 2
+    nb = {"capacity": 48, "skin": 0.1}
+
+    def make():
+        system, pos, integ = _template()
+        integ.addTempGroup()
+        integ.addTempGroup()
+        n0 = system.getNumParticles()
+        for i in range(n0):
+            integ.addParticleTempGroup(0 if i < n0 // 2 else 1)
+        return system, pos, integ
+
+    system, pos, integ = make()
+    n0 = system.getNumParticles()
+    masses = np.array([system.getParticleMass(i) for i in range(n0)])
+    rng = np.random.default_rng(31)
+    vels = []
+    for r in range(R):
+        v = rng.normal(0, 0.3, (n0, 3))
+        v[masses == 0] = 0.0
+        vels.append(v)
+
+    ref_pos, ref_gt = [], []
+    for r in range(R):
+        s, p, it = make()
+        ctx = dn.Context(s, it, precision="double", strategy="cellpair",
+                         nb_options=dict(nb))
+        ctx.setPositions(p)
+        ctx.setVelocities(vels[r])
+        it.step(10)
+        st = ctx.getState(positions=True, energy=True, groups=True)
+        ref_pos.append(np.asarray(st.getPositions()))
+        ref_gt.append(np.asarray(st.getGroupTemperatures()))
+
+    tctx = dn.Context(system, integ, precision="double",
+                      strategy="cellpair", nb_options=dict(nb))
+    tctx.setPositions(pos)
+    ens = FlatReplicaEnsemble(tctx, R)
+    ens.setVelocities(np.stack(vels))
+    ens.step(10)
+
+    got_pos = ens.positions()
+    got_gt = ens.group_temperatures()
+    assert got_gt.shape == (R, 4)            # G=2 user + COM + Drude
+    for r in range(R):
+        np.testing.assert_allclose(got_pos[r], ref_pos[r], atol=1e-9)
+        np.testing.assert_allclose(got_gt[r], ref_gt[r], rtol=1e-8)
+
+
 def test_flat_auto_layout_prefers_exact_lane_fill():
     """The auto layout's cost model: when some rz fills 128 lanes exactly
     (n_yz0*rz == 128) with rx*rz == R, nothing can beat it."""
