@@ -260,6 +260,15 @@ class FlatReplicaEnsemble:
             context._system.getDefaultPeriodicBoxVectors(), np.float64))
         pg = [max(int(np.floor(L / target)), 1) for L in box0]
         n_yz0 = pg[1] * pg[2]
+        cell = box0 / np.array(pg)
+        w = int(np.ceil(r_list / cell[0]))
+        n_lay = 2 * w + 1
+        cap = nb.get("capacity")
+        if not cap:
+            n0 = context._system.getNumParticles()
+            density = n0 / float(np.prod(box0))
+            cap = int(np.ceil(density * np.prod(cell) * 1.35)) + 2
+            cap = max(int(np.ceil(cap / 8)) * 8, 8)
         best = None
         for rz in range(1, R + 1):
             rx = -(-R // rz)                 # ceil: smallest rx covering R
@@ -268,10 +277,18 @@ class FlatReplicaEnsemble:
             r_int = rx * rz
             if r_int > max(R + 1, int(R * 1.25)):
                 continue
-            lanes = -(-n_yz0 * rz // 128) * 128
-            # n_yz < 128 also disengages the Pallas sweep (ops/pallas_sweep
-            # supports()), worth ~1.5x on the sweep term
-            pallas_penalty = 1.0 if n_yz0 * rz >= 128 else 1.5
+            n_yz = n_yz0 * rz
+            lanes = -(-n_yz // 128) * 128
+            # mirror ops/pallas_sweep.supports()'s layout-dependent gates:
+            # the XLA fallback measured ~2.5x on the whole sweep term
+            # (scripts/probe_flat_layouts.py: 13x5 disengaged 157.8 ms vs
+            # 7x10 engaged 100.1 ms at 64 x 4k)
+            lay_stride = -(-2 * n_yz // 128) * 128
+            fr_stride = lanes
+            vmem = 4 * cap * n_lay * (8 * lay_stride + 6 * fr_stride)
+            pallas_ok = (n_yz >= 128 and vmem <= 12 * 1024 * 1024
+                         and pg[0] >= n_lay)
+            pallas_penalty = 1.0 if pallas_ok else 2.5
             cost = (0.5 * pallas_penalty * (rx * lanes) / (R * n_yz0)
                     + 0.5 * r_int / R)
             key = (cost, r_int, rz)
