@@ -10,6 +10,7 @@ reason).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -38,12 +39,20 @@ def get_lib():
         so = os.path.join(src_dir, "libdrudenose_native.so")
         if not os.path.exists(src):
             return None
+        # rebuild whenever the source content changes (hash sidecar, not
+        # mtime: a stale or foreign .so must never be dlopen'd — the
+        # library is .gitignore'd and always built locally from source)
+        with open(src, "rb") as f:
+            src_hash = hashlib.sha256(f.read()).hexdigest()
+        stamp = so + ".hash"
         try:
-            if (not os.path.exists(so)
-                    or os.path.getmtime(so) < os.path.getmtime(src)):
+            if not os.path.exists(so) or not os.path.exists(stamp) or \
+                    open(stamp).read().strip() != src_hash:
                 subprocess.run(
                     ["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
                     check=True, capture_output=True)
+                with open(stamp, "w") as f:
+                    f.write(src_hash)
             lib = ctypes.CDLL(so)
         except (OSError, subprocess.CalledProcessError):
             return None

@@ -275,9 +275,18 @@ def test_flat_ensemble_two_temp_groups():
         np.testing.assert_allclose(got_gt[r], ref_gt[r], rtol=1e-8)
 
 
-def test_flat_auto_layout_prefers_exact_lane_fill():
-    """The auto layout's cost model: when some rz fills 128 lanes exactly
-    (n_yz0*rz == 128) with rx*rz == R, nothing can beat it."""
+def test_flat_auto_layout_engages_pallas_with_low_padding():
+    """The auto layout must pick a Pallas-ENGAGED layout (the XLA fallback
+    measured 2.5x slower on the sweep) with near-minimal padded lane slots.
+    The session-9 failure mode this pins: a pure lane-fill objective picks
+    rz large enough for zero padding but blows the kernel's VMEM gate
+    (ops/pallas_sweep.supports), silently landing on the slow XLA sweep."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from openmm_drudenose_tpu.ops import pallas_sweep as ps
+
     system, pos, integ = _template()
     tctx = dn.Context(system, integ, precision="double",
                       strategy="cellpair",
@@ -289,9 +298,25 @@ def test_flat_auto_layout_prefers_exact_lane_fill():
     n_yz0 = pg[1] * pg[2]
     rx, rz = FlatReplicaEnsemble._auto_layout(tctx, 64, None)
     assert rx * rz >= 64
-    lanes = -(-n_yz0 * rz // 128) * 128
-    # padded lane slots within 10% of the unpadded ideal
-    assert rx * lanes <= 1.10 * 64 * n_yz0 or rx * rz == 64
+    assert rx * rz <= 80                     # <= 1.25x replica padding cap
+
+    def engaged(rz_c):
+        """supports() verdict for an rz_c-fold embedded grid, via the real
+        gate on a config with the ensemble's extended plane."""
+        cfg = tctx._cp_cfg
+        gx, gy, gz = cfg.grid
+        big = dataclasses.replace(
+            cfg, grid=(gx, gy, gz * rz_c),
+            x_period=getattr(cfg, "x_period", 0) or gx, z_period=gz)
+        return ps.supports(big, jnp.float32)
+
+    assert engaged(rz), (rx, rz)
+    # near-minimal padded lane slots among engaged candidates
+    def slots(rz_c):
+        return -(-64 // rz_c) * (-(-n_yz0 * rz_c // 128) * 128)
+    best_engaged = min(slots(rz_c) for rz_c in range(1, 65)
+                       if engaged(rz_c) and -(-64 // rz_c) * rz_c <= 80)
+    assert slots(rz) <= 1.05 * best_engaged, (rx, rz, slots(rz), best_engaged)
 
 
 def test_pallas_sweep_ensemble_interpret():
