@@ -310,11 +310,20 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
             dBi = (d0i - pz) % n_yz
             dCi = (d0i + pz) % n_yz
 
+            # z-wrap variants are statically excluded by the sign of oz:
+            # cz in [0, pz) so cz+oz >= pz needs oz > 0 and cz+oz < 0
+            # needs oz < 0 — one slice for oz == 0, two (+ one select)
+            # otherwise, instead of three slices + two selects per field
+            # per slot iteration
             def bview(slab_, bj):
                 vA = slab_[pl.ds(bj, 1), pl.ds(lcol + dA, n_yz)]
-                vB = slab_[pl.ds(bj, 1), pl.ds(lcol + dB, n_yz)]
+                if oz == 0:
+                    return vA
+                if oz > 0:
+                    vB = slab_[pl.ds(bj, 1), pl.ds(lcol + dB, n_yz)]
+                    return jnp.where(mz_hi, vB, vA)
                 vC = slab_[pl.ds(bj, 1), pl.ds(lcol + dC, n_yz)]
-                return jnp.where(mz_hi, vB, jnp.where(mz_lo, vC, vA))
+                return jnp.where(mz_lo, vC, vA)
 
             needs_excl = bool(off_needs_excl[oi])
 
@@ -360,14 +369,20 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
                 (fx, fy, fz, zero, zero, zero))
 
             # lane inverse-shift into the b frame (static value slices)
+            # inverse z-wrap: cz - oz >= pz needs oz < 0, cz - oz < 0
+            # needs oz > 0 — same static exclusion as bview
             shifted = []
             for r in (rxa, rya, rza):
                 r2x = jnp.concatenate([r, r], axis=1)     # (C, 2*n_yz)
                 vA = r2x[:, dAi:dAi + n_yz]
-                vB = r2x[:, dBi:dBi + n_yz]
-                vC = r2x[:, dCi:dCi + n_yz]
-                shifted.append(
-                    jnp.where(mzi_hi, vB, jnp.where(mzi_lo, vC, vA)))
+                if oz == 0:
+                    shifted.append(vA)
+                elif oz > 0:
+                    vC = r2x[:, dCi:dCi + n_yz]
+                    shifted.append(jnp.where(mzi_lo, vC, vA))
+                else:
+                    vB = r2x[:, dBi:dBi + n_yz]
+                    shifted.append(jnp.where(mzi_hi, vB, vA))
             L = ox + w
             acc = react_layers.get(L)
             react_layers[L] = (shifted if acc is None else
