@@ -621,12 +621,23 @@ class NonbondedForce:
             # f32 noise floor, rms 3.4e-6 relative).  Opt out with
             # nb_kwargs {"use_pallas": 0}
             default_pallas = 2 if jax.default_backend() == "tpu" else 0
-            use_pallas_sweep = nb_kwargs.get("use_pallas",
-                                             default_pallas) == 2
+            up = nb_kwargs.get("use_pallas", default_pallas)
+            use_pallas_sweep = up in (2, 3)
+            pallas_chunk = None
             if use_pallas_sweep:
                 from ..ops import pallas_sweep
-                if not pallas_sweep.supports(cp_cfg, dtype):
-                    use_pallas_sweep = False
+                if up == 3:
+                    # force the y-chunked kernel (parity tests)
+                    pallas_chunk = nb_kwargs.get(
+                        "pallas_chunk",
+                        pallas_sweep.choose_chunk(cp_cfg, dtype, force=True))
+                    use_pallas_sweep = pallas_chunk is not None
+                elif not pallas_sweep.supports(cp_cfg, dtype):
+                    # full-layer kernel disengaged (large (y, z) planes
+                    # blow its VMEM gate) — fall back to the y-chunked
+                    # program grid before giving up on Pallas entirely
+                    pallas_chunk = pallas_sweep.choose_chunk(cp_cfg, dtype)
+                    use_pallas_sweep = pallas_chunk is not None
 
             pallas_excl_skip = False
             if use_pallas_sweep:
@@ -642,13 +653,22 @@ class NonbondedForce:
                 pallas_excl_skip = bool(
                     nb_kwargs.get("pallas_excl_skip", True))
 
-                def sweep_forces(params, positions, box_diag, neighbors):
-                    return pallas_sweep.pair_forces_pallas(
-                        params, positions, box_diag, neighbors, cp_cfg,
-                        ps_method,
-                        alpha=pme.alpha if ps_method == "ewald" else 0.0,
-                        krf=krf, crf=crf, coulomb_scale=ONE_4PI_EPS0,
-                        excl_skip=pallas_excl_skip)
+                if pallas_chunk is not None:
+                    def sweep_forces(params, positions, box_diag, neighbors):
+                        return pallas_sweep.pair_forces_pallas_chunked(
+                            params, positions, box_diag, neighbors, cp_cfg,
+                            ps_method, pallas_chunk,
+                            alpha=pme.alpha if ps_method == "ewald" else 0.0,
+                            krf=krf, crf=crf, coulomb_scale=ONE_4PI_EPS0,
+                            excl_skip=pallas_excl_skip)
+                else:
+                    def sweep_forces(params, positions, box_diag, neighbors):
+                        return pallas_sweep.pair_forces_pallas(
+                            params, positions, box_diag, neighbors, cp_cfg,
+                            ps_method,
+                            alpha=pme.alpha if ps_method == "ewald" else 0.0,
+                            krf=krf, crf=crf, coulomb_scale=ONE_4PI_EPS0,
+                            excl_skip=pallas_excl_skip)
             else:
                 def sweep_forces(params, positions, box_diag, neighbors):
                     _, f = cp.pair_energy_forces(

@@ -78,3 +78,60 @@ def test_forces_match_drifted(water_ctx):
     scale = float(jnp.max(jnp.abs(f_ref)))
     np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_ref),
                                atol=2e-5 * scale)
+
+
+@pytest.fixture(scope="module")
+def drifted_plain_pallas(water_ctx):
+    """Drifted positions + the full-layer kernel's forces on them: the
+    oracle for the chunked variant (same pair math incl. the A&S erfc,
+    so the tolerance pins only the chunk layout/overlap-add machinery;
+    an f64 run matches to 3e-16)."""
+    ctx = water_ctx
+    st = ctx._state
+    nb_fn, nb_params = next(t for t in ctx._terms
+                            if hasattr(t[0], "cellpair_cfg"))
+    rng = np.random.default_rng(7)
+    pos = st.positions + jnp.asarray(
+        rng.uniform(-0.04, 0.04, st.positions.shape), jnp.float32)
+    f_ref = ps.pair_forces_pallas(
+        nb_params, pos, jnp.diagonal(st.box), st.neighbors, ctx._cp_cfg,
+        "ewald", alpha=nb_fn.pme_setup.alpha, interpret=True)
+    return pos, np.asarray(f_ref)
+
+
+@pytest.mark.parametrize("cy", [1, 0])
+def test_chunked_forces_match_plain_pallas(water_ctx, drifted_plain_pallas,
+                                           cy):
+    """The y-chunked program grid (large-plane fallback) must reproduce
+    the full-layer kernel: cy=1 exercises multi-chunk halo overlap-add
+    (with wy=2 > cy, halos span two chunks) and the guard rows; cy=gy
+    the single-chunk wrap case."""
+    ctx = water_ctx
+    st = ctx._state
+    nb_fn, nb_params = next(t for t in ctx._terms
+                            if hasattr(t[0], "cellpair_cfg"))
+    pos, f_ref = drifted_plain_pallas
+    cy = cy or ctx._cp_cfg.grid[1]          # 0 -> single full-gy chunk
+    f_pl = ps.pair_forces_pallas_chunked(
+        nb_params, pos, jnp.diagonal(st.box), st.neighbors, ctx._cp_cfg,
+        "ewald", cy, alpha=nb_fn.pme_setup.alpha, interpret=True)
+    scale = np.abs(f_ref).max()
+    np.testing.assert_allclose(np.asarray(f_pl), f_ref, atol=5e-6 * scale)
+
+
+def test_choose_chunk(water_ctx):
+    import dataclasses
+
+    # a 1M-atom-class cube: the full-layer kernel's VMEM gate fails at
+    # n_yz = 1024, the chunked chooser must find an exact-lane-fill cy
+    ctx = water_ctx
+    big = dataclasses.replace(ctx._cp_cfg, grid=(32, 32, 32))
+    assert not ps.supports(big, jnp.float32)
+    cyv = ps.choose_chunk(big, jnp.float32)
+    assert cyv == 16            # 512 lanes, zero pad, VMEM-fitting
+    assert ps.choose_chunk(big, jnp.float64) is None
+    # where the full-layer kernel engages, the chooser defers to it
+    mid = dataclasses.replace(ctx._cp_cfg, grid=(15, 15, 15))
+    assert ps.supports(mid, jnp.float32)
+    assert ps.choose_chunk(mid, jnp.float32) is None
+    assert ps.choose_chunk(mid, jnp.float32, force=True) is not None
