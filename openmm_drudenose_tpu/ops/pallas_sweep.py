@@ -491,8 +491,11 @@ def choose_chunk(cfg, dtype, force=False):
             continue
         ch_stride = -(-(cy + 2 * wy + 2) * gz // 128) * 128
         fr_stride = -(-(cy + 2 * wy) * gz // 128) * 128
+        # output blocks get supports()'s x2 double-buffer factor: configs
+        # near the boundary must not pass here and then OOM on chip
         vmem = 4 * C * (n_lay * 8 * ch_stride + ch_stride
-                        + 3 * (-(-lanes // 128) * 128 + n_lay * fr_stride))
+                        + 2 * 3 * (-(-lanes // 128) * 128
+                                   + n_lay * fr_stride))
         if vmem > 12 * 1024 * 1024:
             continue
         pad = (-(-lanes // 128) * 128) / lanes
@@ -538,6 +541,16 @@ def pair_forces_pallas_chunked(params, positions, box_diag, cellsort, cfg,
     C = cfg.capacity
     W = cfg.excl_window
     dtype = positions.dtype
+    # a non-divisor cy would silently drop the last gy % cy rows of cells
+    # (n_chunk = gy // cy below); user overrides via nb_kwargs
+    # {"pallas_chunk": cy} arrive unvalidated, so fail loudly here
+    if gy % cy:
+        raise ValueError(f"pallas_chunk cy={cy} must divide the cell "
+                         f"grid's y dimension gy={gy}")
+    if cy * gz < 128 and not interpret:
+        raise ValueError(f"pallas_chunk cy={cy}: pair tile needs "
+                         f"cy*gz >= 128 lanes (gz={gz}); Mosaic rejects "
+                         "narrower dynamic-sublane loads")
     if coulomb_scale is None:
         from ..units import ONE_4PI_EPS0 as coulomb_scale
     pair_g = _make_pair_g(method, cfg.cutoff, alpha=alpha, krf=krf, crf=crf)

@@ -119,6 +119,29 @@ def test_chunked_forces_match_plain_pallas(water_ctx, drifted_plain_pallas,
     np.testing.assert_allclose(np.asarray(f_pl), f_ref, atol=5e-6 * scale)
 
 
+def test_chunked_validates_cy(water_ctx):
+    """User-facing nb_kwargs {"pallas_chunk": cy} overrides arrive
+    unvalidated; a non-divisor cy would silently drop the trailing
+    gy % cy cell rows — it must raise instead."""
+    ctx = water_ctx
+    st = ctx._state
+    nb_fn, nb_params = next(t for t in ctx._terms
+                            if hasattr(t[0], "cellpair_cfg"))
+    gy, gz = ctx._cp_cfg.grid[1], ctx._cp_cfg.grid[2]
+    bad = next(c for c in range(2, gy) if gy % c)
+    with pytest.raises(ValueError, match="must divide"):
+        ps.pair_forces_pallas_chunked(
+            nb_params, st.positions, jnp.diagonal(st.box), st.neighbors,
+            ctx._cp_cfg, "ewald", bad, alpha=nb_fn.pme_setup.alpha,
+            interpret=True)
+    if gz < 128:  # compiled runs additionally need >= 128 pair-tile lanes
+        with pytest.raises(ValueError, match="128"):
+            ps.pair_forces_pallas_chunked(
+                nb_params, st.positions, jnp.diagonal(st.box),
+                st.neighbors, ctx._cp_cfg, "ewald", 1,
+                alpha=nb_fn.pme_setup.alpha, interpret=False)
+
+
 def test_choose_chunk(water_ctx):
     import dataclasses
 
