@@ -30,6 +30,8 @@ from .app.context import Context, State
 from .app.simulation import (Simulation, StateDataReporter,
                              CheckpointReporter, DCDReporter, PDBReporter)
 from .app.serialization import (serialize_integrator, deserialize_integrator,
+                                serialize_system, deserialize_system,
+                                XmlSerializer,
                                 save_checkpoint, load_checkpoint)
 from .app.forcefield import ForceField, Modeller
 from .parallel.ensemble import ReplicaEnsemble
@@ -48,5 +50,6 @@ __all__ = [
     "Modeller",
     "serialize_integrator",
     "deserialize_integrator",
+    "serialize_system", "deserialize_system", "XmlSerializer",
     "save_checkpoint", "load_checkpoint", "BOLTZ", "ONE_4PI_EPS0",
 ]

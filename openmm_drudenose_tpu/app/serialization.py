@@ -1,4 +1,5 @@
-"""XML (de)serialization of DrudeTGNHIntegrator and pytree checkpoints.
+"""XML (de)serialization of System / DrudeTGNHIntegrator + pytree
+checkpoints.
 
 The reference proxy (serialization/src/DrudeTGNHIntegratorProxy.cpp:43-66)
 serializes 9 scalar fields and silently DROPS temp groups, particle
@@ -10,6 +11,14 @@ checkpoint (section 5).  Both are fixed here:
   * checkpoints dump the full SimState pytree (positions, velocities,
     forces, box, NH chain state, barostat state, PRNG key), so resume is
     bit-exact
+
+The reference workflow also relies on the host OpenMM's
+``XmlSerializer::serialize<System>`` (the plugin's serialization layer's
+host side) so a Context is reconstructible from files alone; the
+equivalent here is serialize_system/deserialize_system (every particle,
+constraint, virtual site, and force — incl. the NBFIX/NBTHOLE tables
+OpenMM keeps in separate force objects), plus the OpenMM-shaped
+``XmlSerializer`` facade that dispatches on document type.
 """
 
 from __future__ import annotations
@@ -70,6 +79,312 @@ def deserialize_integrator(xml: str) -> DrudeTGNHIntegrator:
         for g in groups.text.split():
             integ.addParticleTempGroup(int(g))
     return integ
+
+
+# -- System ------------------------------------------------------------------
+
+def _vsite_to_xml(index: int, vs) -> ET.Element:
+    from ..system import (LocalCoordinatesSite, OutOfPlaneSite,
+                          ThreeParticleAverageSite, TwoParticleAverageSite)
+    e = ET.Element("VirtualSite", {"index": str(index)})
+    if isinstance(vs, TwoParticleAverageSite):
+        e.set("type", "average2")
+    elif isinstance(vs, ThreeParticleAverageSite):
+        e.set("type", "average3")
+    elif isinstance(vs, OutOfPlaneSite):
+        e.set("type", "outOfPlane")
+    elif isinstance(vs, LocalCoordinatesSite):
+        e.set("type", "localCoords")
+        e.set("particles", " ".join(map(str, vs.particles)))
+        e.set("originWeights", " ".join(map(repr, vs.origin_weights)))
+        e.set("xWeights", " ".join(map(repr, vs.x_weights)))
+        e.set("yWeights", " ".join(map(repr, vs.y_weights)))
+        e.set("localPosition", " ".join(map(repr, vs.local_position)))
+        return e
+    else:
+        raise ValueError(f"unsupported virtual site {type(vs).__name__}")
+    e.set("particles", " ".join(map(str, vs.particles)))
+    e.set("weights", " ".join(map(repr, vs.weights)))
+    return e
+
+
+def _vsite_from_xml(e: ET.Element):
+    from ..system import (LocalCoordinatesSite, OutOfPlaneSite,
+                          ThreeParticleAverageSite, TwoParticleAverageSite)
+    kind = e.get("type")
+    particles = [int(x) for x in e.get("particles").split()]
+    if kind == "localCoords":
+        return LocalCoordinatesSite(
+            particles,
+            [float(x) for x in e.get("originWeights").split()],
+            [float(x) for x in e.get("xWeights").split()],
+            [float(x) for x in e.get("yWeights").split()],
+            [float(x) for x in e.get("localPosition").split()])
+    weights = [float(x) for x in e.get("weights").split()]
+    cls = {"average2": TwoParticleAverageSite,
+           "average3": ThreeParticleAverageSite,
+           "outOfPlane": OutOfPlaneSite}[kind]
+    return cls(*particles, *weights)
+
+
+def _force_to_xml(f) -> ET.Element:
+    from ..forces.bonded import (HarmonicAngleForce, HarmonicBondForce,
+                                 PeriodicTorsionForce)
+    from ..forces.cmmotion import CMMotionRemover, MonteCarloBarostat
+    from ..forces.drude import DrudeForce
+    from ..forces.nonbonded import NonbondedForce
+
+    if isinstance(f, NonbondedForce):
+        e = ET.Element("Force", {
+            "type": "NonbondedForce",
+            "method": str(f.getNonbondedMethod()),
+            "cutoff": repr(f.getCutoffDistance()),
+            "useSwitchingFunction": str(int(f.getUseSwitchingFunction())),
+            "switchingDistance": repr(f.getSwitchingDistance()),
+            "ewaldTolerance": repr(f.getEwaldErrorTolerance()),
+            "rfDielectric": repr(f.getReactionFieldDielectric()),
+            "dispersionCorrection":
+                str(int(f.getUseDispersionCorrection())),
+            "alpha": repr(f._pme_params[0]),
+            "nx": str(f._pme_params[1]), "ny": str(f._pme_params[2]),
+            "nz": str(f._pme_params[3]),
+        })
+        ps = ET.SubElement(e, "Particles")
+        for q, sig, eps in f._particles:
+            ET.SubElement(ps, "Particle", {"q": repr(q), "sig": repr(sig),
+                                           "eps": repr(eps)})
+        ex = ET.SubElement(e, "Exceptions")
+        for p1, p2, qq, sig, eps in f._exceptions:
+            ET.SubElement(ex, "Exception", {
+                "p1": str(p1), "p2": str(p2), "q": repr(qq),
+                "sig": repr(sig), "eps": repr(eps)})
+        if f._lj_overrides:
+            ov = ET.SubElement(e, "LJPairOverrides")
+            for set1, set2, sig, eps in f._lj_overrides:
+                ET.SubElement(ov, "Override", {
+                    "particles1": " ".join(map(str, set1)),
+                    "particles2": " ".join(map(str, set2)),
+                    "sig": repr(sig), "eps": repr(eps)})
+        return e
+
+    if isinstance(f, DrudeForce):
+        e = ET.Element("Force", {"type": "DrudeForce"})
+        ps = ET.SubElement(e, "Particles")
+        for p in f._particles:
+            ET.SubElement(ps, "Particle", {
+                "p": str(p[0]), "p1": str(p[1]), "p2": str(p[2]),
+                "p3": str(p[3]), "p4": str(p[4]), "q": repr(p[5]),
+                "alpha": repr(p[6]), "aniso12": repr(p[7]),
+                "aniso34": repr(p[8])})
+        sp = ET.SubElement(e, "ScreenedPairs")
+        for a, b, thole in f._screened_pairs:
+            ET.SubElement(sp, "Pair", {"p1": str(a), "p2": str(b),
+                                       "thole": repr(thole)})
+        if f._nbthole:
+            nb = ET.SubElement(e, "NBTholePairs")
+            for a, b, thole in f._nbthole:
+                ET.SubElement(nb, "Pair", {"p1": str(a), "p2": str(b),
+                                           "thole": repr(thole)})
+        return e
+
+    if isinstance(f, HarmonicBondForce):
+        e = ET.Element("Force", {"type": "HarmonicBondForce"})
+        for p1, p2, length, k in f._bonds:
+            ET.SubElement(e, "Bond", {"p1": str(p1), "p2": str(p2),
+                                      "d": repr(length), "k": repr(k)})
+        return e
+
+    if isinstance(f, HarmonicAngleForce):
+        e = ET.Element("Force", {"type": "HarmonicAngleForce"})
+        for p1, p2, p3, th, k in f._angles:
+            ET.SubElement(e, "Angle", {"p1": str(p1), "p2": str(p2),
+                                       "p3": str(p3), "a": repr(th),
+                                       "k": repr(k)})
+        return e
+
+    if isinstance(f, PeriodicTorsionForce):
+        e = ET.Element("Force", {"type": "PeriodicTorsionForce"})
+        for p1, p2, p3, p4, per, ph, k in f._torsions:
+            ET.SubElement(e, "Torsion", {
+                "p1": str(p1), "p2": str(p2), "p3": str(p3), "p4": str(p4),
+                "periodicity": str(per), "phase": repr(ph), "k": repr(k)})
+        return e
+
+    if isinstance(f, CMMotionRemover):
+        return ET.Element("Force", {"type": "CMMotionRemover",
+                                    "frequency": str(f.getFrequency())})
+
+    if isinstance(f, MonteCarloBarostat):
+        return ET.Element("Force", {
+            "type": "MonteCarloBarostat",
+            "pressure": repr(f.getDefaultPressure()),
+            "temperature": repr(f.getDefaultTemperature()),
+            "frequency": str(f.getFrequency())})
+
+    raise ValueError(f"cannot serialize force {type(f).__name__}")
+
+
+def _force_from_xml(e: ET.Element):
+    from ..forces.bonded import (HarmonicAngleForce, HarmonicBondForce,
+                                 PeriodicTorsionForce)
+    from ..forces.cmmotion import CMMotionRemover, MonteCarloBarostat
+    from ..forces.drude import DrudeForce
+    from ..forces.nonbonded import NonbondedForce
+
+    kind = e.get("type")
+    if kind == "NonbondedForce":
+        f = NonbondedForce()
+        f.setNonbondedMethod(int(e.get("method")))
+        f.setCutoffDistance(float(e.get("cutoff")))
+        f.setUseSwitchingFunction(bool(int(e.get("useSwitchingFunction"))))
+        f.setSwitchingDistance(float(e.get("switchingDistance")))
+        f.setEwaldErrorTolerance(float(e.get("ewaldTolerance")))
+        f.setReactionFieldDielectric(float(e.get("rfDielectric")))
+        f.setUseDispersionCorrection(
+            bool(int(e.get("dispersionCorrection"))))
+        f.setPMEParameters(float(e.get("alpha")), int(e.get("nx")),
+                           int(e.get("ny")), int(e.get("nz")))
+        for p in e.find("Particles"):
+            f.addParticle(float(p.get("q")), float(p.get("sig")),
+                          float(p.get("eps")))
+        for x in e.find("Exceptions"):
+            f.addException(int(x.get("p1")), int(x.get("p2")),
+                           float(x.get("q")), float(x.get("sig")),
+                           float(x.get("eps")))
+        ov = e.find("LJPairOverrides")
+        if ov is not None:
+            for o in ov:
+                f.addLJPairOverride(
+                    [int(x) for x in o.get("particles1").split()],
+                    [int(x) for x in o.get("particles2").split()],
+                    float(o.get("sig")), float(o.get("eps")))
+        return f
+
+    if kind == "DrudeForce":
+        f = DrudeForce()
+        for p in e.find("Particles"):
+            f.addParticle(int(p.get("p")), int(p.get("p1")),
+                          int(p.get("p2")), int(p.get("p3")),
+                          int(p.get("p4")), float(p.get("q")),
+                          float(p.get("alpha")), float(p.get("aniso12")),
+                          float(p.get("aniso34")))
+        for x in e.find("ScreenedPairs"):
+            f.addScreenedPair(int(x.get("p1")), int(x.get("p2")),
+                              float(x.get("thole")))
+        nb = e.find("NBTholePairs")
+        if nb is not None:
+            for x in nb:
+                f.addNBTholePair(int(x.get("p1")), int(x.get("p2")),
+                                 float(x.get("thole")))
+        return f
+
+    if kind == "HarmonicBondForce":
+        f = HarmonicBondForce()
+        for b in e:
+            f.addBond(int(b.get("p1")), int(b.get("p2")),
+                      float(b.get("d")), float(b.get("k")))
+        return f
+
+    if kind == "HarmonicAngleForce":
+        f = HarmonicAngleForce()
+        for a in e:
+            f.addAngle(int(a.get("p1")), int(a.get("p2")),
+                       int(a.get("p3")), float(a.get("a")),
+                       float(a.get("k")))
+        return f
+
+    if kind == "PeriodicTorsionForce":
+        f = PeriodicTorsionForce()
+        for t in e:
+            f.addTorsion(int(t.get("p1")), int(t.get("p2")),
+                         int(t.get("p3")), int(t.get("p4")),
+                         int(t.get("periodicity")), float(t.get("phase")),
+                         float(t.get("k")))
+        return f
+
+    if kind == "CMMotionRemover":
+        return CMMotionRemover(int(e.get("frequency")))
+
+    if kind == "MonteCarloBarostat":
+        return MonteCarloBarostat(float(e.get("pressure")),
+                                  float(e.get("temperature")),
+                                  int(e.get("frequency")))
+
+    raise ValueError(f"unknown force type in XML: {kind}")
+
+
+def serialize_system(system) -> str:
+    """Non-lossy XML of a System: particles, constraints, virtual sites,
+    periodic box, and every force (role of OpenMM's
+    XmlSerializer::serialize<System>, which the reference workflow uses
+    implicitly through the host toolkit — SURVEY.md section 2.4)."""
+    root = ET.Element("System", {"version": str(_VERSION)})
+    box = system.getDefaultPeriodicBoxVectors()
+    bv = ET.SubElement(root, "PeriodicBoxVectors")
+    for name, v in zip("ABC", box):
+        ET.SubElement(bv, name, {"x": repr(v[0]), "y": repr(v[1]),
+                                 "z": repr(v[2])})
+    ps = ET.SubElement(root, "Particles")
+    for i in range(system.getNumParticles()):
+        ET.SubElement(ps, "Particle",
+                      {"mass": repr(system.getParticleMass(i))})
+    cs = ET.SubElement(root, "Constraints")
+    for ci in range(system.getNumConstraints()):
+        p1, p2, d = system.getConstraintParameters(ci)
+        ET.SubElement(cs, "Constraint", {"p1": str(p1), "p2": str(p2),
+                                         "d": repr(d)})
+    vs = ET.SubElement(root, "VirtualSites")
+    for i in sorted(system._virtual_sites):
+        vs.append(_vsite_to_xml(i, system.getVirtualSite(i)))
+    fs = ET.SubElement(root, "Forces")
+    for f in system.getForces():
+        fs.append(_force_to_xml(f))
+    return ET.tostring(root, encoding="unicode")
+
+
+def deserialize_system(xml: str):
+    from ..system import System
+    root = ET.fromstring(xml)
+    if root.tag != "System":
+        raise ValueError(f"not a System document: {root.tag}")
+    system = System()
+    for p in root.find("Particles"):
+        system.addParticle(float(p.get("mass")))
+    for c in root.find("Constraints"):
+        system.addConstraint(int(c.get("p1")), int(c.get("p2")),
+                             float(c.get("d")))
+    for v in root.find("VirtualSites"):
+        system.setVirtualSite(int(v.get("index")), _vsite_from_xml(v))
+    bv = root.find("PeriodicBoxVectors")
+    system.setDefaultPeriodicBoxVectors(
+        *[[float(bv.find(n).get(ax)) for ax in "xyz"] for n in "ABC"])
+    for f in root.find("Forces"):
+        system.addForce(_force_from_xml(f))
+    return system
+
+
+class XmlSerializer:
+    """OpenMM-shaped facade: ``XmlSerializer.serialize(obj)`` /
+    ``XmlSerializer.deserialize(xml)``, dispatching on object/document
+    type (System or DrudeTGNHIntegrator)."""
+
+    @staticmethod
+    def serialize(obj) -> str:
+        if isinstance(obj, DrudeTGNHIntegrator):
+            return serialize_integrator(obj)
+        from ..system import System
+        if isinstance(obj, System):
+            return serialize_system(obj)
+        raise TypeError(f"cannot serialize {type(obj).__name__}")
+
+    @staticmethod
+    def deserialize(xml: str):
+        tag = ET.fromstring(xml).tag
+        if tag == "DrudeTGNHIntegrator":
+            return deserialize_integrator(xml)
+        if tag == "System":
+            return deserialize_system(xml)
+        raise ValueError(f"unknown document type: {tag}")
 
 
 # -- checkpointing -----------------------------------------------------------

@@ -39,6 +39,104 @@ def test_integrator_xml_round_trip():
     assert [integ2.getParticleTempGroup(i) for i in range(5)] == [0, 0, 1, 1, 0]
 
 
+def _decorated_water_system(n_mol=20):
+    """A water box decorated with every serializable feature: bonded
+    forces, NBFIX LJ overrides, NBTHOLE pairs, a LocalCoordinatesSite,
+    and a barostat — so the System XML round trip covers all branches."""
+    from openmm_drudenose_tpu.io import builders
+    from openmm_drudenose_tpu.system import LocalCoordinatesSite
+    system, positions = builders.build_water_box(n_mol)
+    nbf = next(f for f in system.getForces()
+               if isinstance(f, dn.NonbondedForce))
+    nbf.addLJPairOverride([0, 5], [10, 15], 0.31, 0.8)
+    drude = next(f for f in system.getForces()
+                 if isinstance(f, dn.DrudeForce))
+    drude.addNBTholePair(0, 1, 1.3)
+    bonds = dn.HarmonicBondForce()
+    bonds.addBond(0, 2, 0.1, 1000.0)
+    system.addForce(bonds)
+    angles = dn.HarmonicAngleForce()
+    angles.addAngle(2, 0, 3, 1.82, 100.0)
+    system.addForce(angles)
+    tors = dn.PeriodicTorsionForce()
+    tors.addTorsion(2, 0, 3, 4, 2, 0.5, 5.0)
+    system.addForce(tors)
+    system.addForce(dn.MonteCarloBarostat(1.01325, 300.0, 23))
+    # replace one water's M-site definition with the equivalent
+    # LocalCoordinatesSite to exercise that branch
+    vs = system.getVirtualSite(4)
+    system.setVirtualSite(4, LocalCoordinatesSite(
+        list(vs.particles), list(vs.weights), [1.0, -0.5, -0.5],
+        [0.0, 1.0, -1.0], [0.0, 0.0, 0.0]))
+    return system, positions
+
+
+def test_system_xml_round_trip():
+    """System XML must rebuild an IDENTICAL SystemSpec (hash-equal
+    arrays) — the role OpenMM's XmlSerializer<System> plays for the
+    reference workflow (SURVEY.md section 2.4)."""
+    import jax
+    import jax.numpy as jnp
+    from openmm_drudenose_tpu.core import spec as spec_mod
+
+    system, _ = _decorated_water_system()
+    xml = dn.XmlSerializer.serialize(system)
+    system2 = dn.XmlSerializer.deserialize(xml)
+    assert isinstance(system2, dn.System)
+
+    def spec_of(s):
+        integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+        integ.setMaxDrudeDistance(0.02)
+        return spec_mod.build_spec(s, integ, jnp.float64, jnp.float64)
+
+    spec1, static1, edd1 = spec_of(system)
+    spec2, static2, edd2 = spec_of(system2)
+    assert static1 == static2
+    np.testing.assert_array_equal(edd1, edd2)
+    l1, t1 = jax.tree.flatten(spec1)
+    l2, t2 = jax.tree.flatten(spec2)
+    assert t1 == t2
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # second round trip is textually identical (stable form)
+    assert dn.XmlSerializer.serialize(system2) == xml
+
+
+def test_context_reconstructible_from_files(tmp_path):
+    """System XML + integrator XML + state checkpoint => the same
+    trajectory, with no live objects carried over."""
+    system, positions = _decorated_water_system(8)
+    # drop the barostat (the last force added) for a cheap exact-NVT
+    # trajectory comparison
+    from openmm_drudenose_tpu.forces.cmmotion import MonteCarloBarostat
+    idx = next(i for i in range(system.getNumForces())
+               if isinstance(system.getForce(i), MonteCarloBarostat))
+    system.removeForce(idx)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision="double")
+    ctx.setPositions(positions)
+    ctx.setVelocitiesToTemperature(300.0, seed=3)
+    integ.step(20)
+
+    (tmp_path / "system.xml").write_text(dn.XmlSerializer.serialize(system))
+    (tmp_path / "integrator.xml").write_text(
+        dn.XmlSerializer.serialize(integ))
+    dn.save_checkpoint(str(tmp_path / "state.npz"), ctx)
+    integ.step(20)
+    ref = ctx.getState(positions=True).getPositions()
+
+    system2 = dn.XmlSerializer.deserialize(
+        (tmp_path / "system.xml").read_text())
+    integ2 = dn.XmlSerializer.deserialize(
+        (tmp_path / "integrator.xml").read_text())
+    ctx2 = dn.Context(system2, integ2, precision="double")
+    dn.load_checkpoint(str(tmp_path / "state.npz"), ctx2)
+    integ2.step(20)
+    res = ctx2.getState(positions=True).getPositions()
+    np.testing.assert_array_equal(res, ref)
+
+
 def test_checkpoint_resume_bit_exact(tmp_path):
     """Resume must continue the exact trajectory — including the NH chain
     state the reference silently resets (SURVEY.md section 5)."""
