@@ -3,17 +3,30 @@
 (SWM4-NDP, PME, TGNH thermostat, hard wall, 1 fs steps) on the default JAX
 device — the BASELINE.md configuration.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout (all progress goes to stderr):
   {"metric": ..., "value": N, "unit": "ns/day", "vs_baseline": N}
+
+Designed to finish inside the driver's timeout window even when the remote
+TPU compile service is slow (round-2 lesson: a 20-minute compile-bound run
+recorded rc=124/null on the scoreboard):
+  * the default run starts from a committed pre-equilibrated snapshot
+    (data/bench_equil_100k.npz, produced by scripts/make_bench_snapshot.py)
+    so there is exactly ONE context and ONE compile phase — no 1000-step
+    equilibration, no second context;
+  * a persistent compilation cache (checked-in .jaxcache/, plus
+    JAX_COMPILATION_CACHE_DIR override) turns repeat compiles into loads;
+  * a wall-clock budget (--budget, default 420 s) degrades gracefully —
+    fewer repeats, then fewer steps (step counts are multiples of the
+    rebuild interval, so shrinking them reuses the compiled scan) — and the
+    JSON line is ALWAYS printed, on success or failure.
 
 vs_baseline compares against a measured C++ serial double-precision cost
 model of the OpenMM Reference platform's hot path (direct-space pass +
 per-step neighbor rebuild, native/reference_cost.cpp; --measure-baseline-cpp
 caches it in bench_baseline.json).  The model omits the PME reciprocal sum,
 bonded terms, and integrator kinematics the real Reference platform also
-pays, so the reported ratio is an underestimate.  (The earlier JAX-on-CPU
-f64 stand-in measured ~14x slower than this C++ loop and was retired — it
-inflated the ratio.)  BASELINE.md's target is >= 10x on one v5e chip.
+pays, so the reported ratio is an underestimate.  BASELINE.md's target is
+>= 10x on one v5e chip.
 """
 
 import argparse
@@ -22,9 +35,25 @@ import os
 import sys
 import time
 
-# persistent compilation cache: repeat bench runs skip the (minutes-long)
-# remote TPU compile.  Must be set before jax initializes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+# persistent compilation cache: repeat bench runs load executables instead
+# of paying the (minutes-long) remote TPU compile; the checked-in
+# .jaxcache/ pre-warms fresh environments.  NOTE: must go through
+# jax.config.update — the axon plugin's sitecustomize imports jax before
+# this file runs, so the JAX_COMPILATION_CACHE_DIR env var is ignored
+# (utils/compile_cache.py).
+from openmm_drudenose_tpu.utils import compile_cache  # noqa: E402
+
+CACHE_DIR = compile_cache.enable()
+
+T0 = time.time()
+
+
+def log(msg: str) -> None:
+    print(f"[bench {time.time()-T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def build_context(n_atoms: int, precision: str, platform: str | None,
@@ -50,13 +79,26 @@ def build_context(n_atoms: int, precision: str, platform: str | None,
     return ctx, integ
 
 
+def load_snapshot(ctx, n_atoms: int, path: str) -> bool:
+    """Start from the committed equilibrated liquid state.  Returns True on
+    success.  The context was BUILT from these positions (see main), so the
+    cell structure is planned for the relaxed liquid, exactly like the old
+    equilibrate-then-rebuild path but with zero extra compiles."""
+    import numpy as np
+    if not os.path.exists(path):
+        return False
+    data = np.load(path)
+    if int(data["n_atoms"]) != n_atoms:
+        return False
+    ctx.setVelocities(np.asarray(data["velocities"], dtype=np.float64))
+    return True
+
+
 def equilibrate(ctx, integ, n_atoms, precision, steps: int):
-    """Run `steps` equilibration steps, then rebuild a FRESH context from
-    the equilibrated snapshot.  The lattice initial condition is not the
-    state the benchmark claims to measure (a liquid): its lumpy cell
-    occupancy can overflow the planned cell capacity and force a grow,
-    permanently inflating the sweep's padded work.  A fresh context
-    re-plans the cell structure for the relaxed liquid."""
+    """Legacy path (--no-snapshot): run `steps` equilibration steps, then
+    rebuild a FRESH context from the equilibrated state so the cell
+    structure is re-planned for the relaxed liquid (a lattice start's lumpy
+    occupancy inflates the planned capacity)."""
     import numpy as np
     integ.step(steps)
     st = ctx.getState(positions=True, velocities=True)
@@ -74,38 +116,80 @@ def equilibrate(ctx, integ, n_atoms, precision, steps: int):
     return ctx2, integ2
 
 
-def measure_ns_day(ctx, integ, steps: int, repeats: int) -> float:
+def measure_ns_day(ctx, integ, steps: int, repeats: int,
+                   deadline: float | None) -> float:
+    """Best-of-`repeats` ns/day over `steps`-step timed runs, degrading to
+    fit the wall-clock `deadline` (fewer repeats, then fewer steps — step
+    counts snap to multiples of the rebuild interval so every timed run
+    reuses the warmup's compiled [rebuild -> interval-scan] pair)."""
     import jax
-    # warm up with the same step count so every scan length is compiled
-    # before timing starts
-    integ.step(steps)
+    import numpy as np
+    interval = ctx._rebuild_interval or steps
+    # warm up with one full chunk: compiles the rebuild + interval-scan
+    # (and, on overflow growth, settles the final capacity)
+    n_cached = (len(os.listdir(CACHE_DIR)) if os.path.isdir(CACHE_DIR)
+                else 0)
+    warm = min(steps, 8 * interval)
+    log(f"warmup {warm} steps (compiles; {n_cached} cached executables)")
+    integ.step(warm)
     jax.block_until_ready(ctx._state.positions)
+    log("warmup done; timing")
+
     best = 0.0
-    for _ in range(repeats):
+    measured = 0
+    est = None
+    for i in range(repeats):
+        if deadline is not None and est is not None:
+            if time.time() + 1.2 * est > deadline and measured >= 1:
+                log(f"budget: stopping after {measured}/{repeats} repeats")
+                break
+        k = steps
+        if deadline is not None and est is not None:
+            # shrink the run to fit the remaining budget (same compile)
+            while (k > interval
+                   and time.time() + 1.2 * est * k / steps > deadline):
+                k //= 2
+            k = max(interval, k // interval * interval)
         t0 = time.time()
-        integ.step(steps)
+        integ.step(k)
         jax.block_until_ready(ctx._state.positions)
         dt = time.time() - t0
-        best = max(best, steps / dt)
-    import numpy as np
-    # fresh energy (the force-only step leaves state.potential_energy
-    # stale; a NaN explosion must not hide behind the cached value)
-    pe = ctx.getState(energy=True).getPotentialEnergy()
-    if not np.isfinite(pe):
-        raise RuntimeError(f"non-finite PE after benchmark: {pe}")
+        est = dt * steps / k
+        best = max(best, k / dt)
+        measured += 1
+        log(f"repeat {i+1}: {k} steps in {dt:.2f}s "
+            f"({dt/k*1e3:.2f} ms/step)")
+    if measured == 0:
+        raise RuntimeError("budget exhausted before any timed run")
+
+    if not np.all(np.isfinite(np.asarray(ctx._state.positions))):
+        raise RuntimeError("non-finite positions after benchmark")
     if ctx.neighborListOverflowed:
         raise RuntimeError("neighbor list overflowed during benchmark")
     if ctx.hardwallRunaway:
         raise RuntimeError("Drude hard-wall runaway during benchmark "
                            "(a shell moved >2x past the wall)")
+    # fresh potential energy (a NaN explosion must not hide behind a cached
+    # value) — but only when the budget can afford the energy-path compile
+    if deadline is None or time.time() + 60.0 < deadline or ctx._pe_valid:
+        pe = ctx.getState(energy=True).getPotentialEnergy()
+        log(f"final PE {pe:.4e} kJ/mol")
+        if not np.isfinite(pe):
+            raise RuntimeError(f"non-finite PE after benchmark: {pe}")
+    else:
+        log("budget: skipping the PE-path compile (positions finite)")
     return best * integ.getStepSize() * 1e-3 * 86400.0
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--atoms", type=int, default=100_000)
-    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--steps", type=int, default=128)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--budget", type=float, default=420.0,
+                   help="wall-clock budget in seconds; degrade repeats/"
+                        "steps to fit and ALWAYS print the JSON line "
+                        "(0 = no budget)")
     p.add_argument("--measure-baseline", action="store_true",
                    help="measure the CPU f64 stand-in baseline and cache it")
     p.add_argument("--measure-baseline-cpp", action="store_true",
@@ -114,19 +198,17 @@ def main():
     p.add_argument("--baseline-steps", type=int, default=4)
     p.add_argument("--capacity", type=int, default=None,
                    help="force the cell capacity (debug/tuning)")
-    p.add_argument("--equil-steps", type=int, default=1000,
-                   help="equilibration steps before timing (then the "
-                        "context is rebuilt so the cell structure is "
-                        "planned from the relaxed liquid; 0 = lattice "
-                        "start)")
+    p.add_argument("--no-snapshot", action="store_true",
+                   help="ignore the committed equilibrated snapshot and "
+                        "equilibrate from the lattice (--equil-steps)")
+    p.add_argument("--equil-steps", type=int, default=1000)
     args = p.parse_args()
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    cache = os.path.join(here, "bench_baseline.json")
+    cache = os.path.join(HERE, "bench_baseline.json")
 
     if args.measure_baseline_cpp:
         import subprocess
-        src = os.path.join(here, "native", "reference_cost.cpp")
+        src = os.path.join(HERE, "native", "reference_cost.cpp")
         exe = os.path.join("/tmp", "reference_cost")
         subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src,
                         "-lm"], check=True)
@@ -150,7 +232,7 @@ def main():
         ctx, integ = build_context(args.atoms, "double", "cpu",
                                    {"capacity": args.capacity}
                                    if args.capacity else None)
-        ns_day = measure_ns_day(ctx, integ, args.baseline_steps, 1)
+        ns_day = measure_ns_day(ctx, integ, args.baseline_steps, 1, None)
         with open(cache, "w") as f:
             json.dump({"atoms": args.atoms, "ns_day": ns_day,
                        "what": "this engine, CPU double precision "
@@ -158,29 +240,71 @@ def main():
         print(json.dumps({"baseline_ns_day": ns_day}))
         return
 
-    ctx, integ = build_context(args.atoms, "single", None,
-                               {"capacity": args.capacity}
-                               if args.capacity else None)
-    if args.equil_steps:
-        ctx, integ = equilibrate(ctx, integ, args.atoms, "single",
-                                 args.equil_steps)
-    ns_day = measure_ns_day(ctx, integ, args.steps, args.repeats)
-
-    baseline = None
-    if os.path.exists(cache):
-        with open(cache) as f:
-            data = json.load(f)
-        if data.get("atoms") == args.atoms:
-            baseline = data["ns_day"]
-    vs = (ns_day / baseline) if baseline else None
-
-    print(json.dumps({
+    deadline = (T0 + args.budget) if args.budget > 0 else None
+    result = {
         "metric": f"ns/day, {args.atoms}-atom SWM4-NDP Drude water, PME, "
                   "TGNH, 1 fs",
-        "value": round(ns_day, 3),
+        "value": None,
         "unit": "ns/day",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }))
+        "vs_baseline": None,
+    }
+    try:
+        snap = os.path.join(HERE, "data",
+                            f"bench_equil_{args.atoms//1000}k.npz")
+        use_snap = not args.no_snapshot and os.path.exists(snap)
+        if use_snap:
+            # build the context directly FROM the equilibrated positions so
+            # the cell plan fits the liquid — one context, one compile phase
+            import numpy as np
+            data = np.load(snap)
+            if int(data["n_atoms"]) != args.atoms:
+                use_snap = False
+        if use_snap:
+            log(f"snapshot start: {snap}")
+            import jax  # noqa: F401  (device selection before package use)
+            import openmm_drudenose_tpu as dn
+            from openmm_drudenose_tpu.io import builders
+            system, _ = builders.build_water_box(args.atoms // 5)
+            integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001,
+                                           20, 1)
+            integ.setMaxDrudeDistance(0.02)
+            # pin the cell capacity measured at snapshot time: the default
+            # density-margin plan under-sizes the equilibrated liquid, and
+            # every mid-run overflow growth costs a full recompile
+            cap = args.capacity or (int(data["capacity"])
+                                    if "capacity" in data else None)
+            ctx = dn.Context(system, integ, precision="single",
+                             strategy="cellpair",
+                             nb_options={"capacity": cap} if cap else None)
+            ctx.setPositions(np.asarray(data["positions"],
+                                        dtype=np.float64))
+            ctx.setVelocities(np.asarray(data["velocities"],
+                                         dtype=np.float64))
+            log("context built from snapshot")
+        else:
+            log("lattice start (no snapshot)"
+                + ("" if args.no_snapshot else f" — {snap} missing"))
+            ctx, integ = build_context(args.atoms, "single", None,
+                                       {"capacity": args.capacity}
+                                       if args.capacity else None)
+            if args.equil_steps:
+                ctx, integ = equilibrate(ctx, integ, args.atoms, "single",
+                                         args.equil_steps)
+        ns_day = measure_ns_day(ctx, integ, args.steps, args.repeats,
+                                deadline)
+        result["value"] = round(ns_day, 3)
+
+        if os.path.exists(cache):
+            with open(cache) as f:
+                data = json.load(f)
+            if data.get("atoms") == args.atoms:
+                result["vs_baseline"] = round(ns_day / data["ns_day"], 2)
+    except BaseException as e:  # noqa: BLE001 — the JSON line must print
+        result["error"] = f"{type(e).__name__}: {e}"
+        log(f"FAILED: {result['error']}")
+        print(json.dumps(result), flush=True)
+        raise
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -37,17 +37,34 @@ Supported schema subset (the tags CHARMM-Drude-2013-style files use):
   <DrudeForce><Particle type1 type2 [type3 type4 type5] charge
                         polarizability thole [aniso12] [aniso34]/>
               <NBTholePair type1 type2 thole/>   (extension: CHARMM NBTHOLE)
+  <Patches><Patch name [residues="1"]>
+      <AddAtom name type charge/> <ChangeAtom name type charge/>
+      <RemoveAtom name/> <AddBond atomName1 atomName2/> <RemoveBond .../>
+      <AddExternalBond atomName/> <RemoveExternalBond atomName/>
+      <VirtualSite .../> <ApplyToResidue name/>
+  (plus <AllowPatch name/> inside <Residue>)
 
 Unsupported tags raise at parse time unless listed in ``ignore_tags``
-(``<Patches>``/``<Info>`` are skipped by default with a warning-free pass:
-patch application is not implemented).
+(``<Info>`` is skipped by default).
 
 Design notes / divergences from OpenMM, stated explicitly:
 
-  * Residue-template matching is by residue name + atom-name multiset (with
-    Drude/virtual-site atoms optional), not by bond-graph isomorphism.  The
-    reference example's inputs (CHARMM-GUI-shaped PDBs) name atoms exactly
-    as the templates do, which is the case this engine targets.
+  * Residue-template matching tries residue name + atom-name multiset
+    first (the CHARMM-GUI-shaped inputs the reference example uses,
+    where atoms are named exactly as the templates), then falls back to
+    BOND-GRAPH matching: element-labeled graph isomorphism between the
+    residue's inferred bond graph (covalent-radius criterion on the input
+    positions) and each template's core-atom graph, so renamed-atom PDBs
+    ingest through Modeller.addExtraParticles (which carries positions;
+    createSystem accepts an optional ``positions=`` to enable the same
+    fallback on already-complete topologies).  The graph fallback matches
+    core (non-Drude, non-virtual-site) atoms — inputs that already
+    contain Drudes/vsites must name them as the template does.
+  * Patches are applied single-residue (``residues="1"``; multi-residue
+    patches like disulfide bridges raise).  When no unpatched template
+    matches, every allowed (template, patch) combination — via the
+    patch's <ApplyToResidue> or the residue's <AllowPatch> — is tried,
+    one patch per residue (OpenMM additionally tries patch stacks).
   * Exclusions use OpenMM's excludeAtomWith semantics: Drudes and virtual
     sites anchor to their parent atom; anchor pairs at bond distance 1-2
     are fully excluded, distance 3 gets 1-4 exceptions scaled by
@@ -117,12 +134,30 @@ class _Template:
     bonds: List[Tuple[int, int]]
     external: List[int]
     vsites: List[_VSiteDef]
+    allow_patches: List[str] = dataclasses.field(default_factory=list)
 
     def atom_index(self, name: str) -> int:
         for i, a in enumerate(self.atoms):
             if a.name == name:
                 return i
         raise KeyError(f"residue template {self.name!r} has no atom {name!r}")
+
+
+@dataclasses.dataclass
+class _Patch:
+    """A single-residue <Patch>: named edits applied to a template to
+    produce a patched-template candidate (OpenMM Patches semantics,
+    restricted to residues="1")."""
+    name: str
+    add_atoms: List[_TemplateAtom]
+    change_atoms: List[_TemplateAtom]
+    remove_atoms: List[str]
+    add_bonds: List[Tuple[str, str]]
+    remove_bonds: List[Tuple[str, str]]
+    add_external: List[str]
+    remove_external: List[str]
+    vsite_elems: List[object]          # raw <VirtualSite> elements
+    apply_to: List[str]
 
 
 @dataclasses.dataclass
@@ -152,14 +187,105 @@ def _f(el, key, default=None):
     return float(v)
 
 
+# covalent radii (nm), Cordero 2008 — used only to infer intra-residue
+# bonds for the graph-matching fallback
+_COV_RADII = {
+    "H": 0.031, "B": 0.084, "C": 0.076, "N": 0.071, "O": 0.066,
+    "F": 0.057, "SI": 0.111, "P": 0.107, "S": 0.105, "CL": 0.102,
+    "BR": 0.120, "I": 0.139, "LI": 0.128, "NA": 0.166, "K": 0.203,
+    "MG": 0.141, "CA": 0.176, "ZN": 0.122, "FE": 0.132,
+}
+
+
+def _infer_bonds(elems: List[str], pos: np.ndarray) -> List[set]:
+    """Adjacency sets from a covalent-distance criterion
+    (d < r_i + r_j + 0.04 nm); small residues, O(n^2) is fine."""
+    n = len(elems)
+    adj = [set() for _ in range(n)]
+    for i in range(n):
+        ri = _COV_RADII.get(elems[i], 0.077)
+        for j in range(i + 1, n):
+            d = float(np.linalg.norm(pos[i] - pos[j]))
+            if d < ri + _COV_RADII.get(elems[j], 0.077) + 0.04:
+                adj[i].add(j)
+                adj[j].add(i)
+    return adj
+
+
+def _isomorphism(labels_a: List[str], adj_a: List[set],
+                 labels_b: List[str], adj_b: List[set]):
+    """Backtracking graph isomorphism a->b with element labels and exact
+    degree/edge correspondence; returns mapping list m[a_idx] = b_idx or
+    None.  Residues are small (tens of atoms), and the (label, degree)
+    pruning keeps the search tiny for chemical graphs."""
+    n = len(labels_a)
+    if n != len(labels_b):
+        return None
+    key_a = [(labels_a[i], len(adj_a[i])) for i in range(n)]
+    key_b = [(labels_b[i], len(adj_b[i])) for i in range(n)]
+    if sorted(key_a) != sorted(key_b):
+        return None
+    # order a-vertices: rarest (label, degree) first, then prefer vertices
+    # adjacent to already-placed ones (connectivity-guided search)
+    from collections import Counter
+    rarity = Counter(key_a)
+    order = []
+    placed = set()
+    remaining = set(range(n))
+    while remaining:
+        adjacent = [v for v in remaining if adj_a[v] & placed]
+        pool = adjacent or list(remaining)
+        v = min(pool, key=lambda x: (rarity[key_a[x]], x))
+        order.append(v)
+        placed.add(v)
+        remaining.discard(v)
+
+    m = [-1] * n
+    used = [False] * n
+
+    def extend(k: int) -> bool:
+        if k == n:
+            return True
+        a = order[k]
+        for b in range(n):
+            if used[b] or key_a[a] != key_b[b]:
+                continue
+            ok = True
+            for na in adj_a[a]:
+                if m[na] != -1 and m[na] not in adj_b[b]:
+                    ok = False
+                    break
+            if ok:
+                # reverse direction: every mapped b-neighbor must come
+                # from an a-neighbor (degrees equal => subset == equality)
+                for nb in adj_b[b]:
+                    src = m.index(nb) if nb in m else -1
+                    if src != -1 and src not in adj_a[a]:
+                        ok = False
+                        break
+            if not ok:
+                continue
+            m[a] = b
+            used[b] = True
+            if extend(k + 1):
+                return True
+            m[a] = -1
+            used[b] = False
+        return False
+
+    return m if extend(0) else None
+
+
 class ForceField:
     """Parses one or more OpenMM-format force-field XML files and builds
     Systems from topologies (the role OpenMM's app.ForceField plays for the
     reference, example/nacl_tg.py:37)."""
 
-    def __init__(self, *files: str, ignore_tags: Sequence[str] = ("Patches", "Info")):
+    def __init__(self, *files: str, ignore_tags: Sequence[str] = ("Info",)):
         self.atom_types: Dict[str, _AtomType] = {}
         self.templates: Dict[str, _Template] = {}
+        self.patches: Dict[str, _Patch] = {}
+        self._patched_cache: Dict[Tuple[str, str], Optional[_Template]] = {}
         self.bond_params: Dict[Tuple[str, str], Tuple[float, float]] = {}
         self.angle_params: Dict[Tuple[str, str, str], Tuple[float, float]] = {}
         self.urey_params: Dict[Tuple[str, str, str], Tuple[float, float]] = {}
@@ -213,6 +339,7 @@ class ForceField:
             bonds: List[Tuple[int, int]] = []
             external: List[int] = []
             vsites: List[_VSiteDef] = []
+            allow: List[str] = []
             name = rel.get("name")
 
             def idx(el, key_name, key_idx):
@@ -243,12 +370,15 @@ class ForceField:
                     external.append(idx(el, "atomName", "from"))
                 elif el.tag == "VirtualSite":
                     vsites.append(self._parse_vsite(name, atoms, el))
-                elif el.tag in ("Atom", "AllowPatch"):
+                elif el.tag == "AllowPatch":
+                    allow.append(el.get("name"))
+                elif el.tag == "Atom":
                     pass
                 else:
                     raise ForceFieldError(
                         f"residue {name!r}: unsupported tag <{el.tag}>")
-            self.templates[name] = _Template(name, atoms, bonds, external, vsites)
+            self.templates[name] = _Template(name, atoms, bonds, external,
+                                             vsites, allow)
 
     def _parse_vsite(self, res_name, atoms, el) -> _VSiteDef:
         kind = el.get("type")
@@ -292,6 +422,119 @@ class ForceField:
             raise ForceFieldError(
                 f"residue {res_name!r}: unsupported VirtualSite type {kind!r}")
         return _VSiteDef(site=site, kind=kind, atoms=tuple(parents), params=params)
+
+    def _parse_Patches(self, sec) -> None:
+        for pel in sec:
+            if pel.tag != "Patch":
+                continue
+            name = pel.get("name")
+            if int(pel.get("residues", "1")) != 1:
+                raise ForceFieldError(
+                    f"patch {name!r}: multi-residue patches are not "
+                    "supported (residues=\"1\" only)")
+            p = _Patch(name, [], [], [], [], [], [], [], [], [])
+            for el in pel:
+                if el.tag == "AddAtom":
+                    p.add_atoms.append(_TemplateAtom(
+                        el.get("name"), el.get("type"),
+                        float(el.get("charge", "0"))))
+                elif el.tag == "ChangeAtom":
+                    p.change_atoms.append(_TemplateAtom(
+                        el.get("name"), el.get("type"),
+                        float(el.get("charge", "0"))))
+                elif el.tag == "RemoveAtom":
+                    p.remove_atoms.append(el.get("name"))
+                elif el.tag == "AddBond":
+                    p.add_bonds.append((el.get("atomName1"),
+                                        el.get("atomName2")))
+                elif el.tag == "RemoveBond":
+                    p.remove_bonds.append((el.get("atomName1"),
+                                           el.get("atomName2")))
+                elif el.tag == "AddExternalBond":
+                    p.add_external.append(el.get("atomName"))
+                elif el.tag == "RemoveExternalBond":
+                    p.remove_external.append(el.get("atomName"))
+                elif el.tag == "VirtualSite":
+                    p.vsite_elems.append(el)
+                elif el.tag == "ApplyToResidue":
+                    p.apply_to.append(el.get("name"))
+                else:
+                    raise ForceFieldError(
+                        f"patch {name!r}: unsupported tag <{el.tag}>")
+            self.patches[name] = p
+
+    def _patched_template(self, tmpl: _Template,
+                          patch: _Patch) -> Optional[_Template]:
+        """Apply `patch` to `tmpl` -> a new template named
+        '<res>-<patch>' (None if the patch does not apply cleanly).
+        Cached per (template, patch)."""
+        key = (tmpl.name, patch.name)
+        if key in self._patched_cache:
+            return self._patched_cache[key]
+        try:
+            out = self._apply_patch(tmpl, patch)
+        except (ForceFieldError, KeyError, ValueError):
+            out = None
+        self._patched_cache[key] = out
+        return out
+
+    def _apply_patch(self, tmpl: _Template, patch: _Patch) -> _Template:
+        atoms = [dataclasses.replace(a) for a in tmpl.atoms]
+        names = [a.name for a in atoms]
+        bonds = {frozenset((names[i], names[j])) for (i, j) in tmpl.bonds}
+        external = [names[e] for e in tmpl.external]
+        for ca in patch.change_atoms:
+            i = names.index(ca.name)          # KeyError-> ValueError: no match
+            atoms[i] = _TemplateAtom(ca.name, ca.type, ca.charge)
+        removed = set(patch.remove_atoms)
+        for rn in removed:
+            names.index(rn)                   # must exist
+        for (a, b) in patch.remove_bonds:
+            k = frozenset((a, b))
+            if k not in bonds:
+                raise ForceFieldError(
+                    f"patch {patch.name!r}: no bond {a}-{b} to remove")
+            bonds.discard(k)
+        for rn in patch.remove_external:
+            external.remove(rn)
+        atoms = [a for a in atoms if a.name not in removed]
+        bonds = {k for k in bonds if not (k & removed)}
+        external = [e for e in external if e not in removed]
+        atoms.extend(patch.add_atoms)
+        names = [a.name for a in atoms]
+        for (a, b) in patch.add_bonds:
+            names.index(a), names.index(b)
+            bonds.add(frozenset((a, b)))
+        external.extend(patch.add_external)
+        # surviving vsites (those not referencing removed atoms) + new ones
+        old_by_name = {tmpl.atoms[v.site].name: v for v in tmpl.vsites}
+        vsites = []
+        for sname, v in old_by_name.items():
+            ref = {tmpl.atoms[p].name for p in v.atoms} | {sname}
+            if ref & removed:
+                continue
+            vsites.append(_VSiteDef(
+                site=names.index(sname), kind=v.kind,
+                atoms=tuple(names.index(tmpl.atoms[p].name)
+                            for p in v.atoms),
+                params=v.params))
+        pname = f"{tmpl.name}-{patch.name}"
+        for el in patch.vsite_elems:
+            vsites.append(self._parse_vsite(pname, atoms, el))
+        idx = {n: i for i, n in enumerate(names)}
+        return _Template(
+            pname, atoms,
+            [tuple(sorted((idx[a], idx[b]))) for k in bonds
+             for (a, b) in [tuple(k)]],
+            [idx[e] for e in external], vsites, [])
+
+    def _allowed_patches(self, tmpl: _Template) -> List[_Patch]:
+        base = tmpl.name
+        out = []
+        for p in self.patches.values():
+            if base in p.apply_to or p.name in tmpl.allow_patches:
+                out.append(p)
+        return out
 
     def _key2(self, el) -> Tuple[str, str]:
         c1 = el.get("class1", None)
@@ -396,31 +639,125 @@ class ForceField:
         extra.update(i for i, a in enumerate(tmpl.atoms) if a.type in dtypes)
         return extra
 
-    def match_template(self, res_name: str, atom_names: Sequence[str]):
-        """Find the template for a residue: the atom-name multiset must equal
-        the template's names, with extra atoms (Drudes/vsites) optional.
-        Templates named like the residue are preferred."""
+    def _name_candidates(self, res_name: str, atom_names: Sequence[str],
+                         pool) -> list:
         names = sorted(atom_names)
         cands = []
-        for tmpl in self.templates.values():
+        for tmpl in pool:
             full = sorted(a.name for a in tmpl.atoms)
             extra = self._extra_atoms(tmpl)
             core = sorted(a.name for i, a in enumerate(tmpl.atoms)
                           if i not in extra)
             if names == full or names == core:
                 cands.append(tmpl)
-        named = [t for t in cands if t.name == res_name]
+        named = [t for t in cands
+                 if t.name == res_name or t.name.startswith(res_name + "-")]
+        return named or cands
+
+    def match_template(self, res_name: str, atom_names: Sequence[str]):
+        """Backward-compatible wrapper around match_residue (name-only
+        matching; no positions for the graph fallback)."""
+        return self.match_residue(res_name, atom_names)[0]
+
+    def match_residue(self, res_name: str, atom_names: Sequence[str],
+                      elements: Optional[Sequence[str]] = None,
+                      positions=None):
+        """Find the template for a residue and the atom mapping.
+
+        Returns (template, mapping) where mapping[template_index] = local
+        residue index for every template atom present in the input.
+
+        Matching order (docstring at the top of this module):
+          1. atom-name multiset vs unpatched templates (Drudes/vsites
+             optional), residue-named templates preferred;
+          2. the same vs single-patched templates (<ApplyToResidue> /
+             <AllowPatch> pairs);
+          3. bond-graph isomorphism of the residue's inferred bond graph
+             (covalent-radius criterion on `positions`) against each
+             template's core graph — requires `elements` + `positions`,
+             and the input to contain exactly the core atoms.
+        """
+        for pool in (self.templates.values(),
+                     self._all_patched_templates()):
+            cands = self._name_candidates(res_name, atom_names, pool)
+            if len(cands) > 1:
+                raise ForceFieldError(
+                    f"ambiguous templates for {res_name!r}: "
+                    f"{[t.name for t in cands]}")
+            if cands:
+                tmpl = cands[0]
+                by_name = {a.name: ti for ti, a in enumerate(tmpl.atoms)}
+                return tmpl, {by_name[nm]: li
+                              for li, nm in enumerate(atom_names)}
+
+        if elements is not None and positions is not None:
+            got = self._graph_match(res_name, elements, positions)
+            if got is not None:
+                return got
+
+        raise ForceFieldError(
+            f"no residue template matches {res_name!r} with atoms "
+            f"{list(atom_names)}"
+            + ("" if positions is not None else
+               " (positions unavailable, so bond-graph matching was not "
+               "attempted; renamed-atom inputs ingest through "
+               "Modeller.addExtraParticles or createSystem(positions=...))"))
+
+    def _all_patched_templates(self) -> list:
+        out = []
+        for tmpl in self.templates.values():
+            for patch in self._allowed_patches(tmpl):
+                pt = self._patched_template(tmpl, patch)
+                if pt is not None:
+                    out.append(pt)
+        return out
+
+    def _graph_match(self, res_name: str, elements, positions):
+        """Element-labeled graph isomorphism between the residue's
+        inferred bonds and each template's core graph; unique match
+        required across all (patched and unpatched) templates."""
+        elems = [str(e).upper() for e in elements]
+        radj = _infer_bonds(elems, np.asarray(positions, np.float64))
+        found = []
+        for tmpl in (list(self.templates.values())
+                     + self._all_patched_templates()):
+            extra = self._extra_atoms(tmpl)
+            core = [i for i in range(len(tmpl.atoms)) if i not in extra]
+            if len(core) != len(elems):
+                continue
+            tmpl_elems = []
+            ok = True
+            for i in core:
+                t = self.atom_types.get(tmpl.atoms[i].type)
+                if t is None:
+                    ok = False
+                    break
+                tmpl_elems.append((t.element or "").upper())
+            if not ok or sorted(tmpl_elems) != sorted(elems):
+                continue
+            pos_of = {g: k for k, g in enumerate(core)}
+            tadj = [set() for _ in core]
+            for (i, j) in tmpl.bonds:
+                if i in pos_of and j in pos_of:
+                    tadj[pos_of[i]].add(pos_of[j])
+                    tadj[pos_of[j]].add(pos_of[i])
+            m = _isomorphism(tmpl_elems, tadj, elems, radj)
+            if m is not None:
+                found.append((tmpl, {core[k]: m[k] for k in range(len(core))}))
+        if not found:
+            return None
+        # prefer residue-named templates on ambiguity, mirroring the
+        # name-multiset path
+        named = [f for f in found
+                 if f[0].name == res_name
+                 or f[0].name.startswith(res_name + "-")]
         if named:
-            cands = named
-        if not cands:
+            found = named
+        if len(found) > 1:
             raise ForceFieldError(
-                f"no residue template matches {res_name!r} with atoms "
-                f"{list(atom_names)}")
-        if len(cands) > 1:
-            raise ForceFieldError(
-                f"ambiguous templates for {res_name!r}: "
-                f"{[t.name for t in cands]}")
-        return cands[0]
+                f"ambiguous graph-matched templates for {res_name!r}: "
+                f"{[t.name for t, _ in found]}")
+        return found[0]
 
     def _drude_def_for(self, type1: str) -> Optional[_DrudeDef]:
         for d in self.drude_defs:
@@ -454,12 +791,15 @@ class ForceField:
                      rigidWater: bool = True, removeCMMotion: bool = True,
                      ewaldErrorTolerance: float = 5e-4,
                      switchDistance: Optional[float] = None,
-                     useDispersionCorrection: bool = True, box=None) -> System:
+                     useDispersionCorrection: bool = True, box=None,
+                     positions=None) -> System:
         """Build a System for a topology whose residues each carry ALL
         template atoms (run Modeller.addExtraParticles first when the input
         PDB lacks Drudes/virtual sites).  `box` is a 3-vector of orthorhombic
         edge lengths in nm; defaults to `topology.box`'s diagonal when the
-        topology came from a PDBFile/Modeller with a CRYST1 record."""
+        topology came from a PDBFile/Modeller with a CRYST1 record.
+        `positions` (nm, optional) enables the bond-graph template-matching
+        fallback for renamed-atom inputs."""
         n = len(topology.atoms)
         sys_ = System()
         nonbonded = NonbondedForce()
@@ -485,14 +825,17 @@ class ForceField:
         tmpl_of: List[_Template] = []
         map_of: List[Dict[int, int]] = []     # template index -> global index
         residues = topology.residues()
+        pos_arr = (None if positions is None
+                   else np.asarray(positions, np.float64))
         for ri, (res_name, idxs) in enumerate(residues):
             names = [topology.atoms[i].name for i in idxs]
-            tmpl = self.match_template(res_name, names)
-            by_name = {a.name: ti for ti, a in enumerate(tmpl.atoms)}
+            elems = [topology.atoms[i].element for i in idxs]
+            rpos = None if pos_arr is None else pos_arr[idxs]
+            tmpl, local_map = self.match_residue(res_name, names, elems,
+                                                 rpos)
             mapping = {}
-            for g in idxs:
-                name = topology.atoms[g].name
-                ti = by_name[name]
+            for ti, li in local_map.items():
+                g = idxs[li]
                 mapping[ti] = g
                 ta = tmpl.atoms[ti]
                 if ta.type not in self.atom_types:
@@ -924,23 +1267,25 @@ class Modeller:
         dtypes = forcefield._drude_types()
         for res_name, idxs in self.topology.residues():
             names = [atoms[i].name for i in idxs]
-            tmpl = forcefield.match_template(res_name, names)
-            have = {atoms[i].name: i for i in idxs}
+            elems = [atoms[i].element for i in idxs]
+            tmpl, local_map = forcefield.match_residue(
+                res_name, names, elems, self.positions[idxs])
+            have_ti = {ti: idxs[li] for ti, li in local_map.items()}
             a0 = atoms[idxs[0]]
             # first pass: place real + drude atoms in template order
             placed: Dict[int, np.ndarray] = {}
             deferred: List[int] = []
             for ti, ta in enumerate(tmpl.atoms):
-                if ta.name in have:
-                    placed[ti] = self.positions[have[ta.name]]
+                if ti in have_ti:
+                    placed[ti] = self.positions[have_ti[ti]]
                 elif ta.type in dtypes:
                     d = forcefield._drude_def_for(ta.type)
                     pi = forcefield._drude_parent(tmpl, ti, d.type2)
-                    if tmpl.atoms[pi].name not in have:
+                    if pi not in have_ti:
                         raise ForceFieldError(
                             f"residue {res_name!r}: Drude {ta.name!r} parent "
                             f"{tmpl.atoms[pi].name!r} missing from input")
-                    placed[ti] = self.positions[have[tmpl.atoms[pi].name]]
+                    placed[ti] = self.positions[have_ti[pi]]
                 else:
                     deferred.append(ti)
             vs_by_site = {v.site: v for v in tmpl.vsites}

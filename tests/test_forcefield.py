@@ -309,3 +309,102 @@ def test_missing_template_raises(tmp_path):
     ff = ffmod.ForceField(os.path.join(DATA, "swm4_nacl.xml"))
     with pytest.raises(ffmod.ForceFieldError, match="no residue template"):
         ff.match_template("XYZ", ["Q1", "Q2"])
+
+
+def _write_pdb_elems(path, entries, box):
+    """entries: (res_name, [(atom_name, element, xyz_nm)]) — writes the
+    element column (cols 77-78), which the renamed-atom fallback needs."""
+    with open(path, "w") as f:
+        b = np.asarray(box) * 10.0
+        f.write(f"CRYST1{b[0]:9.3f}{b[1]:9.3f}{b[2]:9.3f}"
+                f"  90.00  90.00  90.00 P 1           1\n")
+        serial = 0
+        for seq, (res, atoms) in enumerate(entries, start=1):
+            for (name, elem, xyz) in atoms:
+                serial += 1
+                p = np.asarray(xyz) * 10.0
+                f.write(f"ATOM  {serial:5d} {name:<4.4s} {res:<4.4s}A"
+                        f"{seq:4d}    {p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}"
+                        f"  1.00  0.00          {elem:>2.2s}\n")
+        f.write("END\n")
+
+
+def test_patched_residue_ingestion(tmp_path):
+    """A <Patches> patch (hydroxide-like: strip H2 + M site, change the O
+    charge) applied automatically when a residue matches no unpatched
+    template — VERDICT round-2 item 6."""
+    ff = ffmod.ForceField(os.path.join(DATA, "swm4_nacl.xml"),
+                          os.path.join(DATA, "hoh_patch.xml"))
+    box = np.array([2.4, 2.4, 2.4])
+    rng = np.random.default_rng(11)
+    entries = []
+    centers = [np.array([0.6, 0.6, 0.6]), np.array([1.6, 1.0, 1.0]),
+               np.array([1.0, 1.7, 1.6])]
+    for o in centers[:2]:
+        w = _water_sites(o, _rotation(rng))
+        entries.append(("HOH", list(zip(["OH2", "H1", "H2"], w[:3]))))
+    # the patched residue: water missing H2 (and OM/DOH2 as usual)
+    w = _water_sites(centers[2], _rotation(rng))
+    entries.append(("HOH", list(zip(["OH2", "H1"], w[:2]))))
+    pdb_path = str(tmp_path / "patched.pdb")
+    _write_pdb(pdb_path, entries, box)
+
+    pdb = pdbfile.PDBFile(pdb_path)
+    modeller = ffmod.Modeller(pdb.topology, pdb.positions)
+    modeller.addExtraParticles(ff)
+    # patched residue gained only its Drude: 2 waters x 5 + 1 OH x 3
+    assert len(modeller.topology.atoms) == 13
+    system = ff.createSystem(modeller.topology, nonbondedMethod=ffmod.PME,
+                             nonbondedCutoff=0.9, constraints=ffmod.HBonds,
+                             rigidWater=True)
+    nb = _force_of(system, dn.NonbondedForce)
+    # patched O carries the ChangeAtom charge; its Drude still attaches
+    q_o = nb.getParticleParameters(10)[0]
+    assert q_o == pytest.approx(1.2)
+    dr = _force_of(system, dn.DrudeForce)
+    assert dr.getNumParticles() == 3
+    # full waters keep 3 rigid constraints each; the OH residue gets the
+    # single O-H bond constrained by HBonds
+    assert system.getNumConstraints() == 7
+
+
+def test_renamed_atom_pdb_graph_matching(tmp_path):
+    """A PDB whose water atoms carry non-template names must ingest via
+    the bond-graph fallback and produce the identical System as the
+    properly-named input — VERDICT round-2 item 6."""
+    ff = ffmod.ForceField(os.path.join(DATA, "swm4_nacl.xml"))
+    box = np.array([2.4, 2.4, 2.4])
+    rng = np.random.default_rng(5)
+    centers = [np.array([0.6, 0.6, 0.6]), np.array([1.6, 1.0, 1.0]),
+               np.array([1.1, 1.7, 1.6])]
+    good, renamed = [], []
+    for o in centers:
+        w = _water_sites(o, _rotation(rng))
+        good.append(("HOH", [(n, e, x) for (n, e), x in
+                             zip([("OH2", "O"), ("H1", "H"), ("H2", "H")],
+                                 w[:3])]))
+        renamed.append(("WAT", [(n, e, x) for (n, e), x in
+                                zip([("OW1", "O"), ("HA", "H"),
+                                     ("HB", "H")], w[:3])]))
+    p_good = str(tmp_path / "good.pdb")
+    p_ren = str(tmp_path / "renamed.pdb")
+    _write_pdb_elems(p_good, good, box)
+    _write_pdb_elems(p_ren, renamed, box)
+
+    systems = []
+    for path in (p_good, p_ren):
+        pdb = pdbfile.PDBFile(path)
+        modeller = ffmod.Modeller(pdb.topology, pdb.positions)
+        modeller.addExtraParticles(ff)
+        systems.append(ff.createSystem(
+            modeller.topology, nonbondedMethod=ffmod.PME,
+            nonbondedCutoff=0.9, constraints=ffmod.HBonds, rigidWater=True))
+    xml0 = dn.XmlSerializer.serialize(systems[0])
+    xml1 = dn.XmlSerializer.serialize(systems[1])
+    assert xml0 == xml1
+
+
+def test_renamed_without_positions_raises():
+    ff = ffmod.ForceField(os.path.join(DATA, "swm4_nacl.xml"))
+    with pytest.raises(ffmod.ForceFieldError, match="positions unavailable"):
+        ff.match_residue("WAT", ["OW1", "HA", "HB"], ["O", "H", "H"], None)
