@@ -88,21 +88,38 @@ def swm4_molecule_positions(origin: np.ndarray) -> np.ndarray:
 def build_water_box(n_molecules: int, method: int = NonbondedForce.PME,
                     cutoff: float = 1.0, ewald_tol: float = 5e-4,
                     add_cm_motion: bool = True,
-                    density: float = WATER_NUMBER_DENSITY):
+                    density: float = WATER_NUMBER_DENSITY,
+                    shape=(1, 1, 1)):
     """SWM4-NDP water box at the given number density on a cubic lattice.
 
     Returns (system, positions).  5 sites/molecule, so n_molecules=20000
-    gives the 100k-atom benchmark config (BASELINE.md)."""
-    grid = int(np.ceil(n_molecules ** (1.0 / 3.0)))
-    box = (n_molecules / density) ** (1.0 / 3.0)
-    spacing = box / grid
+    gives the 100k-atom benchmark config (BASELINE.md).  `shape` elongates
+    the box: edge lengths proportional to shape at the same density
+    (e.g. (8, 1, 1) gives many x cell planes from few molecules — used by
+    the 8-slab resident-decomposition dryrun)."""
+    s = np.asarray(shape, np.int64)
+    if tuple(s) == (1, 1, 1):
+        # keep the cubic path bit-identical to the historical formula
+        # (the committed benchmark snapshot was built with it)
+        grid = int(np.ceil(n_molecules ** (1.0 / 3.0)))
+        box = (n_molecules / density) ** (1.0 / 3.0)
+        spacing = box / grid
+        grid3 = (grid, grid, grid)
+        box3 = (box, box, box)
+    else:
+        g = int(np.ceil((n_molecules / float(s.prod())) ** (1.0 / 3.0)))
+        grid3 = (int(g * s[0]), int(g * s[1]), int(g * s[2]))
+        spacing = (n_molecules
+                   / (density * float(np.prod(grid3)))) ** (1.0 / 3.0)
+        box3 = tuple(gi * spacing for gi in grid3)
 
     system = System()
     nonbonded = NonbondedForce()
     drude = DrudeForce()
     system.addForce(nonbonded)
     system.addForce(drude)
-    system.setDefaultPeriodicBoxVectors((box, 0, 0), (0, box, 0), (0, 0, box))
+    system.setDefaultPeriodicBoxVectors((box3[0], 0, 0), (0, box3[1], 0),
+                                        (0, 0, box3[2]))
     nonbonded.setNonbondedMethod(method)
     nonbonded.setCutoffDistance(cutoff)
     nonbonded.setEwaldErrorTolerance(ewald_tol)
@@ -113,10 +130,12 @@ def build_water_box(n_molecules: int, method: int = NonbondedForce.PME,
     # (i, j, k) loop at n_molecules would leave the last x-planes empty —
     # a vacuum slab with ~10% over-density elsewhere (wrong physics for
     # the benchmark, lumpy cell occupancy for the sweep)
-    n_sites = grid ** 3
+    n_sites = int(np.prod(grid3))
     sites = np.sort(rng.choice(n_sites, size=n_molecules, replace=False))
     for site in sites:
-        i, j, k = site // (grid * grid), (site // grid) % grid, site % grid
+        i = site // (grid3[1] * grid3[2])
+        j = (site // grid3[2]) % grid3[1]
+        k = site % grid3[2]
         origin = (np.array([i, j, k]) + 0.5) * spacing
         mol = swm4_molecule_positions(origin)
         # random orientation to avoid a perfectly aligned lattice
