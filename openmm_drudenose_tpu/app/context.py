@@ -538,13 +538,14 @@ class Context:
         self._check_hardwall_runaway()
 
     def _check_rebuild_drift(self) -> None:
-        """Warn once when an atom outran the FULL skin between neighbor
-        rebuilds — an unambiguous violation of the neighbor-structure
-        guarantee (the strict two-atom bound is skin/2, but healthy 300 K
-        velocity tails skirt that at the default 16 fs interval without a
-        meaningful miss; a full-skin breach is the violently
-        unequilibrated-start failure mode that silently corrupts
-        trajectories)."""
+        """Warn once when an atom outran TWICE the skin between neighbor
+        rebuilds — the violently-unequilibrated-start failure mode that
+        silently corrupts trajectories.  (The strict two-atom bound is
+        skin/2 and the full skin is grazed by healthy 300 K velocity
+        tails at N ~ 1e5 — measured 0.086 nm/16 fs max in the equilibrated
+        benchmark snapshot — so the latch triggers at 2x skin, where a
+        breach can at most graze negligible cutoff-edge interactions;
+        see tgnh._make_neighbor_rebuild.)"""
         nbl = self._state.neighbors
         if (nbl is None or self._drift_warned
                 or getattr(nbl, "ref_positions", None) is None):

@@ -720,10 +720,19 @@ def _make_neighbor_rebuild(neighbor_fn, skin):
         nbl = nbl._replace(overflow=nbl.overflow | state.neighbors.overflow)
         if skin is not None and getattr(
                 state.neighbors, "drift_exceeded", None) is not None:
-            # an atom outran the full skin since the previous rebuild:
-            # pairs may have been missed (latched)
+            # an atom far outran the skin since the previous rebuild:
+            # pairs may have been missed (latched).  Threshold 2x skin,
+            # not 1x: at N=100k the thermal velocity tail reaches ~5 sigma
+            # (measured 5.4 nm/ps max H speed in the equilibrated bench
+            # snapshot — 0.086 nm/16 fs, grazing a 0.1 nm skin), so a 1x
+            # latch fires on healthy 300 K liquids.  A single-atom breach
+            # in [skin, 2*skin] can only graze pairs within skin of the
+            # cutoff, where the erfc-screened coulomb + LJ tail is
+            # negligible; real violence (unequilibrated lattice starts)
+            # moves atoms many skins per interval and still trips this.
             d = state.positions - state.neighbors.ref_positions
-            exceeded = jnp.max(jnp.sum(d * d, axis=-1)) > skin * skin
+            exceeded = (jnp.max(jnp.sum(d * d, axis=-1))
+                        > (2.0 * skin) * (2.0 * skin))
             nbl = nbl._replace(
                 drift_exceeded=exceeded | state.neighbors.drift_exceeded)
         old_span = getattr(state.neighbors, "excl_span_exceeded", None)

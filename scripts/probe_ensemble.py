@@ -10,7 +10,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+import sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from openmm_drudenose_tpu.utils import compile_cache
+# env var is ignored (axon sitecustomize imports jax first);
+# probe entries go to /tmp, not the committed repo cache
+compile_cache.enable("/tmp/jaxcache")
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+import sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from openmm_drudenose_tpu.utils import compile_cache
+# env var is ignored (axon sitecustomize imports jax first);
+# probe entries go to /tmp, not the committed repo cache
+compile_cache.enable("/tmp/jaxcache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax

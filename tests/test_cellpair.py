@@ -1,6 +1,7 @@
 """Cell-pair block strategy must reproduce the dense path exactly:
 same pairs, same exclusions, analytic forces == autodiff forces."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -44,6 +45,7 @@ def test_cellpair_pme_matches_dense():
     np.testing.assert_allclose(f_c, f_d, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cellpair_dynamics_match_dense():
     system, positions = swm4_water_box(grid_size=3)
     results = []

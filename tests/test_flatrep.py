@@ -115,6 +115,7 @@ def _template(n_mol=200, cutoff=0.55):
     return system, pos, integ
 
 
+@pytest.mark.slow
 def test_flat_ensemble_matches_independent_contexts():
     """Full SWM4 water (PME + Drude + SETTLE + vsites + CM removal): a
     2-replica flattened ensemble must reproduce two independent Contexts
@@ -170,6 +171,7 @@ def test_flat_ensemble_matches_independent_contexts():
                                rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_flat_ensemble_padded_layout():
     """rx*rz > R layouts: pad replicas run real physics but are invisible.
     3 requested replicas in a 2x2 = 4-slot embedding must match 3
@@ -222,6 +224,7 @@ def test_flat_ensemble_padded_layout():
                                rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_flat_ensemble_two_temp_groups():
     """G=2 user groups exercise apply_vscale_t's masked-sum vs_atom path
     for per-replica (E, G+2) baths: a 2-replica flat ensemble must match
@@ -319,6 +322,7 @@ def test_flat_auto_layout_engages_pallas_with_low_padding():
     assert slots(rz) <= 1.05 * best_engaged, (rx, rz, slots(rz), best_engaged)
 
 
+@pytest.mark.slow
 def test_pallas_sweep_ensemble_interpret():
     """The Pallas kernel's per-band layer wrap / z-period wrap must match
     the XLA ensemble sweep (interpret mode, f32)."""

@@ -32,7 +32,8 @@ def _ctx(cm=True):
     return ctx
 
 
-@pytest.mark.parametrize("cm", [True, False])
+@pytest.mark.parametrize("cm", [
+    True, pytest.param(False, marks=pytest.mark.slow)])
 def test_fused_matches_unfused(cm):
     ctx = _ctx(cm=cm)
     spec, static, st = ctx._spec, ctx._static, ctx._state

@@ -42,17 +42,20 @@ def test_npt_shrink_replans_stencil():
                   >= ctx._cp_cfg.r_list - 1e-9)
 
 
+@pytest.mark.slow
 def test_rebuild_drift_warns():
     ctx, integ, positions = _ctx()
     integ.step(2)
-    # teleport one atom by more than skin/2 without invalidating neighbors
+    # teleport one atom past the 2x-skin latch threshold without
+    # invalidating neighbors
     p = np.array(ctx._state.positions)
-    p[0] += ctx._cp_cfg.skin + 0.05
+    p[0] += 2 * ctx._cp_cfg.skin + 0.05
     ctx._state = ctx._state._replace(positions=jnp.asarray(p))
     with pytest.warns(RuntimeWarning, match="neighbor skin"):
         integ.step(2 * ctx._cp_cfg.rebuild_interval)
 
 
+@pytest.mark.slow
 def test_no_drift_warning_in_normal_run():
     ctx, integ, positions = _ctx()
     ctx.minimizeEnergy(maxIterations=200)

@@ -34,6 +34,7 @@ def test_three_group_setup_and_step():
     assert np.isfinite(st.getPotentialEnergy())
 
 
+@pytest.mark.slow
 def test_three_group_temperatures_converge():
     system, positions, cations, anions = ionic_liquid.build_ionic_liquid(
         n_pairs=32, method=dn.NonbondedForce.CutoffPeriodic, cutoff=1.2)

@@ -15,6 +15,7 @@ pytestmark = pytest.mark.skipif(not os.path.exists(REFERENCE_PDB),
                                 reason="reference PDB not available")
 
 
+@pytest.mark.slow
 def test_load_and_step():
     system, positions, topology = nacl.load_nacl_swm4(REFERENCE_PDB)
     assert system.getNumParticles() == 2500

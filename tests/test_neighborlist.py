@@ -1,6 +1,7 @@
 """Cell-list neighbor path must reproduce the dense path exactly (same
 pairs within cutoff, same exclusions)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +30,7 @@ def test_cell_matches_dense_energy_forces():
     np.testing.assert_allclose(f_c, f_d, rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_cell_dynamics_match_dense():
     """Short trajectories from identical initial conditions must agree
     (the rebuild interval's skin must cover the motion)."""

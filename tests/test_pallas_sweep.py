@@ -99,6 +99,7 @@ def drifted_plain_pallas(water_ctx):
     return pos, np.asarray(f_ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cy", [1, 0])
 def test_chunked_forces_match_plain_pallas(water_ctx, drifted_plain_pallas,
                                            cy):

@@ -27,6 +27,7 @@ def _context():
     return ctx
 
 
+@pytest.mark.slow
 def test_vmap_ensemble_matches_single():
     """A vmapped replica ensemble must evolve each member exactly like a
     single simulation."""
@@ -58,6 +59,7 @@ def test_vmap_ensemble_matches_single():
                            np.asarray(out.positions[1]))
 
 
+@pytest.mark.slow
 def test_sharded_ensemble_runs_on_mesh():
     """replica x atom sharded step executes on an 8-device mesh and matches
     the unsharded result."""
@@ -85,6 +87,7 @@ def test_sharded_ensemble_runs_on_mesh():
     assert shd.spec == P("replica", "atom")
 
 
+@pytest.mark.slow
 def test_replica_ensemble_api():
     ctx = _context()
     from openmm_drudenose_tpu.parallel.ensemble import ReplicaEnsemble
@@ -97,6 +100,7 @@ def test_replica_ensemble_api():
     assert not np.allclose(ens.positions()[0], ens.positions()[1])
 
 
+@pytest.mark.slow
 def test_replica_ensemble_cellpair():
     """Replica ensembles over a cell-pair (neighbor-structure) system:
     per-replica cellsorts rebuilt at chunk boundaries must evolve each
@@ -162,6 +166,7 @@ def test_replica_ensemble_dense():
     np.testing.assert_allclose(pe[2], st.getPotentialEnergy(), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_flat_ensembles_sharded_over_mesh():
     """Composition closing BASELINE config 5 at scale: D flat sub-ensembles
     (each an embedded-grid FlatReplicaEnsemble, parallel/flatrep.py) sharded

@@ -50,6 +50,7 @@ def test_single_pair_bath_temperatures():
                                1.5 * BOLTZ * temperature_drude, rtol=0.02)
 
 
+@pytest.mark.slow
 def test_water_mixed_temperature():
     """Reference testWater (Test*DrudeTGNHIntegrator.cpp:111-192), 3x3x3
     molecules and shorter averaging than the reference's 6x6x6/9000 steps."""

@@ -41,6 +41,7 @@ def test_energy_matches_generic():
     np.testing.assert_allclose(float(e_new), float(e_ref), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_forces_match_generic():
     box, pos, q, cfg, setup, cs = _setup()
     g_ref = jax.grad(lambda p: setup.reciprocal_energy(

@@ -34,8 +34,9 @@ def _mesh(n=2):
     return Mesh(np.array(devices[:n]), ("atom",))
 
 
-@pytest.mark.parametrize("method", [dn.NonbondedForce.PME,
-                                    dn.NonbondedForce.CutoffPeriodic])
+@pytest.mark.parametrize("method", [
+    pytest.param(dn.NonbondedForce.PME, marks=pytest.mark.slow),
+    dn.NonbondedForce.CutoffPeriodic])
 def test_resident_trajectory_matches_single(method):
     """2 rebuild segments of resident stepping == plain stepping."""
     ctx_plain = _context(method)
@@ -82,6 +83,7 @@ def test_resident_migration_relabels_only():
     np.testing.assert_allclose(rctx.velocities(), v0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_resident_four_devices():
     """Resident stepping over 4 slabs (needs a wider box) matches plain."""
     system, positions = swm4_water_box(grid_size=10, cutoff=0.7,
@@ -110,6 +112,7 @@ def test_resident_four_devices():
     np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_resident_eight_devices():
     """Resident stepping over ALL 8 virtual devices: an elongated
     (8, 1, 1) box supplies 40 x cell planes (5/slab >= the w+2 halo), so
@@ -144,6 +147,7 @@ def test_resident_eight_devices():
     np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_resident_barostat_matches_single():
     """MC barostat (NPT) through the resident engine: box moves, COM
     scaling, adaptive schedule and RNG all match plain stepping (the
@@ -182,6 +186,7 @@ def test_resident_barostat_matches_single():
     np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_resident_shake_matches_single():
     """General (non-triangle) constraint clusters through the resident
     engine: SHAKE rows flow through the per-TYPE templates; pad rows
@@ -213,6 +218,7 @@ def test_resident_shake_matches_single():
     np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_resident_bonded_multigroup():
     """Bonded terms (bonds + angles) + 4 baths (cation/anion/COM/Drude)
     + RF nonbonded through the resident engine == plain stepping."""
@@ -244,6 +250,7 @@ def test_resident_bonded_multigroup():
     np.testing.assert_allclose(rctx.positions(), ref_pos, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_resident_nbthole_matches_single():
     """NBTHOLE (cross-molecule ion screening) through the resident
     engine's class-tagged dense fold-in == the single-device explicit

@@ -32,8 +32,9 @@ def _mesh():
     return Mesh(np.array(devices[:8]), ("atom",))
 
 
-@pytest.mark.parametrize("method", [dn.NonbondedForce.PME,
-                                    dn.NonbondedForce.CutoffPeriodic])
+@pytest.mark.parametrize("method", [
+    pytest.param(dn.NonbondedForce.PME, marks=pytest.mark.slow),
+    dn.NonbondedForce.CutoffPeriodic])
 def test_sharded_eaf_matches_plain(method):
     """Slab-sharded sweep + sharded PME spreading + replicated extras must
     reproduce the single-device energy AND forces."""
@@ -51,6 +52,7 @@ def test_sharded_eaf_matches_plain(method):
     np.testing.assert_allclose(f_s, np.asarray(f), atol=1e-9 * scale)
 
 
+@pytest.mark.slow
 def test_sharded_trajectory_matches_single():
     """20 TGNH steps with the work-sharded engine == 20 plain steps."""
     ctx_plain = _context(dn.NonbondedForce.PME)
@@ -67,6 +69,7 @@ def test_sharded_trajectory_matches_single():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_distributed_fft_matches_plain():
     """Sharded pencil FFT (x-slab 2D FFT + all_to_all + 1D FFT) == the
     replicated-FFT reciprocal sum, including forces through autodiff."""

@@ -3,6 +3,7 @@ integrators/tgnh._partner_rows lane shifts) must be EXACT: the shift-select
 partner read is the same permutation the random gather performs, so full
 trajectories must match bit-for-bit with the fast path forced off."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -43,6 +44,7 @@ def test_partner_rows_matches_gather():
     np.testing.assert_array_equal(fast, ref)
 
 
+@pytest.mark.slow
 def test_trajectory_matches_gather_path():
     """The partner READ is the same permutation either way; the two
     compiled programs may still contract FMAs differently downstream, so
