@@ -236,7 +236,10 @@ class Context:
                 NOTHING in this path autodiffs through apply_vsites — the
                 vsite scatter and its scatter-add adjoint vanish from the
                 hot loop."""
-                box_diag = jnp.diagonal(box)
+                # triclinic (dense-strategy) sweeps minimum-image against
+                # the full reduced box matrix (forces/boxutils.py)
+                box_diag = (box if getattr(nb_fn, "mi_box_full", False)
+                            else jnp.diagonal(box))
                 if spec.vs_spread_src is not None:
                     pos_comp = apply_vsites(spec, static, positions)
                     spread = lambda f: spread_vsite_forces(spec, static, f)
@@ -303,10 +306,15 @@ class Context:
         self._ke_valid = False
 
     def setPeriodicBoxVectors(self, a, b, c) -> None:
-        box = np.array([a, b, c], np.float64)
-        if np.abs(box - np.diag(np.diagonal(box))).max() > 1e-12:
-            raise ValueError("only orthorhombic periodic boxes are "
-                             "supported: box vectors must be axis-aligned")
+        from ..forces.boxutils import is_triclinic, reduce_box
+        box = reduce_box([a, b, c])
+        if (is_triclinic(box)
+                and not is_triclinic(np.asarray(self._state.box))):
+            raise ValueError(
+                "cannot switch an orthorhombic context to a triclinic "
+                "box: the compiled strategy minimum-images against the "
+                "diagonal — build the Context with the triclinic box "
+                "(dense strategy) instead")
         self._state = self._state._replace(
             box=jnp.asarray(box, self._prec.real))
         self._forces_valid = False
@@ -765,15 +773,18 @@ class Context:
                 # wrap whole molecules (OpenMM semantics): shift every atom
                 # of a residue by its geometric-center image so bonded atoms
                 # stay contiguous across the boundary
-                box = np.diagonal(np.asarray(st.box))
+                box_m = np.asarray(st.box, np.float64)
                 resid = np.asarray(self._spec.resid)
                 n_res = self._static.n_residues
                 counts = np.bincount(resid, minlength=n_res).astype(np.float64)
                 centers = np.stack([
                     np.bincount(resid, weights=pos[:, c], minlength=n_res)
                     for c in range(3)], axis=1) / counts[:, None]
-                shift = np.floor(centers / box)
-                pos = pos - shift[resid] * box
+                # fractional-coordinate image shift (exact for triclinic
+                # reduced boxes; identical to the old diagonal formula for
+                # orthorhombic ones)
+                shift = np.floor(centers @ np.linalg.inv(box_m))
+                pos = pos - shift[resid] @ box_m
             kwargs["positions"] = pos
         if velocities:
             kwargs["velocities"] = np.asarray(st.velocities, np.float64)

@@ -76,14 +76,20 @@ def pair_energy_forces(params, positions, box_diag, pair_eg, coulomb_scale,
     def body(e_acc, i):
         o = i * B
         d = []
-        r2 = jnp.zeros((), dtype)
         for c in range(3):
             rowc = jax.lax.dynamic_slice(rpt[c], (o,), (B,))
             dc = rowc[:, None] - pt[c][None, :]
-            if periodic:
+            if periodic and jnp.ndim(box_diag) == 1:
                 bc = box_diag[c]
                 dc = dc - bc * jnp.round(dc / bc)
             d.append(dc)
+        if periodic and jnp.ndim(box_diag) == 2:
+            # triclinic reduced box: sequential c -> b -> a rounding
+            # (forces/boxutils.min_image_t on the (3, B, N) stack)
+            from .boxutils import min_image_t
+            d = list(min_image_t(jnp.stack(d), box_diag))
+        r2 = jnp.zeros((), dtype)
+        for dc in d:
             r2 = r2 + dc * dc
         valid = jax.lax.dynamic_slice(mask, (o, 0), (B, n))
         if use_cutoff:

@@ -97,6 +97,9 @@ class DrudeForce:
         n = len(self._particles)
         if n == 0:
             return None, None
+        from .boxutils import is_triclinic
+        is_tri = is_triclinic(np.array(
+            system.getDefaultPeriodicBoxVectors(), np.float64))
 
         drude = np.array([p[0] for p in self._particles], np.int32)
         parent = np.array([p[1] for p in self._particles], np.int32)
@@ -189,8 +192,9 @@ class DrudeForce:
             # this closure on migration-local tables and evaluates NBTHOLE
             # separately as a class-tagged dense block
             if nnt and "nt_d1" in params:
-                e = e + _nbthole_energy(params, positions,
-                                        jnp.diagonal(box))
+                e = e + _nbthole_energy(
+                    params, positions,
+                    box if is_tri else jnp.diagonal(box))
             return e
 
         energy.wants_pos_err = True
@@ -210,8 +214,8 @@ def _nbthole_energy(params, positions, box_diag):
     qq = params["nt_qq"]
 
     def pair_e(pa, pb, sign):
-        delta = pa - pb
-        delta = delta - box_diag * jnp.round(delta / box_diag)
+        from .boxutils import min_image
+        delta = min_image(pa - pb, box_diag)
         r = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
         u = scale * r
         deficit = -(1.0 + 0.5 * u) * jnp.exp(-u)

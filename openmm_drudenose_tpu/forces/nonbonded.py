@@ -165,9 +165,32 @@ class NonbondedForce:
         exc_sigma = np.array([e[3] for e in self._exceptions], np.float64)
         exc_eps = np.array([e[4] for e in self._exceptions], np.float64)
 
+        # triclinic (reduced-form) periodic boxes run through the dense
+        # all-pairs strategy + the generic PME path; the cell-pair sweep's
+        # static stencil machinery is orthorhombic (forces/boxutils.py)
+        from .boxutils import is_triclinic, mi_box, volume as box_volume
+        box0_full = np.array(system.getDefaultPeriodicBoxVectors(),
+                             np.float64)
+        is_tri = (self._method in (self.CutoffPeriodic, self.Ewald,
+                                   self.PME)
+                  and is_triclinic(box0_full))
+        if is_tri:
+            w_min = min(box0_full[0, 0], box0_full[1, 1], box0_full[2, 2])
+            if self._method != self.NoCutoff and self._cutoff > w_min / 2:
+                raise ValueError(
+                    f"cutoff {self._cutoff} exceeds half the smallest "
+                    f"perpendicular width {w_min} of the triclinic box — "
+                    "the sequential minimum-image reduction would miss "
+                    "images")
+
         if strategy == "auto":
-            strategy = ("dense" if n <= 4096 or self._method in
+            strategy = ("dense" if is_tri or n <= 4096 or self._method in
                         (self.NoCutoff, self.CutoffNonPeriodic) else "cellpair")
+        if is_tri and strategy != "dense":
+            raise ValueError(
+                "triclinic periodic boxes are supported by the dense "
+                f"all-pairs strategy only (requested {strategy!r}); "
+                "construct the Context with strategy='dense' or 'auto'")
 
         params = {
             "charge": jnp.asarray(charge, dtype),
@@ -416,26 +439,24 @@ class NonbondedForce:
                 """Everything except the direct-space sweep: the force-only
                 step evaluates the sweep's analytic forces separately and
                 autodiffs only this part."""
-                box_diag = jnp.diagonal(box)
+                bmi = mi_box(box, is_tri)
                 e = jnp.zeros((), positions.dtype)
                 if exc_term is not None:
-                    e = e + exc_term(positions, box_diag)
+                    e = e + exc_term(positions, bmi)
                 if corr_term is not None:
-                    e = e + corr_term(positions, box_diag)
+                    e = e + corr_term(positions, bmi)
                 for t in override_terms:
-                    e = e + t(positions, box_diag)
+                    e = e + t(positions, bmi)
                 if method in (self.Ewald, self.PME):
                     e = e + params["pme_self"]
                     e = e + pme.reciprocal_energy(params["charge"],
-                                                  positions, box_diag)
+                                                  positions, bmi)
                 if disp is not None:
-                    vol = box_diag[0] * box_diag[1] * box_diag[2]
-                    e = e + disp / vol
+                    e = e + disp / box_volume(bmi)
                 return e
 
             def energy(params, positions, box):
-                box_diag = jnp.diagonal(box)
-                return (sweep_energy(params, positions, box_diag)
+                return (sweep_energy(params, positions, mi_box(box, is_tri))
                         + rest_energy(params, positions, box))
 
             def sweep_forces(params, positions, box_diag, neighbors=None):
@@ -444,6 +465,7 @@ class NonbondedForce:
             energy.rest_energy = rest_energy
             energy.sweep_forces = sweep_forces
             energy.recip_forces = None
+            energy.mi_box_full = is_tri
             energy.pme_setup = (pme if method in (self.Ewald, self.PME)
                                 else None)
         elif strategy == "cellpair":

@@ -60,8 +60,8 @@ def make_pair_list_term(n_atoms: int, i_idx, j_idx, eg_fn,
         pos_t = positions.T                           # (3, N)
         delta = pos_t[:, ii] - pos_t[:, jj]           # (3, P)
         if periodic:
-            delta = delta - box_diag[:, None] * jnp.round(
-                delta / box_diag[:, None])
+            from .boxutils import min_image_t
+            delta = min_image_t(delta, box_diag)
         r2 = jnp.sum(delta * delta, axis=0)
         r2s = jnp.maximum(r2, 1e-10)
         e, g = eg_fn(r2s, r2)
@@ -150,8 +150,8 @@ def make_uniform_pair_term(n_atoms: int, K: int, i_idx, j_idx,
         for d, mask, eg in terms:
             delta = pos_t - jnp.roll(pos_t, -d, axis=1)
             if periodic:
-                delta = delta - box_diag[:, None] * jnp.round(
-                    delta / box_diag[:, None])
+                from .boxutils import min_image_t
+                delta = min_image_t(delta, box_diag)
             r2 = jnp.sum(delta * delta, axis=0)
             r2s = jnp.maximum(r2, 1e-10)
             e, g = eg(r2s, r2)

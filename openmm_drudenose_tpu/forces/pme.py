@@ -190,8 +190,10 @@ def spread_charge_grid(grid, charges, positions, box_diag):
     n = positions.shape[0]
     dtype = positions.dtype
 
-    # fractional coordinates scaled to the grid (wrapped into the box)
-    u = positions / box_diag  # (N, 3)
+    # fractional coordinates scaled to the grid (wrapped into the box);
+    # box_diag may be a (3,) diagonal or a (3, 3) reduced triclinic matrix
+    from .boxutils import frac_coords
+    u = frac_coords(positions, box_diag)  # (N, 3)
     u = (u - jnp.floor(u)) * jnp.asarray([K1, K2, K3], dtype)
     ti = jnp.floor(u)
     w = u - ti  # in [0, 1)
@@ -670,13 +672,26 @@ def grid_energy(grid, alpha, bm2x, bm2y, bm2z, Q, box_diag):
     m1 = jnp.fft.fftfreq(K1, d=1.0 / K1).astype(dtype)  # signed integer freqs
     m2 = jnp.fft.fftfreq(K2, d=1.0 / K2).astype(dtype)
     m3 = jnp.arange(K3h).astype(dtype)                  # rfft: 0..K3/2
-    mx = m1[:, None, None] / box_diag[0]
-    my = m2[None, :, None] / box_diag[1]
-    mz = m3[None, None, :] / box_diag[2]
+    if jnp.ndim(box_diag) == 2:
+        # triclinic: m* = m1 a* + m2 b* + m3 c* with a*_j = column j of
+        # the inverse box (rows of box are a, b, c) — boxutils.inv_box
+        from .boxutils import inv_box
+        ib = inv_box(box_diag).astype(dtype)
+        f1 = m1[:, None, None]
+        f2 = m2[None, :, None]
+        f3 = m3[None, None, :]
+        mx = f1 * ib[0, 0] + f2 * ib[0, 1] + f3 * ib[0, 2]
+        my = f1 * ib[1, 0] + f2 * ib[1, 1] + f3 * ib[1, 2]
+        mz = f1 * ib[2, 0] + f2 * ib[2, 1] + f3 * ib[2, 2]
+    else:
+        mx = m1[:, None, None] / box_diag[0]
+        my = m2[None, :, None] / box_diag[1]
+        mz = m3[None, None, :] / box_diag[2]
     m_sq = mx * mx + my * my + mz * mz
     bm2 = (bm2x[:, None, None].astype(dtype) * bm2y[None, :, None].astype(dtype)
            * bm2z[:K3h][None, None, :].astype(dtype))
-    volume = box_diag[0] * box_diag[1] * box_diag[2]
+    from .boxutils import volume as _vol
+    volume = _vol(box_diag)
     pi = jnp.asarray(np.pi, dtype)
     m_sq_safe = jnp.where(m_sq > 0, m_sq, 1.0)
     # conjugate-pair weight: interior z-frequencies represent +-m3

@@ -140,22 +140,15 @@ class System:
 
     # -- box ---------------------------------------------------------------
     def setDefaultPeriodicBoxVectors(self, a, b, c) -> None:
-        def v3(x):
-            return (float(x[0]), float(x[1]), float(x[2]))
-        box = (v3(a), v3(b), v3(c))
-        # every consumer (minimum image, PME, cell binning) works on the
-        # diagonal; reject triclinic boxes instead of silently dropping the
-        # off-diagonal components
-        off = (box[0][1], box[0][2], box[1][0],
-               box[1][2], box[2][0], box[2][1])
-        if any(abs(v) > 1e-12 for v in off):
-            raise ValueError(
-                "only orthorhombic periodic boxes are supported: box "
-                "vectors must be axis-aligned (off-diagonal components "
-                f"were {off})")
-        if min(box[0][0], box[1][1], box[2][2]) <= 0:
-            raise ValueError("periodic box edge lengths must be positive")
-        self._box = box
+        """Accepts orthorhombic boxes and triclinic cells in OpenMM's
+        convention (a along x, b in the xy plane); triclinic inputs are
+        reduced to the canonical form |bx| <= ax/2 etc. like OpenMM does
+        (forces/boxutils.reduce_box).  Triclinic systems run through the
+        dense all-pairs strategy + generic PME; the cell-pair fast path
+        raises at compile (forces/nonbonded.py)."""
+        from .forces.boxutils import reduce_box
+        box = reduce_box([a, b, c])
+        self._box = tuple(tuple(float(v) for v in row) for row in box)
 
     def getDefaultPeriodicBoxVectors(self):
         return self._box

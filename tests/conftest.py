@@ -15,3 +15,10 @@ import jax  # noqa: E402
 # platform; tests run on (virtual 8-device) CPU in f64
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# the test suite is XLA-CPU-compile-dominated; the persistent cache makes
+# repeat runs of the fast tier several times faster (must go through
+# jax.config.update — the env var is read before user code runs, see
+# utils/compile_cache.py).  /tmp so test executables never bloat the
+# committed repo cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax-test-cache")

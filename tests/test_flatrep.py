@@ -27,7 +27,8 @@ def _lj_system(n0, L, seed):
                  "eps": jnp.asarray(eps)}
 
 
-@pytest.mark.parametrize("rx,rz", [(2, 2), (1, 4)])
+@pytest.mark.parametrize("rx,rz", [
+    (2, 2), pytest.param(1, 4, marks=pytest.mark.slow)])
 def test_flat_ensemble_sweep_matches_per_replica(rx, rz):
     R = rx * rz
     n0, L, cutoff = 96, 1.6, 0.5

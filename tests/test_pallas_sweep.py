@@ -57,6 +57,7 @@ def test_forces_match_xla_sweep(water_ctx):
     np.testing.assert_allclose(f_pl, f_ref, atol=2e-5 * scale)
 
 
+@pytest.mark.slow
 def test_forces_match_drifted(water_ctx):
     """Positions moved since the rebuild (box-frame/local-coordinate
     handling must stay consistent between the two sweeps)."""

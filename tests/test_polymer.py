@@ -1,12 +1,14 @@
 """Solvated polarizable polymer (BASELINE.md config 4): bonded terms +
 constraints + hard wall + two temperature groups."""
 
+import pytest
 import numpy as np
 
 import openmm_drudenose_tpu as dn
 from openmm_drudenose_tpu.io import polymer
 
 
+@pytest.mark.slow
 def test_polymer_builds_and_steps():
     system, positions, poly, wat = polymer.build_solvated_polymer(
         n_chains=2, chain_length=10, n_water=50,
