@@ -154,10 +154,18 @@ class Context:
                            if getattr(t0, "pallas_excl_skip", False)
                            else None)
 
-                def neighbor_fn(positions, box):
+                def neighbor_fn(positions, box, rep_scale=None):
+                    if rep_scale is not None:
+                        # flat-ensemble NPT: bin STORED coordinates
+                        # (physical / s_r) on the shared template grid
+                        R = cfg.n_replicas
+                        positions = (positions.reshape(R, -1, 3)
+                                     / rep_scale[:, None, None].astype(
+                                         positions.dtype)).reshape(-1, 3)
                     return cellpair.build_cellsort(positions,
                                                    jnp.diagonal(box), cfg,
-                                                   excl_ij=excl_ij)
+                                                   excl_ij=excl_ij,
+                                                   rep_scale=rep_scale)
                 self._neighbor_fn = neighbor_fn
                 self._rebuild_interval = cfg.rebuild_interval
             else:
@@ -176,21 +184,26 @@ class Context:
                 self._rebind_neighbor_fn()
                 self._rebuild_interval = self._nbl_cfg.rebuild_interval
 
-        def potential(positions, box, neighbors, pos_err):
+        def potential(positions, box, neighbors, pos_err, rep_scale=None):
             pos = apply_vsites(spec, static, positions)
             e = jnp.zeros((), positions.dtype)
             for fn, params in terms:
                 if getattr(fn, "needs_neighbors", False):
-                    e = e + fn(params, pos, box, neighbors)
+                    if getattr(fn, "wants_rep_scale", False):
+                        e = e + fn(params, pos, box, neighbors, rep_scale)
+                    else:
+                        e = e + fn(params, pos, box, neighbors)
                 elif getattr(fn, "wants_pos_err", False):
                     e = e + fn(params, pos, box, pos_err=pos_err)
                 else:
                     e = e + fn(params, pos, box)
             return e
 
-        def energy_and_forces(positions, box, neighbors=None, pos_err=None):
+        def energy_and_forces(positions, box, neighbors=None, pos_err=None,
+                              rep_scale=None):
             pe, grad = jax.value_and_grad(potential)(positions, box,
-                                                     neighbors, pos_err)
+                                                     neighbors, pos_err,
+                                                     rep_scale)
             return pe, -grad
 
         self._energy_and_forces = energy_and_forces
@@ -207,13 +220,17 @@ class Context:
             nb_fn, nb_params = nb_split
             recip_f = getattr(nb_fn, "recip_forces", None)
 
-            def rest_energy_composed(pos, box, neighbors, pos_err):
+            def rest_energy_composed(pos, box, neighbors, pos_err,
+                                     rep_scale=None):
                 """Everything autodiffed in the force-only path, as a
                 function of the COMPOSED (vsite-updated) positions: with an
                 analytic reciprocal force available, only the extras; else
                 extras + PME reciprocal."""
                 if recip_f is not None:
                     e = nb_fn.extras_energy(nb_params, pos, box)
+                elif getattr(nb_fn, "wants_rep_scale", False):
+                    e = nb_fn.rest_energy(nb_params, pos, box, neighbors,
+                                          rep_scale)
                 else:
                     e = nb_fn.rest_energy(nb_params, pos, box, neighbors)
                 for fn, params in terms:
@@ -227,7 +244,8 @@ class Context:
                         e = e + fn(params, pos, box)
                 return e
 
-            def forces_only(positions, box, neighbors=None, pos_err=None):
+            def forces_only(positions, box, neighbors=None, pos_err=None,
+                            rep_scale=None):
                 """Total force on the raw particles: every term is
                 evaluated at the composed positions; the single J^T
                 application at the end moves vsite-row forces onto the
@@ -247,12 +265,17 @@ class Context:
                     pos_comp, vjp_fn = jax.vjp(
                         lambda p: apply_vsites(spec, static, p), positions)
                     spread = lambda f: vjp_fn(f)[0]
-                f = nb_fn.sweep_forces(nb_params, pos_comp, box_diag,
-                                       neighbors)
+                if rep_scale is not None:
+                    f = nb_fn.sweep_forces(nb_params, pos_comp, box_diag,
+                                           neighbors, rep_scale)
+                else:
+                    f = nb_fn.sweep_forces(nb_params, pos_comp, box_diag,
+                                           neighbors)
                 if recip_f is not None:
                     f = f + recip_f(nb_params, pos_comp, box_diag, neighbors)
                 f = f - jax.grad(rest_energy_composed)(pos_comp, box,
-                                                       neighbors, pos_err)
+                                                       neighbors, pos_err,
+                                                       rep_scale)
                 return spread(f)
 
             self._forces_only = forces_only
@@ -369,7 +392,8 @@ class Context:
             if self._jit_neighbor_fn is None:
                 self._jit_neighbor_fn = jax.jit(self._neighbor_fn)
             nbl = self._jit_neighbor_fn(self._state.positions,
-                                        self._state.box)
+                                        self._state.box,
+                                        self._state.rep_scale)
             if (getattr(nbl, "excl_span_exceeded", None) is not None
                     and bool(nbl.excl_span_exceeded)):
                 # an excluded pair already spans >= 2 cells at setup (long
@@ -442,7 +466,8 @@ class Context:
             self._ensure_neighbors()
             pe, f = jax.jit(self._energy_and_forces)(
                 self._state.positions, self._state.box,
-                self._state.neighbors, self._state.pos_err)
+                self._state.neighbors, self._state.pos_err,
+                self._state.rep_scale)
             self._state = self._state._replace(
                 forces=f, potential_energy=pe.astype(self._prec.accum))
             self._forces_valid = True
@@ -451,9 +476,18 @@ class Context:
     def _get_step_fn(self, inner: int):
         fn = self._step_fns.get(inner)
         if fn is None:
+            mc = None
+            nb_mc = next((getattr(t[0], "mc_energies", None)
+                          for t in self._terms
+                          if getattr(t[0], "mc_energies", None)), None)
+            if nb_mc is not None:
+                nb_params = next(t[1] for t in self._terms
+                                 if getattr(t[0], "mc_energies", None))
+                def mc(pos, box, nbl, rs, _f=nb_mc, _p=nb_params):
+                    return _f(_p, pos, box, nbl, rs)
             fn = jax.jit(tgnh.make_multi_step(
                 self._static, self._energy_and_forces, inner,
-                forces_fn=self._forces_only))
+                forces_fn=self._forces_only, mc_energies=mc))
             self._step_fns[inner] = fn
         return fn
 
@@ -481,7 +515,8 @@ class Context:
         if self._jit_potential is None:
             self._jit_potential = jax.jit(self._potential)
         pe = self._jit_potential(self._state.positions, self._state.box,
-                                 self._state.neighbors, self._state.pos_err)
+                                 self._state.neighbors, self._state.pos_err,
+                                 self._state.rep_scale)
         self._state = self._state._replace(
             potential_energy=pe.astype(self._prec.accum))
         self._pe_valid = True

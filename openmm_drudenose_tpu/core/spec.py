@@ -281,10 +281,10 @@ def build_spec(system, integrator, real_dtype, accum_dtype,
                 or n_pairs % ensemble_r:
             raise SpecError("flattened ensemble: atom/residue/pair counts "
                             "must be divisible by the replica count")
-        if baro_freq:
-            raise SpecError("flattened ensembles do not support a barostat "
-                            "(per-replica boxes would break the shared "
-                            "embedded cell grid)")
+        # barostat + flattened ensemble: per-replica NPT via
+        # SimState.rep_scale (stored-coordinate sweep on the shared
+        # template grid, per-replica MC moves —
+        # integrators/barostat.maybe_attempt_mc_move_ensemble)
         # per-replica bath constants: identical replicas make the ext
         # accounting exactly R x the template's (CM -3 handled above)
         dof = dof / ensemble_r

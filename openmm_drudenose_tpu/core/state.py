@@ -44,6 +44,12 @@ class SimState(NamedTuple):
     # otherwise noise-heats the stiff Drude springs by ~0.3 K on a 1 K bath
     # (OpenMM's posqCorrection plays the same role in mixed precision).
     pos_err: Any = None
+    # flattened-ensemble NPT (parallel/flatrep.py): per-replica isotropic
+    # box scale s_r — replica r's physical box is box * s_r while the cell
+    # grid stays planned on the shared template box (binning and the sweep
+    # run in STORED coordinates p/s with r^2 scaled per cell; see
+    # forces/cellpair._sweep_regular).  None everywhere else.
+    rep_scale: Any = None
 
 
 def zeros_state(n_atoms: int, n_groups: int, n_chains: int, box,

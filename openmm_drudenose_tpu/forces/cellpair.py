@@ -309,6 +309,30 @@ def make_ensemble_config(cutoff: float, box_diag0, n0: int, n_replicas: int,
         n_replicas=int(n_replicas), x_period=gx0, z_period=gz0)
 
 
+def rep_of_cell(cfg: CellPairConfig) -> np.ndarray:
+    """(n_cells,) int32 replica index of each extended cell (embedded
+    ensemble grids: x/z band decomposition matching build_cellsort)."""
+    gx, gy, gz = cfg.grid
+    px = cfg.x_period or gx
+    pz = cfg.z_period or gz
+    rz = gz // pz
+    cz = np.arange(int(np.prod(cfg.grid)))
+    ix = cz // (gy * gz)
+    iz = cz % gz
+    return ((ix // px) * rz + iz // pz).astype(np.int32)
+
+
+def reduce_cells_to_replicas(e_cell, cfg: CellPairConfig):
+    """(n_cells,) per-cell values -> (R,) per-replica sums by pure
+    reshape-sum over the (x, z) band structure (no scatters)."""
+    gx, gy, gz = cfg.grid
+    px = cfg.x_period or gx
+    pz = cfg.z_period or gz
+    rx, rz = gx // px, gz // pz
+    return e_cell.reshape(rx, px, gy, rz, pz).sum(axis=(1, 2, 4)).reshape(
+        rx * rz)
+
+
 def _local_c3(cfg: CellPairConfig) -> np.ndarray:
     """(n_cells, 3) per-replica-LOCAL cell indices (float64): the sweep's
     cell centers are local to each replica's own box frame, so embedded
@@ -356,7 +380,7 @@ def build_exclusion_words(n_atoms: int, exc_i, exc_j,
 
 
 def build_cellsort(positions, box_diag, cfg: CellPairConfig,
-                   excl_ij=None) -> CellSort:
+                   excl_ij=None, rep_scale=None) -> CellSort:
     """excl_ij: optional (exc_i, exc_j) static index arrays of the excluded
     pairs.  When given, the rebuild latches CellSort.excl_span_exceeded if
     any excluded pair lands in cells >= 2 apart in some dimension (after
@@ -371,10 +395,16 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
     # NPT guard: the static stencil covers r_list only while
     # window_d * (box_d / grid_d) >= r_list; a shrinking box can violate
     # this silently — latch a flag so the Context replans the grid
+    # flat-ensemble NPT: positions arrive in STORED coordinates (p/s), so
+    # the effective list radius in this frame is r_list / min(s) — a
+    # shrinking replica must trip the same stencil-coverage latch
+    r_list_eff = cfg.r_list
+    if rep_scale is not None:
+        r_list_eff = cfg.r_list / jnp.min(rep_scale).astype(positions.dtype)
     if cfg.window is not None:
         wcell = (jnp.asarray(cfg.window, positions.dtype)
                  * box_diag / jnp.asarray(pgrid_t, positions.dtype))
-        stencil_invalid = jnp.any(wcell < cfg.r_list)
+        stencil_invalid = jnp.any(wcell < r_list_eff)
         if cfg.trimmed:
             # a shrinking NPT box can bring a trimmed far-corner offset
             # back within r_list reach even while the window still covers
@@ -382,7 +412,7 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
             gap = jnp.asarray(cfg.trimmed, positions.dtype) * h_live
             reach2 = jnp.sum(gap * gap, axis=1)
             stencil_invalid = stencil_invalid | jnp.any(
-                reach2 <= cfg.r_list * cfg.r_list)
+                reach2 <= r_list_eff * r_list_eff)
     else:
         stencil_invalid = jnp.zeros((), jnp.bool_)
 
@@ -557,8 +587,20 @@ def make_pair_eg(method: str, cutoff: float, alpha: float = 0.0,
 
 def _sweep_regular(params, positions, box_diag, cellsort,
                    cfg: CellPairConfig, pair_eg, coulomb_scale,
-                   with_energy: bool = True):
+                   with_energy: bool = True, rep_scale=None,
+                   energy_per_replica: bool = False):
     """Matmul-form sweep for regular grids (all dims >= 2w+1 cells).
+
+    rep_scale (flat-ensemble NPT, (R,)): `positions` arrive in STORED
+    coordinates (physical / s_r) so the grid/binning/stencil live on the
+    shared template box; only the pair math sees per-replica physics —
+    r2_phys = s_r^2 * r2_stored per ROW cell (row and neighbor cells are
+    always in the same replica band).  Returned forces are then PHYSICAL
+    (F_phys = s_r * f_contracted: E = sum e(s^2 |d_stored|^2) gives
+    dE/dp_phys = (1/s) dE/dp_stored and the contractions below compute
+    -(1/s^2) dE/dp_stored).  energy_per_replica returns a (R,) vector of
+    per-replica sums instead of the scalar (row-cell attribution is
+    exact — both pair atoms live in the row cell's replica).
 
     Coordinates are cell-local (box-frame position minus the cell center),
     so for stencil offset o the pair displacement is exactly
@@ -588,6 +630,11 @@ def _sweep_regular(params, positions, box_diag, cellsort,
     inv_flat, inv_shape = cfg.inv_map
     inv = jnp.asarray(np.array(inv_flat, np.int32).reshape(inv_shape))
     offs = jnp.asarray(np.array(cfg.offsets, np.float64), dtype)  # (n_off,3)
+
+    s2_cell = None
+    if rep_scale is not None:
+        s_cell = rep_scale.astype(dtype)[jnp.asarray(rep_of_cell(cfg))]
+        s2_cell = (s_cell * s_cell)[:, None, None]          # (nc, 1, 1)
 
     # cell centers (static index grid x traced cell size: NPT-safe);
     # replica-LOCAL indices for embedded ensemble grids — every replica's
@@ -628,6 +675,9 @@ def _sweep_regular(params, positions, box_diag, cellsort,
             preferred_element_type=dtype)                   # (nc, C, P*C)
         r2 = (na[:, :, None] + nb.reshape(n_cells, P * C)[:, None, :]
               - (cross + cross))
+        if s2_cell is not None:
+            # per-replica physical distance from stored coordinates
+            r2 = r2 * s2_cell
         valid = r2 < cutoff2
         if self_block:
             diag = (np.arange(C)[:, None] == np.arange(P * C)[None, :])
@@ -670,7 +720,10 @@ def _sweep_regular(params, positions, box_diag, cellsort,
 
         if with_energy:
             factor = 1.0 if (half and not self_block) else 0.5
-            e_total = e_total + factor * jnp.sum(e)
+            if energy_per_replica:
+                e_total = e_total + factor * jnp.sum(e, axis=(1, 2))
+            else:
+                e_total = e_total + factor * jnp.sum(e)
         # row forces: one MXU contraction gives both g2 @ b' and rowsum(g2)
         # (ones column appended)
         ones_b = jnp.ones((n_cells, 1, P * C), dtype)
@@ -703,7 +756,9 @@ def _sweep_regular(params, positions, box_diag, cellsort,
         return (e_total, fx, fy, fz)
 
     zero = jnp.zeros((n_cells, C), dtype)
-    carry = (jnp.zeros((), dtype), zero, zero, zero)
+    e0 = (jnp.zeros((n_cells,), dtype) if energy_per_replica
+          else jnp.zeros((), dtype))
+    carry = (e0, zero, zero, zero)
     carry = one(carry, jnp.asarray([0], jnp.int32), 1, self_block=True)
 
     rest = list(range(1, cfg.n_offsets))
@@ -717,9 +772,15 @@ def _sweep_regular(params, positions, box_diag, cellsort,
     for o in leftover:
         carry = one(carry, jnp.asarray([o], jnp.int32), 1)
     e_total, *f = carry
+    if energy_per_replica:
+        e_total = reduce_cells_to_replicas(e_total, cfg)
 
     f_slots = jnp.stack([fc.reshape(-1) for fc in f], axis=1)
     forces = f_slots[cellsort.inv_slot]
+    if rep_scale is not None:
+        R = rep_scale.shape[0]
+        forces = (forces.reshape(R, n // R, 3)
+                  * rep_scale.astype(dtype)[:, None, None]).reshape(n, 3)
     return e_total, forces
 
 def _sorted_arrays(params, positions, cellsort, cfg, n, box_diag=None):
@@ -846,7 +907,8 @@ def make_block_eg(blocks, box_diag, cfg: CellPairConfig, pair_eg,
 
 def pair_energy_forces(params, positions, box_diag, cellsort,
                        cfg: CellPairConfig, pair_eg, coulomb_scale,
-                       with_energy: bool = True):
+                       with_energy: bool = True, rep_scale=None,
+                       energy_per_replica: bool = False):
     """Returns (energy, forces (N,3)) for the direct-space sum.
 
     Regular grids (all dims >= 2w+1 cells) use the matmul-form sweep
@@ -854,14 +916,21 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
     contractions, Newton's-third-law reactions credited by an
     inverse-permutation row GATHER (each stencil offset is a cyclic shift
     of the cell grid, so the scatter fc[b] += r is exactly
-    fc += r[inv_b])."""
+    fc += r[inv_b]).
+
+    rep_scale/energy_per_replica: flat-ensemble NPT (stored-coordinate
+    positions; see _sweep_regular) — regular grids only."""
+    if rep_scale is not None and not cfg.regular:
+        raise ValueError("flat-ensemble NPT (rep_scale) requires a "
+                         "regular cell grid")
     if cfg.regular:
         # with_energy=False drops the energy reduction; XLA then dead-code
         # eliminates the e-tile chain inside that consumer fusion, leaving
         # one pair-chain evaluation per force contraction instead of three
         return _sweep_regular(params, positions, box_diag, cellsort, cfg,
                               pair_eg, coulomb_scale,
-                              with_energy=with_energy)
+                              with_energy=with_energy, rep_scale=rep_scale,
+                              energy_per_replica=energy_per_replica)
 
     n = positions.shape[0]
     n_cells, C = cfg.n_cells, cfg.capacity
@@ -917,23 +986,40 @@ def make_custom_energy(cfg: CellPairConfig, pair_eg, coulomb_scale,
     signature as pair_energy_forces."""
     sweep = impl or pair_energy_forces
 
+    def _sweep(params, positions, box_diag, cellsort, rep_scale):
+        if rep_scale is None:   # custom impls need not accept rep_scale
+            return sweep(params, positions, box_diag, cellsort,
+                         cfg, pair_eg, coulomb_scale)
+        return sweep(params, positions, box_diag, cellsort,
+                     cfg, pair_eg, coulomb_scale, rep_scale=rep_scale)
+
     @jax.custom_vjp
-    def energy(params, positions, box_diag, cellsort):
-        e, _ = sweep(params, positions, box_diag, cellsort,
-                     cfg, pair_eg, coulomb_scale)
+    def energy(params, positions, box_diag, cellsort, rep_scale=None):
+        e, _ = _sweep(params, positions, box_diag, cellsort, rep_scale)
         return e
 
-    def fwd(params, positions, box_diag, cellsort):
-        e, f = sweep(params, positions, box_diag, cellsort,
-                     cfg, pair_eg, coulomb_scale)
-        return e, (f, params, box_diag, cellsort)
+    def fwd(params, positions, box_diag, cellsort, rep_scale=None):
+        e, f = _sweep(params, positions, box_diag, cellsort, rep_scale)
+        return e, (f, params, box_diag, cellsort, rep_scale)
 
     def bwd(res, g):
-        f, params, box_diag, cellsort = res
+        f, params, box_diag, cellsort, rep_scale = res
         params_bar = jax.tree.map(_zero_cotangent, params)
         box_bar = jax.tree.map(_zero_cotangent, box_diag)
         cs_bar = jax.tree.map(_zero_cotangent, cellsort)
-        return params_bar, g * (-f), box_bar, cs_bar
+        rs_bar = jax.tree.map(_zero_cotangent, rep_scale)
+        pos_bar = g * (-f)
+        if rep_scale is not None:
+            # `positions` here are STORED coordinates (p_phys / s) while
+            # `f` is the PHYSICAL force; dE/dp_stored = -s * F_phys, so
+            # the caller's p_stored = p_phys / s chain rule recovers
+            # exactly -F_phys for dE/dp_phys
+            n = f.shape[0]
+            R = rep_scale.shape[0]
+            pos_bar = (pos_bar.reshape(R, n // R, 3)
+                       * rep_scale.astype(f.dtype)[:, None, None]
+                       ).reshape(n, 3)
+        return params_bar, pos_bar, box_bar, cs_bar, rs_bar
 
     energy.defvjp(fwd, bwd)
     return energy

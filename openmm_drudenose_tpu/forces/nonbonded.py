@@ -562,7 +562,7 @@ class NonbondedForce:
             pair_term = cp.make_custom_energy(cp_cfg, pair_eg, ONE_4PI_EPS0,
                                               impl=impl)
 
-            def extras_energy(params, positions, box):
+            def extras_energy(params, positions, box, rep_scale=None):
                 """Everything but the sweep and the PME reciprocal sum:
                 explicit exceptions, reciprocal exclusion corrections,
                 Ewald self term, dispersion tail.  Exposed separately so
@@ -581,50 +581,116 @@ class NonbondedForce:
                     e = e + params["pme_self"]
                 if disp is not None:
                     vol = box_diag[0] * box_diag[1] * box_diag[2]
-                    e = e + disp / vol
+                    if rep_scale is None:
+                        e = e + disp / vol
+                    else:
+                        # per-replica volumes V0 * s_r^3 (flat NPT);
+                        # disp here is R x the per-replica coefficient
+                        s3 = rep_scale.astype(positions.dtype) ** 3
+                        e = e + (disp / ens_r) * jnp.sum(1.0 / s3) / vol
                 return e
 
+            def _stored(positions, rep_scale):
+                """Flat-ensemble NPT stored coordinates p_phys / s_r (the
+                shared template grid bins and sweeps in this frame)."""
+                if rep_scale is None:
+                    return positions
+                return (positions.reshape(ens_r, n0_e, 3)
+                        / rep_scale[:, None, None].astype(positions.dtype)
+                        ).reshape(-1, 3)
+
             recip_energy = None
+            recip_energies_rep = None
             if method in (self.Ewald, self.PME):
                 if ens_r > 1:
                     # replicas overlap in physical coordinates (each lives
                     # in the per-replica box frame): one shared grid would
                     # interfere their charges, so the reciprocal sum is
-                    # vmapped per replica
-                    def recip_energy(params, positions, box_diag, nbl):
+                    # vmapped per replica (per-replica boxes under NPT)
+                    def recip_energies_rep(params, positions, box_diag,
+                                           rep_scale=None):
                         q = params["charge"].reshape(ens_r, n0_e)
                         p = positions.reshape(ens_r, n0_e, 3)
-                        return jnp.sum(jax.vmap(
-                            lambda qq, pp: pme.reciprocal_energy(
-                                qq, pp, box_diag))(q, p))
+                        if rep_scale is None:
+                            return jax.vmap(
+                                lambda qq, pp: pme.reciprocal_energy(
+                                    qq, pp, box_diag))(q, p)
+                        boxes = (box_diag[None, :]
+                                 * rep_scale[:, None].astype(box_diag.dtype))
+                        return jax.vmap(
+                            lambda qq, pp, bd: pme.reciprocal_energy(
+                                qq, pp, bd))(q, p, boxes)
+
+                    def recip_energy(params, positions, box_diag, nbl,
+                                     rep_scale=None):
+                        return jnp.sum(recip_energies_rep(
+                            params, positions, box_diag, rep_scale))
                 elif pme.cell_grid is not None:
-                    def recip_energy(params, positions, box_diag, nbl):
+                    def recip_energy(params, positions, box_diag, nbl,
+                                     rep_scale=None):
                         return pme.reciprocal_energy_sorted(
                             params["charge"], positions, box_diag,
                             nbl, cp_cfg.capacity)
                 else:
-                    def recip_energy(params, positions, box_diag, nbl):
+                    def recip_energy(params, positions, box_diag, nbl,
+                                     rep_scale=None):
                         return pme.reciprocal_energy(
                             params["charge"], positions, box_diag)
 
-            def energy(params, positions, box, neighbors):
+            def energy(params, positions, box, neighbors, rep_scale=None):
                 box_diag = jnp.diagonal(box)
-                e = pair_term(params, positions, box_diag, neighbors)
-                e = e + extras_energy(params, positions, box)
+                e = pair_term(params, _stored(positions, rep_scale),
+                              box_diag, neighbors, rep_scale)
+                e = e + extras_energy(params, positions, box,
+                                      rep_scale=rep_scale)
                 if recip_energy is not None:
                     e = e + recip_energy(params, positions, box_diag,
-                                         neighbors)
+                                         neighbors, rep_scale)
                 return e
-            def rest_energy(params, positions, box, neighbors):
+
+            def rest_energy(params, positions, box, neighbors,
+                            rep_scale=None):
                 """Everything except the direct-space sweep (extras + PME
                 reciprocal): the force-only step evaluates the sweep's
                 analytic forces separately and autodiffs only this part."""
                 box_diag = jnp.diagonal(box)
-                e = extras_energy(params, positions, box)
+                e = extras_energy(params, positions, box,
+                                  rep_scale=rep_scale)
                 if recip_energy is not None:
                     e = e + recip_energy(params, positions, box_diag,
-                                         neighbors)
+                                         neighbors, rep_scale)
                 return e
+
+            mc_energies = None
+            if ens_r > 1:
+                def mc_energies(params, positions, box, neighbors,
+                                rep_scale):
+                    """(R,) per-replica energies of every term whose value
+                    CHANGES under a per-replica molecule-COM volume move:
+                    the direct-space sweep, the PME reciprocal sum, and
+                    the dispersion tail.  Intramolecular terms (bonded,
+                    Drude springs, screened pairs, exceptions, reciprocal
+                    exclusion corrections, the Ewald self term) are
+                    invariant under COM scaling and cancel exactly in the
+                    Metropolis delta — parallel/flatrep.py refuses NPT
+                    systems with INTERmolecular extra terms (NBTHOLE / LJ
+                    pair overrides)."""
+                    box_diag = jnp.diagonal(box)
+                    e, _ = cp.pair_energy_forces(
+                        params, _stored(positions, rep_scale), box_diag,
+                        neighbors, cp_cfg, pair_eg, ONE_4PI_EPS0,
+                        with_energy=True, rep_scale=rep_scale,
+                        energy_per_replica=True)
+                    if recip_energies_rep is not None:
+                        e = e + recip_energies_rep(params, positions,
+                                                   box_diag, rep_scale)
+                    if disp is not None:
+                        vol = box_diag[0] * box_diag[1] * box_diag[2]
+                        s3 = (jnp.ones((ens_r,), positions.dtype)
+                              if rep_scale is None
+                              else rep_scale.astype(positions.dtype) ** 3)
+                        e = e + (disp / ens_r) / (vol * s3)
+                    return e
 
             recip_forces = None
             if (method in (self.Ewald, self.PME) and pme.cell_grid is not None
@@ -676,7 +742,8 @@ class NonbondedForce:
                     nb_kwargs.get("pallas_excl_skip", True))
 
                 if pallas_chunk is not None:
-                    def sweep_forces(params, positions, box_diag, neighbors):
+                    def _sweep_pallas(params, positions, box_diag,
+                                      neighbors):
                         return pallas_sweep.pair_forces_pallas_chunked(
                             params, positions, box_diag, neighbors, cp_cfg,
                             ps_method, pallas_chunk,
@@ -684,18 +751,35 @@ class NonbondedForce:
                             krf=krf, crf=crf, coulomb_scale=ONE_4PI_EPS0,
                             excl_skip=pallas_excl_skip)
                 else:
-                    def sweep_forces(params, positions, box_diag, neighbors):
+                    def _sweep_pallas(params, positions, box_diag,
+                                      neighbors):
                         return pallas_sweep.pair_forces_pallas(
                             params, positions, box_diag, neighbors, cp_cfg,
                             ps_method,
                             alpha=pme.alpha if ps_method == "ewald" else 0.0,
                             krf=krf, crf=crf, coulomb_scale=ONE_4PI_EPS0,
                             excl_skip=pallas_excl_skip)
+
+                def sweep_forces(params, positions, box_diag, neighbors,
+                                 rep_scale=None):
+                    if rep_scale is not None:
+                        # flat-ensemble NPT runs the XLA sweep (the Pallas
+                        # kernels assume one uniform cell size)
+                        _, f = cp.pair_energy_forces(
+                            params, _stored(positions, rep_scale),
+                            box_diag, neighbors, cp_cfg, pair_eg,
+                            ONE_4PI_EPS0, with_energy=False,
+                            rep_scale=rep_scale)
+                        return f
+                    return _sweep_pallas(params, positions, box_diag,
+                                         neighbors)
             else:
-                def sweep_forces(params, positions, box_diag, neighbors):
+                def sweep_forces(params, positions, box_diag, neighbors,
+                                 rep_scale=None):
                     _, f = cp.pair_energy_forces(
-                        params, positions, box_diag, neighbors, cp_cfg,
-                        pair_eg, ONE_4PI_EPS0, with_energy=False)
+                        params, _stored(positions, rep_scale), box_diag,
+                        neighbors, cp_cfg, pair_eg, ONE_4PI_EPS0,
+                        with_energy=False, rep_scale=rep_scale)
                     return f
 
             energy.needs_neighbors = True
@@ -718,6 +802,9 @@ class NonbondedForce:
             energy.pme_setup = pme if method in (self.Ewald, self.PME) else None
             energy.extras_energy = extras_energy
             energy.rest_energy = rest_energy
+            # flat-ensemble NPT hooks (parallel/flatrep.py)
+            energy.wants_rep_scale = True
+            energy.mc_energies = mc_energies
             energy.recip_forces = recip_forces
             energy.sweep_forces = sweep_forces
         else:

@@ -469,6 +469,7 @@ def make_step(static: StaticSpec,
               forces_fn: Callable = None,
               reduce_axis: str = None,
               baro_n_mol: int = None,
+              mc_energies: Callable = None,
               ) -> Callable[[SystemSpec, SimState], SimState]:
     """Build step(spec, state) -> state.
 
@@ -515,10 +516,14 @@ def make_step(static: StaticSpec,
     def apply_barostat(spec, state):
         if static.baro_freq > 0:
             from . import barostat
-            state = barostat.maybe_attempt_mc_move(
-                spec, static, state, energy_and_forces,
-                recompute_current=forces_fn is not None,
-                n_mol=baro_n_mol)
+            if getattr(state, "rep_scale", None) is not None:
+                state = barostat.maybe_attempt_mc_move_ensemble(
+                    spec, static, state, energy_and_forces, mc_energies)
+            else:
+                state = barostat.maybe_attempt_mc_move(
+                    spec, static, state, energy_and_forces,
+                    recompute_current=forces_fn is not None,
+                    n_mol=baro_n_mol)
         return state
 
     def update_context_state(spec, state):
@@ -596,13 +601,18 @@ def make_step(static: StaticSpec,
 
         # -- virtual sites + force pass --------------------------------------
         pos = apply_vsites(spec, static, pos)
+        # flat-ensemble NPT threads the per-replica box scale into the
+        # force pass as an opt-in kwarg (None everywhere else, so engines
+        # that pass their own forces_fn closures are untouched)
+        fkw = ({"rep_scale": state.rep_scale}
+               if getattr(state, "rep_scale", None) is not None else {})
         if forces_fn is not None:
             forces = forces_fn(pos, state.box, state.neighbors,
-                               state.pos_err)
+                               state.pos_err, **fkw)
             pe = state.potential_energy  # stale; recomputed on demand
         else:
             pe, forces = energy_and_forces(pos, state.box, state.neighbors,
-                                           state.pos_err)
+                                           state.pos_err, **fkw)
 
         # -- second half kick -------------------------------------------------
         v = half_kick_t(spec, static, v.T, forces.T, dt).T
@@ -643,7 +653,8 @@ def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
                     inner_steps: int, neighbor_fn: Callable = None,
                     rebuild_interval: int = 16, forces_fn: Callable = None,
                     skin: float = None, fuse_nh: bool = True,
-                    reduce_axis: str = None, baro_n_mol: int = None):
+                    reduce_axis: str = None, baro_n_mol: int = None,
+                    mc_energies: Callable = None):
     """lax.scan over `inner_steps` steps per host call.
 
     With neighbor_fn, rebuilds are STATICALLY SEGMENTED: the scan runs as
@@ -671,7 +682,8 @@ def make_multi_step(static: StaticSpec, energy_and_forces: Callable,
     state under shard_map (parallel/resident.py) — the fused body psums
     its single KE measurement and the CM momentum over the axis."""
     step = make_step(static, energy_and_forces, forces_fn=forces_fn,
-                     reduce_axis=reduce_axis, baro_n_mol=baro_n_mol)
+                     reduce_axis=reduce_axis, baro_n_mol=baro_n_mol,
+                     mc_energies=mc_energies)
 
     if fuse_nh and inner_steps >= 2:
         return _make_multi_step_fused(static, step, inner_steps, neighbor_fn,
@@ -716,7 +728,11 @@ def _make_neighbor_rebuild(neighbor_fn, skin):
     (overflow, full-skin drift breach, excluded-pair cell span) latch
     forward across rebuilds so one host readback per chunk sees them."""
     def rebuild(state):
-        nbl = neighbor_fn(state.positions, state.box)
+        rs = getattr(state, "rep_scale", None)
+        if rs is not None:
+            nbl = neighbor_fn(state.positions, state.box, rs)
+        else:
+            nbl = neighbor_fn(state.positions, state.box)
         nbl = nbl._replace(overflow=nbl.overflow | state.neighbors.overflow)
         if skin is not None and getattr(
                 state.neighbors, "drift_exceeded", None) is not None:
@@ -730,7 +746,14 @@ def _make_neighbor_rebuild(neighbor_fn, skin):
             # cutoff, where the erfc-screened coulomb + LJ tail is
             # negligible; real violence (unequilibrated lattice starts)
             # moves atoms many skins per interval and still trips this.
-            d = state.positions - state.neighbors.ref_positions
+            cur = state.positions
+            if rs is not None:
+                # ref_positions live in the STORED frame (p / s) for flat
+                # NPT ensembles — compare in the same frame
+                R = rs.shape[0]
+                cur = (cur.reshape(R, -1, 3)
+                       / rs[:, None, None].astype(cur.dtype)).reshape(-1, 3)
+            d = cur - state.neighbors.ref_positions
             exceeded = (jnp.max(jnp.sum(d * d, axis=-1))
                         > (2.0 * skin) * (2.0 * skin))
             nbl = nbl._replace(

@@ -131,10 +131,12 @@ def _replicate_force(f, R: int, n0: int):
         return CMMotionRemover(f.getFrequency())
 
     if isinstance(f, MonteCarloBarostat):
-        raise ValueError(
-            "flattened ensembles do not support a barostat: per-replica "
-            "boxes would break the shared embedded cell grid (use "
-            "parallel/ensemble.py's vmap ReplicaEnsemble for NPT replicas)")
+        # per-replica NPT rides SimState.rep_scale (one shared template
+        # grid, stored-coordinate sweep); each replica runs its own MC
+        # volume moves, so ONE barostat object covers the ensemble
+        return MonteCarloBarostat(f.getDefaultPressure(),
+                                  f.getDefaultTemperature(),
+                                  f.getFrequency())
 
     raise ValueError(f"cannot replicate force {type(f).__name__}")
 
@@ -233,6 +235,34 @@ class FlatReplicaEnsemble:
                                strategy="cellpair", seed=seed,
                                hardwall_strict=context._hardwall_strict,
                                nb_options=nb, ensemble_r=R_int)
+        from ..forces.cmmotion import MonteCarloBarostat
+        from ..forces.drude import DrudeForce
+        from ..forces.nonbonded import NonbondedForce
+        if any(isinstance(f, MonteCarloBarostat)
+               for f in context._system.getForces()):
+            # per-replica NPT: intramolecular terms cancel in the MC
+            # Metropolis delta, so the per-replica energy only evaluates
+            # the sweep + PME reciprocal + dispersion — INTERmolecular
+            # extra terms would be silently missing from the acceptance
+            for f in context._system.getForces():
+                if isinstance(f, DrudeForce) and f._nbthole:
+                    raise ValueError(
+                        "flat-ensemble NPT does not support NBTHOLE pairs "
+                        "(intermolecular term outside the per-replica MC "
+                        "energy); use the vmap ReplicaEnsemble")
+                if isinstance(f, NonbondedForce) and f._lj_overrides:
+                    raise ValueError(
+                        "flat-ensemble NPT does not support NBFIX LJ "
+                        "pair overrides (intermolecular term outside the "
+                        "per-replica MC energy); use the vmap "
+                        "ReplicaEnsemble")
+            import jax.numpy as jnp
+            accum = self.context._prec.accum
+            self.context._state = self.context._state._replace(
+                rep_scale=jnp.ones((R_int,), self.context._prec.real),
+                baro_scale=jnp.zeros((R_int,), accum),
+                baro_naccept=jnp.zeros((R_int,), jnp.int32),
+                baro_nattempt=jnp.zeros((R_int,), jnp.int32))
         self._jit_pe = None
         pos0 = np.asarray(context._state.positions, np.float64)
         self.setPositions(np.broadcast_to(pos0, (R,) + pos0.shape))
@@ -372,21 +402,26 @@ class FlatReplicaEnsemble:
         pos = jnp.reshape(st.positions, (self._r_int, n0, 3))[:R]
         perr = (None if st.pos_err is None
                 else jnp.reshape(st.pos_err, (self._r_int, n0, 3))[:R])
-        box = st.box          # the per-replica box (no barostat in flatrep)
+        box = st.box
+        # under NPT each replica carries its own box = template * s_r
+        scales = (jnp.ones((R,), box.dtype) if st.rep_scale is None
+                  else st.rep_scale[:R].astype(box.dtype))
         if self._jit_pe is None:
             nbf = tpl._neighbor_fn
             pot = tpl._potential
 
-            def one(p, pe):
-                nb = None if nbf is None else nbf(p, box)
-                return pot(p, box, nb, pe)
+            def one(p, pe, s):
+                b = box * s
+                nb = None if nbf is None else nbf(p, b)
+                return pot(p, b, nb, pe)
 
             if perr is None:
-                self._jit_pe = jax.jit(jax.vmap(lambda p: one(p, None)))
+                self._jit_pe = jax.jit(
+                    jax.vmap(lambda p, s: one(p, None, s)))
             else:
                 self._jit_pe = jax.jit(jax.vmap(one))
-        out = (self._jit_pe(pos) if perr is None
-               else self._jit_pe(pos, perr))
+        out = (self._jit_pe(pos, scales) if perr is None
+               else self._jit_pe(pos, perr, scales))
         return np.asarray(out, np.float64)
 
     def total_potential_energy(self) -> float:
@@ -395,6 +430,26 @@ class FlatReplicaEnsemble:
             return float(self.potential_energies().sum())
         st = self.context.getState(energy=True)
         return float(st.getPotentialEnergy())
+
+    def boxes(self) -> np.ndarray:
+        """(R, 3, 3) per-replica box vectors (template box scaled by
+        SimState.rep_scale under NPT; identical copies otherwise)."""
+        box = np.asarray(self.context._state.box, np.float64)
+        rs = self.context._state.rep_scale
+        if rs is None:
+            return np.broadcast_to(box, (self._n_replicas, 3, 3)).copy()
+        s = np.asarray(rs, np.float64)[:self._n_replicas]
+        return box[None, :, :] * s[:, None, None]
+
+    def densities(self, total_mass_amu: float = None) -> np.ndarray:
+        """(R,) per-replica mass densities in g/mL (mass defaults to the
+        template system's total)."""
+        if total_mass_amu is None:
+            s = self._template._system
+            total_mass_amu = sum(s.getParticleMass(i)
+                                 for i in range(s.getNumParticles()))
+        vols = np.linalg.det(self.boxes())  # nm^3
+        return total_mass_amu * 1.66053906660 / (vols * 1e3)
 
     # -- dynamics -----------------------------------------------------------
 
