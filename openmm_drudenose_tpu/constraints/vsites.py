@@ -35,6 +35,20 @@ def spread_vsite_forces(spec, static, forces):
 
 
 def apply_vsites(spec, static, positions):
+    if getattr(static, "vs_comp_shifts", ()) and spec.vs_comp_w is not None:
+        # average-only systems: composition as static lane shifts in the
+        # (3, N) layout — out[j] = sum_k w[k, j] * positions[j - d_k].
+        # Replaces the (Va, 3, 3) trailing-axis gathers + row scatter
+        # below (banned ops per the TPU perf rules; measured 14 ms -> VPU
+        # streams at 1M atoms).  Non-vsite rows carry w = 1 at shift 0.
+        pt = positions.T                                    # (3, N)
+        w = spec.vs_comp_w.astype(positions.dtype)
+        out = None
+        for k, d in enumerate(static.vs_comp_shifts):
+            src = pt if d == 0 else jnp.roll(pt, d, axis=1)
+            term = w[k][None, :] * src
+            out = term if out is None else out + term
+        return out.T
     if static.n_vsites_avg:
         p = positions[spec.vs_avg_p]             # (Va, 3, 3)
         w = spec.vs_avg_w[:, :, None]            # (Va, 3, 1)

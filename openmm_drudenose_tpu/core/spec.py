@@ -69,6 +69,13 @@ class StaticSpec:
     # (R, G+2) with PER-REPLICA constants (nh_nkbt etc. are per replica),
     # and all KE/CM reductions run per replica
     ensemble_r: int = 1
+    # avg-only vsite composition as static LANE SHIFTS: out[j] =
+    # sum_k vs_comp_w[k, j] * positions[j - shift_k] — replaces the
+    # (Va, 3, 3) trailing-axis gathers + row scatter of the generic
+    # apply_vsites path (both on this codebase's banned-op list; measured
+    # 14 ms at 1M atoms).  () disables (OOP/LC sites, chained parents,
+    # resident local layouts).
+    vs_comp_shifts: tuple = ()
 
     @property
     def n_baths(self) -> int:
@@ -132,6 +139,7 @@ class SystemSpec(NamedTuple):
     # position-dependent — those systems keep the autodiff spread).
     vs_spread_src: jax.Array = None   # (N, R) int32, pad 0
     vs_spread_w: jax.Array = None     # (N, R), pad 0.0
+    vs_comp_w: jax.Array = None       # (n_shifts, N) lane-shift weights
 
 
 def _find_drude_force(system):
@@ -401,6 +409,31 @@ def build_spec(system, integrator, real_dtype, accum_dtype,
                 spread_src[j, k] = s_
                 spread_w[j, k] = w_
 
+    # ---- lane-shift vsite composition (average-only systems) --------------
+    comp_shifts = ()
+    comp_w = None
+    if avg_idx and not oop_idx and not lc:
+        is_avg2 = np.zeros(n, bool)
+        is_avg2[avg_idx] = True
+        chained = any(is_avg2[p_] for row in avg_p for p_ in row)
+        if not chained:
+            from collections import defaultdict
+            cmap = [defaultdict(float) for _ in range(n)]
+            for j in range(n):
+                if not is_avg2[j]:
+                    cmap[j][0] += 1.0
+            for row, site in enumerate(avg_idx):
+                for k in range(3):
+                    if avg_w[row][k] != 0.0:
+                        cmap[site][site - avg_p[row][k]] += avg_w[row][k]
+            shifts = sorted({d for m_ in cmap for d in m_})
+            if len(shifts) <= 8:
+                comp_shifts = tuple(int(d) for d in shifts)
+                comp_w = np.zeros((len(shifts), n))
+                for j, m_ in enumerate(cmap):
+                    for d, w_ in m_.items():
+                        comp_w[shifts.index(d), j] = w_
+
     # ---- uniform molecule-major layout detection --------------------------
     # When every residue is K consecutive atoms and the within-block partner
     # offset pattern is identical across residues (true for homogeneous
@@ -438,6 +471,7 @@ def build_spec(system, integrator, real_dtype, accum_dtype,
         constraint_tol=float(integrator.getConstraintTolerance()),
         uniform_k=uniform_k,
         partner_offsets=partner_offsets,
+        vs_comp_shifts=comp_shifts,
         ensemble_r=ensemble_r,
     )
 
@@ -484,6 +518,7 @@ def build_spec(system, integrator, real_dtype, accum_dtype,
                        else None),
         vs_spread_w=(jnp.asarray(spread_w, r) if spread_w is not None
                      else None),
+        vs_comp_w=(jnp.asarray(comp_w, r) if comp_w is not None else None),
     )
     if ensemble_r > 1:
         # per-replica NH chain state: (R, G+2, M)

@@ -1030,9 +1030,11 @@ def local_static(static_g: StaticSpec, layout: ResidentLayout) -> StaticSpec:
         n_vsites_lc=layout.Rc * layout.vl_max,
         # the local layout appends a Kd-atom dummy tail and parks unused
         # slots, breaking the uniform-block pattern the lane-shift
-        # kinematics fast path assumes
+        # kinematics fast path assumes (likewise the lane-shift vsite
+        # composition)
         uniform_k=0,
         partner_offsets=(),
+        vs_comp_shifts=(),
     )
 
 

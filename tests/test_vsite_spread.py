@@ -59,3 +59,29 @@ def test_forces_only_matches_energy_grad():
     fo = ctx._forces_only(st.positions, st.box, st.neighbors, st.pos_err)
     np.testing.assert_allclose(np.asarray(fo), np.asarray(pe_f),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_lane_shift_composition_matches_generic():
+    """The static lane-shift vsite composition (StaticSpec.vs_comp_shifts)
+    must equal the generic gather/scatter path exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from openmm_drudenose_tpu.constraints.vsites import apply_vsites
+    from openmm_drudenose_tpu.io import builders
+    import openmm_drudenose_tpu as dn
+
+    system, positions = builders.build_water_box(40)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    ctx = dn.Context(system, integ, precision="double")
+    spec, static = ctx._spec, ctx._static
+    assert static.vs_comp_shifts, "SWM4 water must enable the fast path"
+    p = jnp.asarray(np.asarray(positions) + 0.01)
+    fast = apply_vsites(spec, static, p)
+    generic = apply_vsites(spec, dataclasses.replace(
+        static, vs_comp_shifts=()), p)
+    np.testing.assert_array_equal(np.asarray(fast)[:, 0].shape,
+                                  np.asarray(generic)[:, 0].shape)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(generic),
+                               atol=1e-14)
