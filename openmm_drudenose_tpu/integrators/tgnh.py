@@ -85,19 +85,38 @@ def _partner_rows(spec: SystemSpec, static: StaticSpec, x):
     return _partner_rows_t(spec, static, x.T).T
 
 
-def residue_sum_t(spec: SystemSpec, xt):
+def residue_sum_t(spec: SystemSpec, xt, uniform_k: int = 0):
     """Sum a per-atom (3, N) quantity over residues -> (3, R), via the
     padded member-gather table (TPU scatters/segment_sums are slow; a
     fixed-width gather + axis-reduce is fused elementwise work).  The
     (3, N) lane-major layout is 7x faster than per-component gathers of
-    (N, 3) column slices (measured on v5e, scripts/bench_layout.py)."""
+    (N, 3) column slices (measured on v5e, scripts/bench_layout.py).
+
+    uniform_k > 0 (uniform molecule-major layout, core/spec.py): every
+    residue is exactly K consecutive atoms, so the gather collapses to a
+    pure reshape-sum (random (R, S) gathers measured ~40x a linear pass
+    on v5e; 12.7 ms of group-KE at 1M atoms was mostly this table)."""
+    if uniform_k:
+        n = xt.shape[1]
+        return jnp.sum(xt.reshape(3, n // uniform_k, uniform_k), axis=2)
     vtp = jnp.concatenate([xt, jnp.zeros((3, 1), xt.dtype)], axis=1)
     return jnp.sum(vtp[:, spec.res_members], axis=2)
 
 
 def residue_sum(spec: SystemSpec, static: StaticSpec, per_atom):
     """(N, 3) -> (R, 3) wrapper over residue_sum_t."""
-    return residue_sum_t(spec, per_atom.T).T
+    return residue_sum_t(spec, per_atom.T,
+                         uniform_k=static.uniform_k).T
+
+
+def expand_residues_t(spec: SystemSpec, xr, uniform_k: int = 0):
+    """Broadcast a per-residue (3, R) quantity back to atoms (3, N):
+    reshape-broadcast for uniform layouts, resid gather otherwise."""
+    if uniform_k:
+        r = xr.shape[1]
+        return jnp.broadcast_to(
+            xr[:, :, None], (3, r, uniform_k)).reshape(3, r * uniform_k)
+    return xr[:, spec.resid]
 
 
 def com_and_norm_velocities_t(spec: SystemSpec, static: StaticSpec, vt):
@@ -107,11 +126,13 @@ def com_and_norm_velocities_t(spec: SystemSpec, static: StaticSpec, vt):
     velocities.  All math in (3, N): a trailing size-3 axis on 100k-atom
     elementwise chains pads lanes 3->128 (CLAUDE.md perf rules)."""
     if static.use_com_temp_group:
-        mom = residue_sum_t(spec, spec.mass[None, :] * vt)
+        mom = residue_sum_t(spec, spec.mass[None, :] * vt,
+                            uniform_k=static.uniform_k)
         com_vel_t = mom * spec.res_inv_mass[None, :]
     else:
         com_vel_t = jnp.zeros((3, static.n_residues), vt.dtype)
-    norm_vel_t = vt - com_vel_t[:, spec.resid]
+    norm_vel_t = vt - expand_residues_t(spec, com_vel_t,
+                                        uniform_k=static.uniform_k)
     return com_vel_t, norm_vel_t
 
 
@@ -303,7 +324,10 @@ def apply_vscale_t(spec: SystemSpec, static: StaticSpec, vt,
         vs_com = per_atom(G)
         vs_drude = per_atom(G + 1)
     else:
-        vs_atom = vs[spec.tg][None, :]
+        if G == 1:
+            vs_atom = vs[0]          # scalar broadcast beats a (N,) gather
+        else:
+            vs_atom = vs[spec.tg][None, :]
         vs_com = vs[G]
         vs_drude = vs[G + 1]
     vel_com_part = vt - norm_vel_t  # = com_vel[resid] for massive atoms
