@@ -29,6 +29,38 @@ import jax.numpy as jnp
 NEWTON_ITERS = 6
 
 
+def _uniform_cols(xt, uniform):
+    """(3, N) -> three (3, S) strided-slice columns for the uniform
+    one-triangle-per-K-atom-residue layout (StaticSpec.settle_uniform):
+    replaces the random (3, S) gathers, which cost ~40x a linear pass on
+    v5e (CLAUDE.md perf rules)."""
+    K, qa, qb, qc = uniform
+    S = xt.shape[1] // K
+    r = xt.reshape(3, S, K)
+    return r[:, :, qa], r[:, :, qb], r[:, :, qc]
+
+
+def _uniform_add(target, corr_abc, uniform):
+    """Add per-role (3, S) corrections back into the per-atom (N, 3) array
+    as a stack-reshape (no gather, no scatter)."""
+    K, qa, qb, qc = uniform
+    S = corr_abc[0].shape[1]
+    zero = jnp.zeros_like(corr_abc[0])
+    cols = []
+    for k in range(K):
+        if k == qa:
+            cols.append(corr_abc[0])
+        elif k == qb:
+            cols.append(corr_abc[1])
+        elif k == qc:
+            cols.append(corr_abc[2])
+        else:
+            cols.append(zero)
+    add = jnp.stack(cols, axis=2).reshape(3, S * K)
+    return target + add.T
+
+
+
 def _dot_t(a, b):
     """Row dot of (3, S) arrays -> (S,)."""
     return jnp.sum(a * b, axis=0)
@@ -78,26 +110,37 @@ def _apply_corrections_t(target, corr_abc, settle_gather):
 
 
 def apply_position_constraints(positions, delta, inv_mass, settle_idx,
-                               settle_dist, settle_gather=None):
+                               settle_dist, settle_gather=None,
+                               uniform=()):
     """Adjust `delta` so positions+delta satisfies the triangle constraints
     (positions must satisfy them already — they supply the SHAKE reference
-    directions)."""
+    directions).  `uniform` (StaticSpec.settle_uniform): strided-slice
+    fast path for one-triangle-per-residue uniform layouts."""
     if settle_idx.shape[0] == 0:
         return delta
-    ia, ib, ic = settle_idx[:, 0], settle_idx[:, 1], settle_idx[:, 2]
-    wa = inv_mass[ia]
-    wb = inv_mass[ib]
-    wc = inv_mass[ic]
     d2 = (settle_dist[:, 0] ** 2, settle_dist[:, 0] ** 2,
           settle_dist[:, 1] ** 2)
 
     pos_t = positions.T
     del_t = delta.T
-    pa, pb, pc = pos_t[:, ia], pos_t[:, ib], pos_t[:, ic]
+    if uniform:
+        K_u = uniform[0]
+        wm = inv_mass.reshape(-1, K_u)
+        wa, wb, wc = (wm[:, uniform[1]], wm[:, uniform[2]],
+                      wm[:, uniform[3]])
+        pa, pb, pc = _uniform_cols(pos_t, uniform)
+        da, db, dc = _uniform_cols(del_t, uniform)
+    else:
+        ia, ib, ic = settle_idx[:, 0], settle_idx[:, 1], settle_idx[:, 2]
+        wa = inv_mass[ia]
+        wb = inv_mass[ib]
+        wc = inv_mass[ic]
+        pa, pb, pc = pos_t[:, ia], pos_t[:, ib], pos_t[:, ic]
+        da, db, dc = del_t[:, ia], del_t[:, ib], del_t[:, ic]
     u = [pa - pb, pa - pc, pb - pc]            # reference bond directions
-    qa = pa + del_t[:, ia]
-    qb = pb + del_t[:, ib]
-    qc = pc + del_t[:, ic]
+    qa = pa + da
+    qb = pb + db
+    qc = pc + dc
     r0 = [qa - qb, qa - qc, qb - qc]           # unconstrained bond vectors
     C = _coef_matrix(wa, wb, wc)
 
@@ -116,6 +159,8 @@ def apply_position_constraints(positions, delta, inv_mass, settle_idx,
     corr = (wa * (la * u[0] + lb * u[1]),
             wb * (-la * u[0] + lc * u[2]),
             wc * (-lb * u[1] - lc * u[2]))
+    if uniform:
+        return _uniform_add(delta, corr, uniform)
     out = _apply_corrections_t(delta, corr, settle_gather)
     if out is not None:
         return out
@@ -126,20 +171,28 @@ def apply_position_constraints(positions, delta, inv_mass, settle_idx,
 
 
 def apply_velocity_constraints(positions, velocities, inv_mass, settle_idx,
-                               settle_dist, settle_gather=None):
+                               settle_dist, settle_gather=None,
+                               uniform=()):
     """Exact (single 3x3 solve) velocity projection: bond-direction relative
     velocities are zeroed."""
     if settle_idx.shape[0] == 0:
         return velocities
-    ia, ib, ic = settle_idx[:, 0], settle_idx[:, 1], settle_idx[:, 2]
-    wa = inv_mass[ia]
-    wb = inv_mass[ib]
-    wc = inv_mass[ic]
-
     pos_t = positions.T
     vel_t = velocities.T
-    pa, pb, pc = pos_t[:, ia], pos_t[:, ib], pos_t[:, ic]
-    va, vb_, vc = vel_t[:, ia], vel_t[:, ib], vel_t[:, ic]
+    if uniform:
+        K_u = uniform[0]
+        wm = inv_mass.reshape(-1, K_u)
+        wa, wb, wc = (wm[:, uniform[1]], wm[:, uniform[2]],
+                      wm[:, uniform[3]])
+        pa, pb, pc = _uniform_cols(pos_t, uniform)
+        va, vb_, vc = _uniform_cols(vel_t, uniform)
+    else:
+        ia, ib, ic = settle_idx[:, 0], settle_idx[:, 1], settle_idx[:, 2]
+        wa = inv_mass[ia]
+        wb = inv_mass[ib]
+        wc = inv_mass[ic]
+        pa, pb, pc = pos_t[:, ia], pos_t[:, ib], pos_t[:, ic]
+        va, vb_, vc = vel_t[:, ia], vel_t[:, ib], vel_t[:, ic]
     u = [pa - pb, pa - pc, pb - pc]            # current bond vectors
     v = [va - vb_, va - vc, vb_ - vc]
     C = _coef_matrix(wa, wb, wc)
@@ -152,6 +205,8 @@ def apply_velocity_constraints(positions, velocities, inv_mass, settle_idx,
     corr = (wa * (la * u[0] + lb * u[1]),
             wb * (-la * u[0] + lc * u[2]),
             wc * (-lb * u[1] - lc * u[2]))
+    if uniform:
+        return _uniform_add(velocities, corr, uniform)
     out = _apply_corrections_t(velocities, corr, settle_gather)
     if out is not None:
         return out

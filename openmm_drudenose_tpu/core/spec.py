@@ -76,6 +76,11 @@ class StaticSpec:
     # 14 ms at 1M atoms).  () disables (OOP/LC sites, chained parents,
     # resident local layouts).
     vs_comp_shifts: tuple = ()
+    # uniform SETTLE layout: (K, qa, qb, qc) when every residue carries
+    # exactly one settle triangle at the same in-block atom offsets —
+    # settle's ~7 random (3, S) gathers then collapse to strided slices
+    # of the (3, R, K) reshape (constraints/settle.py).  () disables.
+    settle_uniform: tuple = ()
 
     @property
     def n_baths(self) -> int:
@@ -451,6 +456,18 @@ def build_spec(system, integrator, real_dtype, accum_dtype,
                 uniform_k = K_u
                 partner_offsets = tuple(int(x) for x in offK[0])
 
+    settle_uniform = ()
+    if uniform_k and n_settle and n_res and n_settle == n_res:
+        K_u = uniform_k
+        si = np.asarray(settle_idx)
+        cl = si[:, 0] // K_u
+        offs3 = si - (cl * K_u)[:, None]
+        if (np.array_equal(cl, np.arange(n_settle))
+                and (si // K_u == cl[:, None]).all()
+                and (offs3 == offs3[0]).all()):
+            settle_uniform = (int(K_u), int(offs3[0, 0]),
+                              int(offs3[0, 1]), int(offs3[0, 2]))
+
     static = StaticSpec(
         n_atoms=n,
         n_residues=n_res,
@@ -472,6 +489,7 @@ def build_spec(system, integrator, real_dtype, accum_dtype,
         uniform_k=uniform_k,
         partner_offsets=partner_offsets,
         vs_comp_shifts=comp_shifts,
+        settle_uniform=settle_uniform,
         ensemble_r=ensemble_r,
     )
 

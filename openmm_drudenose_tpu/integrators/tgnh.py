@@ -596,7 +596,8 @@ def make_step(static: StaticSpec,
         if static.n_settle:
             delta = settle.apply_position_constraints(
                 state.positions, delta, spec.inv_mass, spec.settle_idx,
-                spec.settle_dist, spec.settle_gather)
+                spec.settle_dist, spec.settle_gather,
+                uniform=getattr(static, "settle_uniform", ()))
         if static.n_shake:
             delta = shake.apply_position_constraints(
                 state.positions, delta, spec.inv_mass, spec.shake_idx,
@@ -645,7 +646,8 @@ def make_step(static: StaticSpec,
         if static.n_settle:
             v = settle.apply_velocity_constraints(
                 pos, v, spec.inv_mass, spec.settle_idx, spec.settle_dist,
-                spec.settle_gather)
+                spec.settle_gather,
+                uniform=getattr(static, "settle_uniform", ()))
         if static.n_shake:
             v = shake.apply_velocity_constraints(
                 pos, v, spec.inv_mass, spec.shake_idx, spec.shake_dist,

@@ -108,3 +108,41 @@ def test_shake_general_pair():
     np.testing.assert_allclose(np.linalg.norm(p[0] - p[1]), 0.1, rtol=1e-8)
     np.testing.assert_allclose(np.linalg.norm(p[1] - p[2]),
                                float(dist[1]), rtol=1e-8)
+
+
+def test_settle_uniform_matches_gather():
+    """The strided-slice uniform SETTLE path (StaticSpec.settle_uniform)
+    must reproduce the gather-table path exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import openmm_drudenose_tpu as dn
+    from openmm_drudenose_tpu.constraints import settle
+    from openmm_drudenose_tpu.io import builders
+
+    system, positions = builders.build_water_box(30)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    ctx = dn.Context(system, integ, precision="double")
+    spec, static = ctx._spec, ctx._static
+    assert static.settle_uniform, "SWM4 water must enable the fast path"
+    ctx.setPositions(positions)
+    ctx.applyConstraints(1e-10)
+    pos = ctx._state.positions
+    rng = np.random.default_rng(3)
+    delta = jnp.asarray(rng.normal(0, 0.004, pos.shape))
+    a = settle.apply_position_constraints(
+        pos, delta, spec.inv_mass, spec.settle_idx, spec.settle_dist,
+        spec.settle_gather, uniform=static.settle_uniform)
+    b = settle.apply_position_constraints(
+        pos, delta, spec.inv_mass, spec.settle_idx, spec.settle_dist,
+        spec.settle_gather)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+
+    vel = jnp.asarray(rng.normal(0, 0.5, pos.shape))
+    av = settle.apply_velocity_constraints(
+        pos, vel, spec.inv_mass, spec.settle_idx, spec.settle_dist,
+        spec.settle_gather, uniform=static.settle_uniform)
+    bv = settle.apply_velocity_constraints(
+        pos, vel, spec.inv_mass, spec.settle_idx, spec.settle_dist,
+        spec.settle_gather)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(bv), atol=1e-13)
