@@ -378,7 +378,9 @@ class Context:
         cfg = self._nbl_cfg
         excl_table = self._nbl_excl
 
-        def neighbor_fn(positions, box):
+        def neighbor_fn(positions, box, rep_scale=None):
+            # rep_scale is a flat-ensemble-NPT concept (cellpair only);
+            # always None on this strategy
             return neighborlist.build_neighbors(
                 positions, jnp.diagonal(box), cfg, excl_table)
         self._neighbor_fn = neighbor_fn

@@ -1035,6 +1035,7 @@ def local_static(static_g: StaticSpec, layout: ResidentLayout) -> StaticSpec:
         uniform_k=0,
         partner_offsets=(),
         vs_comp_shifts=(),
+        settle_uniform=(),
     )
 
 
