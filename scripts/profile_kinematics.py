@@ -95,12 +95,14 @@ def main():
     if static.n_settle:
         f = chain(lambda d: settle.apply_position_constraints(
             st.positions, d, spec.inv_mass, spec.settle_idx,
-            spec.settle_dist, spec.settle_gather))
+            spec.settle_dist, spec.settle_gather,
+            uniform=getattr(static, "settle_uniform", ())))
         t = timeit(f, dt * st.velocities)
         print(f"settle (positions)   : {t / 8:7.2f} ms")
         f = chain(lambda v: settle.apply_velocity_constraints(
             st.positions, v, spec.inv_mass, spec.settle_idx,
-            spec.settle_dist, spec.settle_gather))
+            spec.settle_dist, spec.settle_gather,
+            uniform=getattr(static, "settle_uniform", ())))
         print(f"settle (velocities)  : {timeit(f, st.velocities) / 8:7.2f} ms")
 
     # hard wall
