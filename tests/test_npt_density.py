@@ -44,3 +44,37 @@ def test_swm4_npt_density():
     # wide bands: 64 molecules, ~8 ps sampling
     assert 0.90 < rho < 1.08, (rho, dens)
     assert -50.0 < u < -33.0, (u, pe)
+
+
+@pytest.mark.slow
+def test_flat_ensemble_npt_density():
+    """Per-replica NPT through the flattened ensemble
+    (SimState.rep_scale): each replica's box must relax to liquid-water
+    density independently — the statistical companion to the exact
+    parity pins in tests/test_flatnpt.py."""
+    from openmm_drudenose_tpu.parallel.flatrep import FlatReplicaEnsemble
+
+    n_mol = 200
+    system, positions = builders.build_water_box(
+        n_mol, method=dn.NonbondedForce.PME, cutoff=0.55)
+    system.addForce(dn.MonteCarloBarostat(1.01325, 300.0, 25))
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
+    integ.setMaxDrudeDistance(0.02)
+    ctx = dn.Context(system, integ, precision="double",
+                     strategy="cellpair")
+    ctx.setPositions(positions)
+    ens = FlatReplicaEnsemble(ctx, 2, rx=2, rz=1)
+    ens.setVelocitiesToTemperature(300.0, seed=2)
+    ens.step(2500)
+    dens = []
+    for _ in range(6):
+        ens.step(400)
+        dens.append(ens.densities())
+    dens = np.array(dens)              # (6, 2)
+    rho = dens.mean(axis=0)            # per replica
+    s = np.asarray(ens.context._state.rep_scale)
+    assert np.all(np.isfinite(dens)), dens
+    assert np.all((0.88 < rho) & (rho < 1.10)), (rho, dens)
+    # both replicas' boxes moved off the template (lattice start is
+    # under-dense, so accepted moves must have fired)
+    assert np.all(np.abs(s - 1.0) > 1e-4), s
