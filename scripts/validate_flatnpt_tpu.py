@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """On-chip validation of flat-ensemble NPT (SimState.rep_scale): an
-8-replica x 216-molecule SWM4-NDP water ensemble under per-replica MC
+8-replica x 500-molecule SWM4-NDP water ensemble under per-replica MC
 volume moves must relax every replica's box to liquid density
 (lit. 0.994 g/mL at 298 K; the single-context on-chip run measured
 0.9955 +- 0.0007 — scripts/validate_npt_tpu.py).
@@ -26,7 +26,7 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=8)
-    ap.add_argument("--mol", type=int, default=216)
+    ap.add_argument("--mol", type=int, default=500)
     ap.add_argument("--equil-ps", type=float, default=20.0)
     ap.add_argument("--sample-ps", type=float, default=40.0)
     args = ap.parse_args()
