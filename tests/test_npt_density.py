@@ -65,12 +65,14 @@ def test_flat_ensemble_npt_density():
     ctx.setPositions(positions)
     ens = FlatReplicaEnsemble(ctx, 2, rx=2, rz=1)
     ens.setVelocitiesToTemperature(300.0, seed=2)
-    ens.step(2500)
+    # kept short: ~2.4 ps total (this is a smoke-statistical pin — the
+    # quantitative on-chip validation is scripts/validate_flatnpt_tpu.py)
+    ens.step(1200)
     dens = []
-    for _ in range(6):
-        ens.step(400)
+    for _ in range(4):
+        ens.step(300)
         dens.append(ens.densities())
-    dens = np.array(dens)              # (6, 2)
+    dens = np.array(dens)              # (4, 2)
     rho = dens.mean(axis=0)            # per replica
     s = np.asarray(ens.context._state.rep_scale)
     assert np.all(np.isfinite(dens)), dens
