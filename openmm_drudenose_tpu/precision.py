@@ -8,8 +8,9 @@ On TPU there is no fast f64, so the default policy is:
   - state (positions/velocities/forces) : float32
   - reductions / NH chain scalars       : float32 (the per-group KE sums are
     O(1e2-1e6 kJ/mol) over <=1e6 terms; the random component of f32 summation
-    error has no systematic drift, validated against the f64 CPU path in
-    tests/test_precision.py)
+    error has no systematic drift — validated against the f64 CPU path by
+    tests/test_pos_err.py and the 1 ns on-chip drift measurement in
+    ROADMAP.md: Drude bath resolved at 10 mK/ns)
 
 Policies:
   "single" : everything f32
