@@ -366,7 +366,15 @@ def deserialize_system(xml: str):
 class XmlSerializer:
     """OpenMM-shaped facade: ``XmlSerializer.serialize(obj)`` /
     ``XmlSerializer.deserialize(xml)``, dispatching on object/document
-    type (System or DrudeTGNHIntegrator)."""
+    type (System or DrudeTGNHIntegrator).
+
+    The API shape mirrors OpenMM's, but the document schema is
+    ENGINE-NATIVE: attribute names/structure differ from OpenMM's System
+    XML, so files do not interchange with the OpenMM toolchain in either
+    direction (serialize here -> deserialize here only).  The integrator
+    document additionally round-trips fields OpenMM's proxy drops
+    (temp groups, maxDrudeDistance, useCOMTempGroup —
+    DrudeTGNHIntegratorProxy.cpp:43-55 is lossy)."""
 
     @staticmethod
     def serialize(obj) -> str:

@@ -762,16 +762,26 @@ def _make_neighbor_rebuild(neighbor_fn, skin):
         nbl = nbl._replace(overflow=nbl.overflow | state.neighbors.overflow)
         if skin is not None and getattr(
                 state.neighbors, "drift_exceeded", None) is not None:
-            # an atom far outran the skin since the previous rebuild:
-            # pairs may have been missed (latched).  Threshold 2x skin,
-            # not 1x: at N=100k the thermal velocity tail reaches ~5 sigma
-            # (measured 5.4 nm/ps max H speed in the equilibrated bench
-            # snapshot — 0.086 nm/16 fs, grazing a 0.1 nm skin), so a 1x
-            # latch fires on healthy 300 K liquids.  A single-atom breach
-            # in [skin, 2*skin] can only graze pairs within skin of the
-            # cutoff, where the erfc-screened coulomb + LJ tail is
-            # negligible; real violence (unequilibrated lattice starts)
-            # moves atoms many skins per interval and still trips this.
+            # atoms far outran the skin since the previous rebuild: pairs
+            # may have been missed (latched).  Two criteria:
+            #   (a) single atom moved > 2x skin.  Not 1x: at N=100k the
+            #       thermal velocity tail reaches ~5 sigma (measured
+            #       0.105 nm/16 fs max displacement in the equilibrated
+            #       bench snapshot, grazing a 0.1 nm skin), so a 1x latch
+            #       fires on healthy 300 K liquids.
+            #   (b) the TWO largest displacements sum to > 3x skin — a
+            #       missed pair is governed by the two-atom CLOSING
+            #       distance, so two atoms each moving 1.5-2x skin toward
+            #       each other are invisible to (a) alone.  3x, not 2x:
+            #       the healthy top-two sum at N=1e5 is ~0.21 nm (order
+            #       statistics put the second max within a few % of the
+            #       max), which grazes a 2x-skin sum latch exactly the way
+            #       the single-atom tail grazed 1x.
+            # Residual blind spot (documented): two atoms closing by
+            # (skin, 3x skin] combined can still miss pairs near the
+            # cutoff edge, where erfc-screened coulomb + LJ tails are
+            # negligible; real violence moves atoms many skins and trips
+            # both latches.
             cur = state.positions
             if rs is not None:
                 # ref_positions live in the STORED frame (p / s) for flat
@@ -780,8 +790,11 @@ def _make_neighbor_rebuild(neighbor_fn, skin):
                 cur = (cur.reshape(R, -1, 3)
                        / rs[:, None, None].astype(cur.dtype)).reshape(-1, 3)
             d = cur - state.neighbors.ref_positions
-            exceeded = (jnp.max(jnp.sum(d * d, axis=-1))
-                        > (2.0 * skin) * (2.0 * skin))
+            d2 = jnp.sum(d * d, axis=-1)
+            top2, _ = jax.lax.top_k(d2, 2)
+            exceeded = ((top2[0] > (2.0 * skin) * (2.0 * skin))
+                        | (jnp.sqrt(top2[0]) + jnp.sqrt(top2[1])
+                           > 3.0 * skin))
             nbl = nbl._replace(
                 drift_exceeded=exceeded | state.neighbors.drift_exceeded)
         old_span = getattr(state.neighbors, "excl_span_exceeded", None)

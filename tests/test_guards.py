@@ -42,14 +42,34 @@ def test_npt_shrink_replans_stencil():
                   >= ctx._cp_cfg.r_list - 1e-9)
 
 
-@pytest.mark.slow
 def test_rebuild_drift_warns():
+    # fast tier on purpose: this is the only detector of silent
+    # missed-pair corruption (ADVICE round 3)
     ctx, integ, positions = _ctx()
     integ.step(2)
     # teleport one atom past the 2x-skin latch threshold without
     # invalidating neighbors
     p = np.array(ctx._state.positions)
     p[0] += 2 * ctx._cp_cfg.skin + 0.05
+    ctx._state = ctx._state._replace(positions=jnp.asarray(p))
+    with pytest.warns(RuntimeWarning, match="neighbor skin"):
+        integ.step(2 * ctx._cp_cfg.rebuild_interval)
+
+
+def test_rebuild_drift_warns_two_atom_closing():
+    # two atoms each moving ~1.6x skin toward each other close ~3.2x
+    # skin combined — invisible to the single-atom 2x latch, caught by
+    # the top-two-sum 3x latch (ADVICE round 3)
+    ctx, integ, positions = _ctx()
+    integ.step(2)
+    skin = ctx._cp_cfg.skin
+    # two oxygens of different molecules (5 sites per SWM4 water); the
+    # latch measures displacement magnitudes, so direction is irrelevant
+    p = np.array(ctx._state.positions)
+    d = p[5] - p[0]
+    d /= np.linalg.norm(d)
+    p[0] -= 1.65 * skin * d
+    p[5] += 1.65 * skin * d
     ctx._state = ctx._state._replace(positions=jnp.asarray(p))
     with pytest.warns(RuntimeWarning, match="neighbor skin"):
         integ.step(2 * ctx._cp_cfg.rebuild_interval)
