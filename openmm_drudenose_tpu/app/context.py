@@ -162,8 +162,8 @@ class Context:
                         positions = (positions.reshape(R, -1, 3)
                                      / rep_scale[:, None, None].astype(
                                          positions.dtype)).reshape(-1, 3)
-                    return cellpair.build_cellsort(positions,
-                                                   jnp.diagonal(box), cfg,
+                    b = box if cfg.triclinic else jnp.diagonal(box)
+                    return cellpair.build_cellsort(positions, b, cfg,
                                                    excl_ij=excl_ij,
                                                    rep_scale=rep_scale)
                 self._neighbor_fn = neighbor_fn
@@ -328,6 +328,30 @@ class Context:
         self._state = self._state._replace(velocities=v)
         self._ke_valid = False
 
+    def _periodic_cutoff(self) -> float:
+        """Largest cutoff of any periodic cutoff force, or 0.0 — the
+        quantity the box-width validity rule cutoff <= min(ax,by,cz)/2
+        bounds (minimum-image exactness for reduced boxes)."""
+        cut = 0.0
+        for f in self._system.getForces():
+            if (type(f).__name__ == "NonbondedForce"
+                    and f.usesPeriodicBoundaryConditions()
+                    and f.getNonbondedMethod() != f.NoCutoff):
+                cut = max(cut, f.getCutoffDistance())
+        return cut
+
+    def _validate_box_widths(self, box, origin: str) -> None:
+        cut = self._periodic_cutoff()
+        if not cut:
+            return
+        w_min = float(np.min(np.diagonal(np.asarray(box, np.float64))))
+        if cut > w_min / 2 + 1e-9:
+            raise ValueError(
+                f"{origin}: cutoff {cut} exceeds half the smallest "
+                f"perpendicular box width {w_min} — minimum imaging "
+                "would miss images (shrink the cutoff or enlarge the "
+                "box)")
+
     def setPeriodicBoxVectors(self, a, b, c) -> None:
         from ..forces.boxutils import is_triclinic, reduce_box
         box = reduce_box([a, b, c])
@@ -337,7 +361,11 @@ class Context:
                 "cannot switch an orthorhombic context to a triclinic "
                 "box: the compiled strategy minimum-images against the "
                 "diagonal — build the Context with the triclinic box "
-                "(dense strategy) instead")
+                "instead")
+        # triclinic-to-triclinic (and shrinking orthorhombic) changes must
+        # re-satisfy the validity rule the compile-time check enforced
+        # (ADVICE round 3: nothing guarded runtime box changes)
+        self._validate_box_widths(box, "setPeriodicBoxVectors")
         self._state = self._state._replace(
             box=jnp.asarray(box, self._prec.real))
         self._forces_valid = False
@@ -437,11 +465,14 @@ class Context:
         if self._cp_cfg is not None:
             cfg = self._cp_cfg
             pos = np.asarray(self._state.positions, np.float64)
-            box = np.diagonal(np.asarray(self._state.box, np.float64))
             # embedded replica-ensemble grids bin in the per-replica frame;
             # occupancy per extended cell == per (replica, local cell)
             grid = np.asarray(cfg.phys_grid)
-            frac = pos / box
+            box_m = np.asarray(self._state.box, np.float64)
+            if cfg.triclinic:
+                frac = pos @ np.linalg.inv(box_m)
+            else:
+                frac = pos / np.diagonal(box_m)
             frac = frac - np.floor(frac)
             cell = np.minimum((frac * grid).astype(np.int64), grid - 1)
             flat = ((cell[:, 0] * grid[1] + cell[:, 1]) * grid[2]
@@ -542,6 +573,13 @@ class Context:
         steps = int(steps)
         if self._neighbor_fn is None:
             self._state = self._get_step_fn(steps)(self._spec, self._state)
+            # the dense strategy has no stencil-coverage latch, so an
+            # in-jit MC-barostat volume shrink could silently break exact
+            # minimum imaging (ADVICE round 3); one tiny readback per
+            # host-level call, alongside the hardwall one below
+            if self._static.baro_freq:
+                self._validate_box_widths(self._state.box,
+                                          "barostat volume move")
         else:
             interval = self._rebuild_interval
             chunk = 8 * interval

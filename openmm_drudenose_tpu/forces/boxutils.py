@@ -99,6 +99,42 @@ def frac_coords(positions, box):
     return positions @ inv
 
 
+def plane_widths(box):
+    """(3,) perpendicular distances between opposite box faces along each
+    FRACTIONAL axis: w_d = 1 / |inv_box[:, d]| (the gradient of frac_d is
+    column d of the inverse, so adjacent frac_d = const planes 1 apart sit
+    w_d apart).  Equals the diagonal for orthorhombic boxes.  These are
+    the metric the cell-pair sweep's stencil coverage is computed in: two
+    atoms whose cells differ by k in dim d are at least (k-1) * w_d/g_d
+    apart."""
+    if jnp.ndim(box) == 1:
+        return box
+    inv = inv_box(box)
+    return 1.0 / jnp.sqrt(jnp.sum(inv * inv, axis=0))
+
+
+def frac_coords_elem(positions_t, box):
+    """(3, N) Cartesian -> (3, N) fractional, ELEMENTWISE (no dot_general:
+    TPU f32 matmuls default to bfloat16 inputs, whose 7-bit mantissa would
+    misbin atoms near cell faces — see CLAUDE.md TPU correctness rules)."""
+    inv = inv_box(box)
+    fx = (positions_t[0] * inv[0, 0] + positions_t[1] * inv[1, 0]
+          + positions_t[2] * inv[2, 0])
+    fy = positions_t[1] * inv[1, 1] + positions_t[2] * inv[2, 1]
+    fz = positions_t[2] * inv[2, 2]
+    return jnp.stack([fx, fy, fz])
+
+
+def rows_combo_elem(coeff_t, box):
+    """(3, ...) fractional/integer row coefficients -> (3, ...) Cartesian
+    sum_k coeff_k * box[k], elementwise (same bf16-avoidance as above)."""
+    b = box.astype(coeff_t.dtype)
+    x = coeff_t[0] * b[0, 0] + coeff_t[1] * b[1, 0] + coeff_t[2] * b[2, 0]
+    y = coeff_t[1] * b[1, 1] + coeff_t[2] * b[2, 1]
+    z = coeff_t[2] * b[2, 2]
+    return jnp.stack([x, y, z])
+
+
 def inv_box(box):
     """Inverse of the reduced lower-triangular row-vector box (3, 3)."""
     ax = box[0, 0]

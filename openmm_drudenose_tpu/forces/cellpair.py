@@ -106,6 +106,16 @@ class CellPairConfig:
     n_replicas: int = 1
     x_period: int = 0        # per-replica gx (0 = grid[0], no x embedding)
     z_period: int = 0        # per-replica gz (0 = grid[2], no z embedding)
+    # triclinic (reduced row-vector) boxes: cells are fractional-space
+    # parallelepipeds — binning uses fractional coordinates, cell centers
+    # are ((c3+0.5)/g) @ box, and each stencil offset's constant becomes
+    # t = (o/g) @ box.  The sweep's cell-local identity
+    # pair_delta = a_loc - (b_loc + t) is UNCHANGED (wraps still vanish
+    # into t: center(a) + t = center(b_wrapped) + shift @ box exactly as
+    # in the orthorhombic proof).  Stencil window/trim move to the
+    # perpendicular plane-spacing metric w_d/g_d (boxutils.plane_widths).
+    # Requires a regular grid; `box` arguments arrive as (3, 3).
+    triclinic: bool = False
 
     @property
     def r_list(self) -> float:
@@ -141,10 +151,21 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
                 capacity: int | None = None,
                 allow_half: bool = True,
                 grid_x_multiple: int = 1) -> CellPairConfig:
-    box_diag = np.asarray(box_diag, np.float64)
+    """`box_diag` is a (3,) diagonal (orthorhombic) or a (3, 3) reduced
+    row-vector matrix (triclinic); triclinic grids plan in the
+    perpendicular plane-width metric and must come out regular."""
+    box_in = np.asarray(box_diag, np.float64)
+    triclinic = box_in.ndim == 2
+    if triclinic:
+        from .boxutils import plane_widths
+        widths = np.asarray(plane_widths(box_in), np.float64)
+        volume = float(np.prod(np.diagonal(box_in)))
+    else:
+        widths = box_in
+        volume = float(np.prod(box_in))
     r_list = cutoff + skin
     target = r_list / cells_per_cutoff
-    grid = tuple(max(int(np.floor(L / target)), 1) for L in box_diag)
+    grid = tuple(max(int(np.floor(L / target)), 1) for L in widths)
     if grid_x_multiple > 1:
         # slab decompositions (parallel/resident.py) need gx divisible by
         # the device count; rounding DOWN keeps cells >= target so the
@@ -152,13 +173,19 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
         gx = max((grid[0] // grid_x_multiple) * grid_x_multiple,
                  grid_x_multiple)
         grid = (gx, grid[1], grid[2])
-    cell_size = box_diag / np.array(grid)
+    cell_size = widths / np.array(grid)      # plane spacings for triclinic
     window = tuple(int(np.ceil(r_list / cell_size[d])) for d in range(3))
     n_cells = int(np.prod(grid))
     if capacity is None:
-        density = n_atoms / float(np.prod(box_diag))
-        cap = int(np.ceil(density * np.prod(cell_size) * density_margin)) + 2
+        density = n_atoms / volume
+        cap = int(np.ceil(density * volume / n_cells * density_margin)) + 2
         capacity = max(int(np.ceil(cap / 8)) * 8, 8)
+    if triclinic and not all(g >= 2 * w + 1
+                             for g, w in zip(grid, window)):
+        raise ValueError(
+            f"triclinic cell-pair sweeps need a regular grid (>= 2w+1 "
+            f"cells per dim); got grid {grid}, window {window} — the box "
+            "is too small relative to the cutoff; use strategy='dense'")
     offsets = _neighbor_offsets(grid, window)
 
     # Newton's-3rd-law half stencil when the full stencil is +/- symmetric
@@ -177,10 +204,14 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
     # grids, where offset +-o is geometrically unambiguous (no wrap
     # aliasing).  The dropped gap vectors are kept so build_cellsort can
     # latch stencil_invalid if an NPT box shrink re-activates one.
+    # Triclinic metric: the per-dim plane gaps are not orthogonal
+    # components, so the valid lower bound is their MAX, not the
+    # Euclidean norm (less aggressive trimming, still sound).
     trimmed = ()
     if regular:
         gap = np.maximum(np.abs(offsets) - 1, 0) * cell_size[None, :]
-        reach = np.sqrt(np.sum(gap * gap, axis=1))
+        reach = (np.max(gap, axis=1) if triclinic
+                 else np.sqrt(np.sum(gap * gap, axis=1)))
         drop = reach > r_list
         if np.any(drop):
             trimmed = tuple(map(tuple, np.maximum(
@@ -213,7 +244,7 @@ def make_config(cutoff: float, box_diag, n_atoms: int, exc_i, exc_j,
         excl_window=W, excl_words=n_words, half_stencil=half,
         inv_map=(tuple(inv.reshape(-1).tolist()), inv.shape),
         offsets=tuple(map(tuple, offsets.tolist())), regular=regular,
-        window=window)
+        window=window, trimmed=trimmed, triclinic=triclinic)
 
 
 def make_ensemble_config(cutoff: float, box_diag0, n0: int, n_replicas: int,
@@ -385,15 +416,25 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
     pairs.  When given, the rebuild latches CellSort.excl_span_exceeded if
     any excluded pair lands in cells >= 2 apart in some dimension (after
     periodic min-imaging of the cell delta) — the exact soundness condition
-    for the Pallas sweep's far-offset exclusion-test skip."""
+    for the Pallas sweep's far-offset exclusion-test skip.
+
+    `box_diag` is the (3,) diagonal, or the full (3, 3) reduced matrix for
+    triclinic configs (binning then happens in fractional coordinates and
+    the stencil-coverage latch in the perpendicular plane-width metric)."""
     n = positions.shape[0]
     pgrid_t = cfg.phys_grid
     grid = jnp.asarray(pgrid_t, jnp.int32)
     n_cells = cfg.n_cells
     C = cfg.capacity
 
+    if cfg.triclinic:
+        from .boxutils import plane_widths
+        widths = plane_widths(box_diag).astype(positions.dtype)
+    else:
+        widths = box_diag
+
     # NPT guard: the static stencil covers r_list only while
-    # window_d * (box_d / grid_d) >= r_list; a shrinking box can violate
+    # window_d * (width_d / grid_d) >= r_list; a shrinking box can violate
     # this silently — latch a flag so the Context replans the grid
     # flat-ensemble NPT: positions arrive in STORED coordinates (p/s), so
     # the effective list radius in this frame is r_list / min(s) — a
@@ -403,24 +444,34 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
         r_list_eff = cfg.r_list / jnp.min(rep_scale).astype(positions.dtype)
     if cfg.window is not None:
         wcell = (jnp.asarray(cfg.window, positions.dtype)
-                 * box_diag / jnp.asarray(pgrid_t, positions.dtype))
+                 * widths / jnp.asarray(pgrid_t, positions.dtype))
         stencil_invalid = jnp.any(wcell < r_list_eff)
         if cfg.trimmed:
             # a shrinking NPT box can bring a trimmed far-corner offset
             # back within r_list reach even while the window still covers
-            h_live = box_diag / jnp.asarray(pgrid_t, positions.dtype)
+            h_live = widths / jnp.asarray(pgrid_t, positions.dtype)
             gap = jnp.asarray(cfg.trimmed, positions.dtype) * h_live
-            reach2 = jnp.sum(gap * gap, axis=1)
+            # triclinic trim metric is the per-dim MAX (see make_config)
+            reach = (jnp.max(gap, axis=1) if cfg.triclinic
+                     else jnp.sqrt(jnp.sum(gap * gap, axis=1)))
             stencil_invalid = stencil_invalid | jnp.any(
-                reach2 <= r_list_eff * r_list_eff)
+                reach <= r_list_eff)
     else:
         stencil_invalid = jnp.zeros((), jnp.bool_)
 
     # bin in the PER-REPLICA box frame; embedded ensembles then shift each
     # atom's (x, z) cell indices into its replica's band of the extended
     # grid (replica-major atoms: replica = index // n0, r = r_x*rz + r_z)
-    image = jnp.floor(positions / box_diag)
-    frac = positions / box_diag - image
+    if cfg.triclinic:
+        # fractional binning, elementwise (no dot_general: TPU f32
+        # matmuls read bf16 and would misbin near cell faces)
+        from .boxutils import frac_coords_elem
+        fr = frac_coords_elem(positions.T, box_diag).T
+        image = jnp.floor(fr)
+        frac = fr - image
+    else:
+        image = jnp.floor(positions / box_diag)
+        frac = positions / box_diag - image
     cell3 = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
     if cfg.n_replicas > 1:
         n0 = n // cfg.n_replicas
@@ -639,10 +690,25 @@ def _sweep_regular(params, positions, box_diag, cellsort,
     # cell centers (static index grid x traced cell size: NPT-safe);
     # replica-LOCAL indices for embedded ensemble grids — every replica's
     # band repeats the same per-replica centers, so the cell-local
-    # coordinate identity a_loc - (b_loc + o*h) holds per replica
-    h = box_diag.astype(dtype) / jnp.asarray(cfg.phys_grid, dtype)
+    # coordinate identity a_loc - (b_loc + o*h) holds per replica.
+    # Triclinic: centers are ((c3+0.5)/g) @ box and each offset's
+    # constant is (o/g) @ box — the identity is unchanged (the stencil
+    # wrap shift is a whole lattice vector, absorbed exactly as the
+    # orthorhombic shift*box is); computed elementwise (bf16-safe).
     c3 = _local_c3(cfg) + 0.5
-    centers = [jnp.asarray(c3[:, d], dtype) * h[d] for d in range(3)]
+    if cfg.triclinic:
+        from .boxutils import rows_combo_elem
+        g_inv = 1.0 / np.asarray(cfg.phys_grid, np.float64)
+        c3f = jnp.asarray((c3 * g_inv).T, dtype)            # (3, nc)
+        cen = rows_combo_elem(c3f, box_diag)                # (3, nc)
+        centers = [cen[d] for d in range(3)]
+        offs_f = jnp.asarray(
+            np.array(cfg.offsets, np.float64) * g_inv, dtype).T  # (3,n_off)
+        t_all = rows_combo_elem(offs_f, box_diag).T         # (n_off, 3)
+    else:
+        h = box_diag.astype(dtype) / jnp.asarray(cfg.phys_grid, dtype)
+        centers = [jnp.asarray(c3[:, d], dtype) * h[d] for d in range(3)]
+        t_all = offs * h[None, :]                           # (n_off, 3)
 
     loc = [blocks[k] - centers[d][:, None]
            for d, k in enumerate("xyz")]                    # 3 x (nc, C)
@@ -657,7 +723,7 @@ def _sweep_regular(params, positions, box_diag, cellsort,
     def one(carry, ob, P, self_block=False):
         e_total, fx, fy, fz = carry
         b = jnp.take(nbr, ob, axis=1)                       # (nc, P)
-        t = jnp.take(offs, ob, axis=0) * h[None, :]         # (P, 3)
+        t = jnp.take(t_all, ob, axis=0)                     # (P, 3)
         bl = [loc[d][b] + t[None, :, d:d + 1] for d in range(3)]  # (nc,P,C)
         nb = (na[b] + 2.0 * (t[None, :, 0:1] * loc[0][b]
                              + t[None, :, 1:2] * loc[1][b]
@@ -796,6 +862,12 @@ def _sorted_arrays(params, positions, cellsort, cfg, n, box_diag=None):
     out = {}
     if box_diag is None:
         pos = positions
+    elif jnp.ndim(box_diag) == 2:
+        # triclinic box frame: pos - image @ box, elementwise (bf16-safe)
+        from .boxutils import rows_combo_elem
+        shift = rows_combo_elem(
+            cellsort.image.T.astype(positions.dtype), box_diag).T
+        pos = positions - shift
     else:
         pos = positions - cellsort.image.astype(positions.dtype) * box_diag
     for c, name in enumerate("xyz"):
@@ -923,6 +995,9 @@ def pair_energy_forces(params, positions, box_diag, cellsort,
     if rep_scale is not None and not cfg.regular:
         raise ValueError("flat-ensemble NPT (rep_scale) requires a "
                          "regular cell grid")
+    if cfg.triclinic and not cfg.regular:
+        raise ValueError("triclinic cell-pair sweeps require a regular "
+                         "grid (make_config enforces this)")
     if cfg.regular:
         # with_energy=False drops the energy reduction; XLA then dead-code
         # eliminates the e-tile chain inside that consumer fusion, leaving

@@ -166,8 +166,10 @@ class NonbondedForce:
         exc_eps = np.array([e[4] for e in self._exceptions], np.float64)
 
         # triclinic (reduced-form) periodic boxes run through the dense
-        # all-pairs strategy + the generic PME path; the cell-pair sweep's
-        # static stencil machinery is orthorhombic (forces/boxutils.py)
+        # all-pairs strategy at small N and the cell-pair sweep at scale
+        # (fractional-coordinate binning + plane-width stencil metric,
+        # forces/cellpair.py); only the legacy neighbor-list strategy
+        # stays orthorhombic
         from .boxutils import is_triclinic, mi_box, volume as box_volume
         box0_full = np.array(system.getDefaultPeriodicBoxVectors(),
                              np.float64)
@@ -184,13 +186,13 @@ class NonbondedForce:
                     "images")
 
         if strategy == "auto":
-            strategy = ("dense" if is_tri or n <= 4096 or self._method in
+            strategy = ("dense" if n <= 4096 or self._method in
                         (self.NoCutoff, self.CutoffNonPeriodic) else "cellpair")
-        if is_tri and strategy != "dense":
+        if is_tri and strategy == "cell":
             raise ValueError(
-                "triclinic periodic boxes are supported by the dense "
-                f"all-pairs strategy only (requested {strategy!r}); "
-                "construct the Context with strategy='dense' or 'auto'")
+                "triclinic periodic boxes are not supported by the legacy "
+                "neighbor-list strategy; use 'dense', 'cellpair', or "
+                "'auto'")
 
         params = {
             "charge": jnp.asarray(charge, dtype),
@@ -474,13 +476,17 @@ class NonbondedForce:
             from . import cellpair as cp
             nb_kwargs = nb_kwargs or {}
             impl = None
-            box0 = np.diagonal(
-                np.array(system.getDefaultPeriodicBoxVectors(), np.float64))
+            box0 = (box0_full if is_tri else np.diagonal(
+                np.array(system.getDefaultPeriodicBoxVectors(),
+                         np.float64)))
             # flattened replica ensembles (parallel/flatrep.py): R identical
             # replicas embedded in ONE extended cell grid so small replicas
             # fill the sweep's 128-lane tiles; the system is the replicated
             # (replica-major) ext system, the box is the per-replica box
             ens = nb_kwargs.get("ensemble")
+            if ens and is_tri:
+                raise ValueError("flattened replica ensembles require an "
+                                 "orthorhombic replica box")
             if ens:
                 ens_r, ens_rx, ens_rz = (int(v) for v in ens)
                 if n % ens_r:
@@ -524,10 +530,13 @@ class NonbondedForce:
                        if k in ("skin", "rebuild_interval",
                                 "cells_per_cutoff", "capacity",
                                 "density_margin", "grid_x_multiple")})
-            if method in (self.Ewald, self.PME) and not ens:
+            if method in (self.Ewald, self.PME) and not ens and not is_tri:
                 # re-plan the reciprocal grid as a multiple of the cell
                 # grid: the pencil spread (pme.spread_pencils) reuses the
-                # sweep's cell-sorted slots for local-window spreading
+                # sweep's cell-sorted slots for local-window spreading.
+                # (Triclinic keeps the generic fractional-coordinate
+                # spread planned above — the pencil tables assume
+                # axis-aligned cells.)
                 from . import pme as pme_mod
                 alpha0, gx0, _, _ = self._pme_params
                 pme = pme_mod.setup_pme(
@@ -570,13 +579,14 @@ class NonbondedForce:
                 the cheap bits while sharding the sweep and the
                 spreading."""
                 box_diag = jnp.diagonal(box)
+                bmi = mi_box(box, is_tri)
                 e = jnp.zeros((), positions.dtype)
                 if exc_term is not None:
-                    e = e + exc_term(positions, box_diag)
+                    e = e + exc_term(positions, bmi)
                 if corr_term is not None:
-                    e = e + corr_term(positions, box_diag)
+                    e = e + corr_term(positions, bmi)
                 for t in override_terms:
-                    e = e + t(positions, box_diag)
+                    e = e + t(positions, bmi)
                 if method in (self.Ewald, self.PME):
                     e = e + params["pme_self"]
                 if disp is not None:
@@ -638,13 +648,15 @@ class NonbondedForce:
                             params["charge"], positions, box_diag)
 
             def energy(params, positions, box, neighbors, rep_scale=None):
-                box_diag = jnp.diagonal(box)
+                # triclinic: the sweep and the generic PME both take the
+                # full reduced matrix; orthorhombic stays on the diagonal
+                sw_box = mi_box(box, is_tri)
                 e = pair_term(params, _stored(positions, rep_scale),
-                              box_diag, neighbors, rep_scale)
+                              sw_box, neighbors, rep_scale)
                 e = e + extras_energy(params, positions, box,
                                       rep_scale=rep_scale)
                 if recip_energy is not None:
-                    e = e + recip_energy(params, positions, box_diag,
+                    e = e + recip_energy(params, positions, sw_box,
                                          neighbors, rep_scale)
                 return e
 
@@ -653,11 +665,11 @@ class NonbondedForce:
                 """Everything except the direct-space sweep (extras + PME
                 reciprocal): the force-only step evaluates the sweep's
                 analytic forces separately and autodiffs only this part."""
-                box_diag = jnp.diagonal(box)
+                sw_box = mi_box(box, is_tri)
                 e = extras_energy(params, positions, box,
                                   rep_scale=rep_scale)
                 if recip_energy is not None:
-                    e = e + recip_energy(params, positions, box_diag,
+                    e = e + recip_energy(params, positions, sw_box,
                                          neighbors, rep_scale)
                 return e
 
@@ -784,6 +796,7 @@ class NonbondedForce:
 
             energy.needs_neighbors = True
             energy.cellpair_cfg = cp_cfg
+            energy.mi_box_full = is_tri
             energy.pallas_excl_skip = pallas_excl_skip
             energy.nbl_cutoff = cutoff
             energy.nbl_exclusions = (exc_i, exc_j)

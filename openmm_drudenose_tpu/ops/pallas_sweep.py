@@ -64,7 +64,10 @@ def supports(cfg, dtype) -> bool:
     lay_stride = -(-2 * n_yz // 128) * 128
     fr_stride = -(-n_yz // 128) * 128
     vmem = 4 * cfg.capacity * n_lay * (8 * lay_stride + 2 * 3 * fr_stride)
+    # triclinic configs: the kernel's layer DMA layout assumes
+    # axis-aligned cells; the XLA sweep handles triclinic instead
     return (HAVE_PALLAS and cfg.regular and cfg.half_stencil
+            and not getattr(cfg, "triclinic", False)
             and cfg.excl_words == 1 and 2 * cfg.excl_window + 1 <= 31
             and dtype == jnp.float32
             and px >= 2 * cfg.window[0] + 1
@@ -469,6 +472,7 @@ def choose_chunk(cfg, dtype, force=False):
         return None
     px = getattr(cfg, "x_period", 0) or cfg.grid[0]
     if not (cfg.regular and cfg.half_stencil and cfg.excl_words == 1
+            and not getattr(cfg, "triclinic", False)
             and 2 * cfg.excl_window + 1 <= 31
             and px >= 2 * cfg.window[0] + 1):
         return None

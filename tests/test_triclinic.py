@@ -126,14 +126,108 @@ def test_triclinic_pme_matches_brute_ewald():
     np.testing.assert_allclose(e, expected, rtol=2e-5, atol=2e-5)
 
 
-def test_triclinic_cellpair_raises():
+def test_triclinic_cutoff_validity_raises():
     rng = np.random.default_rng(3)
     system, nb, pos, _ = _charged_system(12, rng, TRI_BOX)
-    with pytest.raises(ValueError, match="dense"):
-        nb.compile(system, jnp.float64, strategy="cellpair")
     with pytest.raises(ValueError, match="half the smallest"):
         nb.setCutoffDistance(1.2)
         nb.compile(system, jnp.float64)
+
+
+def test_triclinic_cellpair_too_small_raises():
+    # TRI_BOX at cutoff 0.9 cannot produce a regular grid (>= 2w+1 cells
+    # per dim) — the cellpair strategy must refuse with guidance
+    rng = np.random.default_rng(3)
+    system, nb, pos, _ = _charged_system(12, rng, TRI_BOX)
+    with pytest.raises(ValueError, match="regular"):
+        nb.compile(system, jnp.float64, strategy="cellpair")
+
+
+def test_triclinic_cellpair_matches_dense():
+    """The triclinic cell-pair sweep (fractional binning + plane-width
+    stencil, forces/cellpair.py) against the dense all-pairs oracle:
+    energies and forces on a sheared 2x TRI_BOX with LJ + PME charges."""
+    from openmm_drudenose_tpu.forces import cellpair
+    rng = np.random.default_rng(17)
+    box2 = 2.0 * TRI_BOX
+    n = 220
+    system = dn.System()
+    nb = dn.NonbondedForce()
+    charges = rng.normal(0, 0.4, n)
+    charges -= charges.mean()
+    for i in range(n):
+        system.addParticle(1.0)
+        nb.addParticle(charges[i], 0.25, 0.4)
+    # a few exceptions exercise the exclusion window + reciprocal
+    # corrections through both strategies
+    for i in range(0, 30, 3):
+        nb.addException(i, i + 1, 0.1 * charges[i] * charges[i + 1],
+                        0.25, 0.1)
+        nb.addException(i, i + 2, 0.0, 1.0, 0.0)
+    nb.setNonbondedMethod(dn.NonbondedForce.PME)
+    nb.setCutoffDistance(0.9)
+    nb.setEwaldErrorTolerance(1e-6)
+    system.addForce(nb)
+    system.setDefaultPeriodicBoxVectors(*box2)
+    pos = rng.uniform(0, 1, (n, 3)) @ box2
+    # keep excepted pairs genuinely close (intramolecular-like)
+    for i in range(0, 30, 3):
+        pos[i + 1] = pos[i] + rng.normal(0, 0.05, 3)
+        pos[i + 2] = pos[i] + rng.normal(0, 0.08, 3)
+    box_j = jnp.asarray(box2)
+    p0 = jnp.asarray(pos)
+
+    fn_d, params_d = nb.compile(system, jnp.float64, strategy="dense")
+    e_d, f_d = jax.value_and_grad(lambda p: fn_d(params_d, p, box_j))(p0)
+    fn_c, params_c = nb.compile(system, jnp.float64, strategy="cellpair")
+    cfg = fn_c.cellpair_cfg
+    assert cfg.triclinic and cfg.regular
+    nbl = cellpair.build_cellsort(p0, box_j, cfg)
+    assert not bool(nbl.overflow) and not bool(nbl.stencil_invalid)
+    e_c, f_c = jax.value_and_grad(
+        lambda p: fn_c(params_c, p, box_j, nbl))(p0)
+    np.testing.assert_allclose(float(e_c), float(e_d), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_triclinic_cellpair_water_end_to_end():
+    """Sheared 512-molecule SWM4 box through the public API with
+    strategy='cellpair': forces match a dense-strategy Context at the
+    start, then TGNH dynamics stay finite (exercises neighbor_fn, the
+    force-only path, pairterms/PME with the full reduced matrix)."""
+    from openmm_drudenose_tpu.io import builders
+    system, positions = builders.build_water_box(
+        512, method=dn.NonbondedForce.PME, cutoff=0.52)
+    L = float(system.getDefaultPeriodicBoxVectors()[0][0])
+    tri = np.array([[L, 0, 0], [0.2 * L, L, 0], [0.1 * L, 0.15 * L, L]])
+    system.setDefaultPeriodicBoxVectors(*tri)
+
+    def make(strategy):
+        integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005,
+                                       20, 2)
+        integ.setMaxDrudeDistance(0.05)
+        ctx = dn.Context(system, integ, precision="double",
+                         strategy=strategy)
+        ctx.setPositions(positions)
+        return ctx, integ
+
+    ctx_d, _ = make("dense")
+    ctx_c, integ_c = make("cellpair")
+    assert ctx_c._cp_cfg is not None and ctx_c._cp_cfg.triclinic
+    st_d = ctx_d.getState(forces=True, energy=True)
+    st_c = ctx_c.getState(forces=True, energy=True)
+    np.testing.assert_allclose(st_c.getPotentialEnergy(),
+                               st_d.getPotentialEnergy(), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_c.getForces()),
+                               np.asarray(st_d.getForces()),
+                               rtol=1e-6, atol=1e-6)
+    ctx_c.applyConstraints(1e-6)
+    ctx_c.setVelocitiesToTemperature(200.0, seed=0)
+    integ_c.step(2 * ctx_c._cp_cfg.rebuild_interval)
+    st = ctx_c.getState(positions=True, energy=True)
+    assert np.isfinite(st.getPotentialEnergy())
+    assert np.all(np.isfinite(np.asarray(st.getPositions())))
 
 
 def test_triclinic_lj_rf_forces_finite_diff():
