@@ -340,6 +340,25 @@ def make_ensemble_config(cutoff: float, box_diag0, n0: int, n_replicas: int,
         n_replicas=int(n_replicas), x_period=gx0, z_period=gz0)
 
 
+def pencil_perm(cfg: CellPairConfig) -> np.ndarray:
+    """(n_pen,) int32 permutation renumbering the natural per-(x, y,
+    z-band) pencil ids (flat cell // z_period order: x_ext-major, then y,
+    then z-band) into replica-major order
+        new = ((r_x*rz + r_z) * gx0 + lx) * gy0 + y
+    so the ensemble pencil tables reshape directly to (R, gx0*gy0, Cp)."""
+    gx, gy, gz = cfg.grid
+    gx0 = cfg.x_period or gx
+    gz0 = cfg.z_period or gz
+    rz = gz // gz0
+    n_pen = gx * gy * rz
+    p = np.arange(n_pen)
+    x_ext = p // (gy * rz)
+    y = (p // rz) % gy
+    bz = p % rz
+    bx, lx = x_ext // gx0, x_ext % gx0
+    return (((bx * rz + bz) * gx0 + lx) * gy + y).astype(np.int32)
+
+
 def rep_of_cell(cfg: CellPairConfig) -> np.ndarray:
     """(n_cells,) int32 replica index of each extended cell (embedded
     ensemble grids: x/z band decomposition matching build_cellsort)."""
@@ -511,10 +530,15 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
     # cells are (cx, cy, cz)-major, so a pencil's atoms are contiguous in
     # `order`; its compact rank reuses the same searchsorted machinery.
     # Typical pencil capacity is ~5x tighter than gz * C.
+    # Embedded replica ensembles divide by the PER-REPLICA z period, so
+    # each pencil is a per-(x, y, z-band) segment owned by exactly one
+    # replica; a static permutation renumbers pencils replica-major
+    # ((r_x*rz + r_z)*gx0*gy0 + lx*gy0 + y) so the batched per-replica
+    # spread (pme.recip_ens_packed) indexes by pure reshape.
     pen_atom = None
     pen_inv = None
     if cfg.pen_capacity:
-        gz = cfg.grid[2]
+        gz = cfg.z_period or cfg.grid[2]
         Cp = cfg.pen_capacity
         n_pen = n_cells // gz
         pen_sorted = sorted_flat // gz
@@ -525,9 +549,13 @@ def build_cellsort(positions, box_diag, cfg: CellPairConfig,
                   .astype(jnp.int32))
         in_range = pen_sorted < n_pen
         overflow = overflow | jnp.any(in_range & (rank_p >= Cp))
+        pen_id = pen_sorted.astype(jnp.int32)
+        if cfg.n_replicas > 1:
+            perm = jnp.asarray(pencil_perm(cfg))
+            pen_id = perm[pen_id]
         pslot = jnp.where(in_range,
-                          pen_sorted.astype(jnp.int32) * Cp
-                          + jnp.minimum(rank_p, Cp - 1), n_pen * Cp)
+                          pen_id * Cp + jnp.minimum(rank_p, Cp - 1),
+                          n_pen * Cp)
         pen_atom = jnp.full((n_pen * Cp,), n, jnp.int32)
         pen_atom = pen_atom.at[pslot].set(order.astype(jnp.int32),
                                           mode="drop")

@@ -82,13 +82,27 @@ def _bspline_moduli(order: int, K: int) -> np.ndarray:
     return bm2
 
 
+import functools
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
 def _bspline_weights(w, order: int):
     """M_order(w + j) for j = 0..order-1, vectorized over w in [0,1).
 
     Cox-de Boor: M_2(x) = 1 - |x - 1| on [0,2);
     M_n(x) = [x M_{n-1}(x) + (n - x) M_{n-1}(x-1)] / (n-1).
     Returns array shaped w.shape + (order,).
-    """
+
+    CUSTOM JVP, not autodiff through the recursion: at w = 0 EXACTLY the
+    recursion's inner arguments land on the M_2 triangle peaks, where
+    jnp.abs' gives sign(0) = 0 instead of the one-sided +-1 — the raw
+    autodiff derivative is then wrong by O(1) while the VALUE is exact.
+    f64 positions never land exactly on a grid knot, but f32 rounding of
+    lattice starts does (measured on chip: +88 vs the true -18 kJ/mol/nm
+    reciprocal z-force on knot-aligned atoms, identical on CPU f32 — a
+    pure autodiff-at-the-kink artifact).  The derivative identity
+    dM_n(x) = M_{n-1}(x) - M_{n-1}(x-1) only EVALUATES splines (values
+    are continuous and exact at knots), so it is kink-free."""
     j = jnp.arange(order, dtype=w.dtype)
     x = w[..., None] + j  # M_n support is [0, n]; these are the nonzero knots
 
@@ -98,6 +112,14 @@ def _bspline_weights(w, order: int):
         return (x * M(n - 1, x) + (n - x) * M(n - 1, x - 1.0)) / (n - 1)
 
     return M(order, x)
+
+
+@_bspline_weights.defjvp
+def _bspline_weights_jvp(order, primals, tangents):
+    (w,) = primals
+    (dw,) = tangents
+    return (_bspline_weights(w, order),
+            _bspline_weights_d(w, order) * dw[..., None])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +167,17 @@ class PmeSetup:
             self.grid, self.alpha, jnp.asarray(self.bm2x),
             jnp.asarray(self.bm2y), jnp.asarray(self.bm2z), self.cell_grid,
             charges, positions, box_diag, cellsort)
+
+    def recip_ens(self, R, charges, positions, box_diag, cellsort,
+                  rep_scale=None, with_forces=False):
+        """Replica-batched pencil reciprocal sum for flattened ensembles
+        (recip_ens_packed): (energies (R,), forces or None).  `positions`
+        in the STORED frame, `box_diag` the per-replica template box."""
+        return recip_ens_packed(
+            self.grid, self.alpha, jnp.asarray(self.bm2x),
+            jnp.asarray(self.bm2y), jnp.asarray(self.bm2z), self.cell_grid,
+            R, charges, positions, box_diag, cellsort,
+            rep_scale=rep_scale, with_forces=with_forces)
 
     def spread(self, charges, positions, box_diag):
         return spread_charge_grid(self.grid, charges, positions, box_diag)
@@ -618,6 +651,148 @@ def recip_energy_forces_packed(grid, alpha, bm2x, bm2y, bm2z, cell_grid,
     f_slots = jnp.stack([fx.reshape(S), fy.reshape(S), fz.reshape(S)],
                         axis=1)
     return energy, -f_slots[cellsort.pen_inv]
+
+
+def recip_ens_packed(grid, alpha, bm2x, bm2y, bm2z, cell_grid, R,
+                     charges, positions, box_diag, cellsort,
+                     rep_scale=None, with_forces=False):
+    """Replica-batched packed-pencil reciprocal sum for FLATTENED replica
+    ensembles (parallel/flatrep.py): per-(x, y, z-band) pencils — built by
+    build_cellsort with the per-replica z period and renumbered
+    replica-major (cellpair.pencil_perm) — reshape directly into R
+    independent per-replica pencil sets, so ONE batched MXU spread
+    produces (R, K1, K2, K3) grids and a vmapped grid_energy applies
+    per-replica boxes (template * s_r under flat NPT).
+
+    `positions` are STORED-frame coordinates (physical / s_r — fractional
+    coordinates are scale-invariant, so the spread runs entirely on the
+    template box); `box_diag` is the per-replica TEMPLATE (3,) box.
+    Returns (energies (R,), forces (N, 3) physical or None).
+
+    Replaces the per-replica vmapped generic spread (the (n0, K2*K3)
+    one-hot materialization R times over) with the same local-window
+    color machinery the single-system pencil path uses — the force side
+    additionally replaces reverse-mode autodiff through the spread with
+    the analytic B-spline derivative interpolation
+    (recip_energy_forces_packed's math, batched)."""
+    K1, K2, K3 = grid
+    gx, gy = cell_grid[0], cell_grid[1]
+    plan_x, plan_y = _pencil_plan(grid, cell_grid)
+    (ppcx, lwx, ncx), (ppcy, lwy, ncy) = plan_x, plan_y
+    n = positions.shape[0]
+    dtype = positions.dtype
+    P0 = gx * gy                       # per-replica pencils
+    pa = cellsort.pen_atom
+    Cp = pa.shape[0] // (R * P0)
+
+    pad = pa >= n
+    safe = jnp.where(pad, 0, pa)
+    qs = jnp.where(pad, 0.0, charges[safe])
+    pos_bf = positions - cellsort.image.astype(dtype) * box_diag
+
+    Ks = jnp.asarray([K1, K2, K3], dtype)
+    u = (pos_bf / box_diag * Ks)[safe]               # (S, 3)
+    u = jnp.where(pad[:, None], -1e6, u)             # pads: weights -> 0
+    ti = jnp.floor(u)
+    w = u - ti
+    ti = ti.astype(jnp.int32)
+
+    wx = _bspline_weights(w[:, 0], PME_ORDER)        # (S, order)
+    wy = _bspline_weights(w[:, 1], PME_ORDER)
+    wz = _bspline_weights(w[:, 2], PME_ORDER)
+
+    # static local-window bases per slot (replica-major pencil order:
+    # slot -> (r, lx, y, rank))
+    S = pa.shape[0]
+    slot = np.arange(S)
+    lx_s = ((slot // (gy * Cp)) % gx).astype(np.int32)
+    cy_s = ((slot // Cp) % gy).astype(np.int32)
+    offx = (lwx - ppcx) // 2
+    offy = (lwy - ppcy) // 2
+    base_x = jnp.asarray(lx_s * ppcx - offx)
+    base_y = jnp.asarray(cy_s * ppcy - offy)
+
+    j = jnp.arange(PME_ORDER, dtype=jnp.int32)
+    NP = R * P0
+
+    def one_hot_local_t(ti_d, w_d, base, lw):
+        col = ti_d[None, :] - base[None, :]                # (1, S)
+        k = jnp.arange(lw, dtype=jnp.int32)[:, None]       # (lw, 1)
+        acc = jnp.zeros((lw, S), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_d[None, :, t] * (col - t == k)
+        return jnp.moveaxis(acc.reshape(lw, NP, Cp), 1, 0)
+
+    def one_hot_wrap(ti_d, w_d, K):
+        col = jnp.mod(ti_d[:, None] - j[None, :], K)
+        k = jnp.arange(K, dtype=jnp.int32)
+        acc = jnp.zeros((S, K), dtype)
+        for t in range(PME_ORDER):
+            acc = acc + w_d[:, t:t + 1] * (col[:, t:t + 1] == k[None, :])
+        return acc.reshape(NP, Cp, K)
+
+    WxT = one_hot_local_t(ti[:, 0], wx, base_x, lwx)     # (NP, lwx, Cp)
+    WyT = one_hot_local_t(ti[:, 1], wy, base_y, lwy)     # (NP, lwy, Cp)
+    Wz = one_hot_wrap(ti[:, 2], qs[:, None] * wz, K3)    # (NP, Cp, K3)
+
+    WxyT = (WxT[:, :, None, :] * WyT[:, None, :, :]).reshape(
+        NP, lwx * lwy, Cp)
+    T = jax.lax.dot_general(
+        WxyT, Wz, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=MM_PRECISION, preferred_element_type=dtype)
+    T = T.reshape(R, gx, gy, lwx, lwy, K3)
+    Q = jax.vmap(lambda t: _assemble_colors(t, grid, plan_x, plan_y))(T)
+
+    boxes = (jnp.broadcast_to(box_diag, (R, 3)) if rep_scale is None
+             else box_diag[None, :] * rep_scale[:, None].astype(dtype))
+
+    def e_of(q, b):
+        return grid_energy(grid, alpha, bm2x, bm2y, bm2z, q, b)
+
+    if not with_forces:
+        return jax.vmap(e_of)(Q, boxes), None
+
+    energies, Phi = jax.vmap(jax.value_and_grad(e_of), in_axes=(0, 0),
+                             out_axes=(0, 0))(Q, boxes)
+    Win = jax.vmap(lambda p: _extract_windows(p, grid, cell_grid,
+                                              plan_x, plan_y))(Phi)
+    Win = Win.reshape(NP, lwx * lwy, K3)
+
+    dwx = _bspline_weights_d(w[:, 0], PME_ORDER)
+    dwy = _bspline_weights_d(w[:, 1], PME_ORDER)
+    dwz = _bspline_weights_d(w[:, 2], PME_ORDER)
+    dWxT = one_hot_local_t(ti[:, 0], dwx, base_x, lwx)
+    dWyT = one_hot_local_t(ti[:, 1], dwy, base_y, lwy)
+    dWz = one_hot_wrap(ti[:, 2], qs[:, None] * dwz, K3)
+
+    def contract(AxyT):
+        return jax.lax.dot_general(
+            AxyT, Win, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=MM_PRECISION, preferred_element_type=dtype)
+
+    # per-replica physical box lengths L_r = box0 * s_r enter the
+    # K/L interpolation factors: broadcast per slot via the replica-major
+    # pencil order (slot replica = slot // (P0 * Cp))
+    if rep_scale is None:
+        inv_s = jnp.ones((R,), dtype)
+    else:
+        inv_s = 1.0 / rep_scale.astype(dtype)
+    inv_s_slot = jnp.repeat(inv_s, P0)[:, None]          # (NP, 1) per pencil
+
+    V = contract(WxyT)                                   # (NP, Cp, K3)
+    fz = jnp.sum(V * dWz, axis=2) * (Ks[2] / box_diag[2]) * inv_s_slot
+    dWxyT_x = (dWxT[:, :, None, :] * WyT[:, None, :, :]).reshape(
+        NP, lwx * lwy, Cp)
+    fx = (jnp.sum(contract(dWxyT_x) * Wz, axis=2)
+          * (Ks[0] / box_diag[0]) * inv_s_slot)
+    dWxyT_y = (WxT[:, :, None, :] * dWyT[:, None, :, :]).reshape(
+        NP, lwx * lwy, Cp)
+    fy = (jnp.sum(contract(dWxyT_y) * Wz, axis=2)
+          * (Ks[1] / box_diag[1]) * inv_s_slot)
+
+    f_slots = jnp.stack([fx.reshape(S), fy.reshape(S), fz.reshape(S)],
+                        axis=1)
+    return energies, -f_slots[cellsort.pen_inv]
 
 
 def _assemble_colors(T, grid, plan_x, plan_y):
