@@ -227,7 +227,8 @@ class Context:
                 analytic reciprocal force available, only the extras; else
                 extras + PME reciprocal."""
                 if recip_f is not None:
-                    e = nb_fn.extras_energy(nb_params, pos, box)
+                    e = nb_fn.extras_energy(nb_params, pos, box,
+                                            rep_scale=rep_scale)
                 elif getattr(nb_fn, "wants_rep_scale", False):
                     e = nb_fn.rest_energy(nb_params, pos, box, neighbors,
                                           rep_scale)
@@ -272,7 +273,8 @@ class Context:
                     f = nb_fn.sweep_forces(nb_params, pos_comp, box_diag,
                                            neighbors)
                 if recip_f is not None:
-                    f = f + recip_f(nb_params, pos_comp, box_diag, neighbors)
+                    f = f + recip_f(nb_params, pos_comp, box_diag, neighbors,
+                                    rep_scale=rep_scale)
                 f = f - jax.grad(rest_energy_composed)(pos_comp, box,
                                                        neighbors, pos_err,
                                                        rep_scale)
@@ -510,14 +512,19 @@ class Context:
         fn = self._step_fns.get(inner)
         if fn is None:
             mc = None
-            nb_mc = next((getattr(t[0], "mc_energies", None)
-                          for t in self._terms
-                          if getattr(t[0], "mc_energies", None)), None)
-            if nb_mc is not None:
-                nb_params = next(t[1] for t in self._terms
-                                 if getattr(t[0], "mc_energies", None))
-                def mc(pos, box, nbl, rs, _f=nb_mc, _p=nb_params):
-                    return _f(_p, pos, box, nbl, rs)
+            mc_terms = [(getattr(t[0], "mc_energies"), t[1])
+                        for t in self._terms
+                        if getattr(t[0], "mc_energies", None)]
+            if mc_terms:
+                # sum every term's per-replica MC contribution (the
+                # nonbonded sweep/PME/dispersion/NBFIX + the DrudeForce's
+                # NBTHOLE hook)
+                def mc(pos, box, nbl, rs, _terms=tuple(mc_terms)):
+                    e = None
+                    for _f, _p in _terms:
+                        v = _f(_p, pos, box, nbl, rs)
+                        e = v if e is None else e + v
+                    return e
             fn = jax.jit(tgnh.make_multi_step(
                 self._static, self._energy_and_forces, inner,
                 forces_fn=self._forces_only, mc_energies=mc))

@@ -198,14 +198,35 @@ class DrudeForce:
             return e
 
         energy.wants_pos_err = True
+
+        if nnt:
+            def mc_energies(params, positions, box, neighbors, rep_scale):
+                """(R,) per-replica NBTHOLE sums for the flat-ensemble NPT
+                Metropolis delta (intermolecular — changes under volume
+                moves).  Replica-major equal pair counts hold by
+                replicate_system construction; template-box minimum
+                imaging at physical positions is exact because the Thole
+                deficit decays as e^{-u} (u ~ 40 r) — any pair whose image
+                could differ between box0 and box0*s is at ~half-box
+                distance where the deficit is numerically zero."""
+                R = rep_scale.shape[0]
+                if nnt % R:
+                    raise ValueError(
+                        "NBTHOLE pair count is not replica-uniform — "
+                        "flat-ensemble NPT needs identical replicas")
+                e = _nbthole_pair_energies(
+                    params, positions, box if is_tri else jnp.diagonal(box))
+                return e.reshape(R, nnt // R).sum(axis=1)
+            energy.mc_energies = mc_energies
         return energy, params
 
 
-def _nbthole_energy(params, positions, box_diag):
-    """CHARMM NBTHOLE between non-bonded core-shell pairs: only the
-    screening deficit qq (S(u) - 1)/r = -qq (1 + u/2) e^{-u}/r over the 4
-    cross pairs (the plain Coulomb is already in the nonbonded sum),
-    minimum-imaged because the pairs live in different molecules."""
+def _nbthole_pair_energies(params, positions, box_diag):
+    """(n_nbthole,) CHARMM NBTHOLE energies between non-bonded core-shell
+    pairs: only the screening deficit qq (S(u) - 1)/r
+    = -qq (1 + u/2) e^{-u}/r over the 4 cross pairs (the plain Coulomb is
+    already in the nonbonded sum), minimum-imaged because the pairs live
+    in different molecules."""
     d1 = positions[params["nt_d1"]]
     c1 = positions[params["nt_c1"]]
     d2 = positions[params["nt_d2"]]
@@ -221,9 +242,12 @@ def _nbthole_energy(params, positions, box_diag):
         deficit = -(1.0 + 0.5 * u) * jnp.exp(-u)
         return sign * qq * deficit / r
 
-    e = (pair_e(d1, d2, 1.0) + pair_e(d1, c2, -1.0)
-         + pair_e(c1, d2, -1.0) + pair_e(c1, c2, 1.0))
-    return jnp.sum(e)
+    return (pair_e(d1, d2, 1.0) + pair_e(d1, c2, -1.0)
+            + pair_e(c1, d2, -1.0) + pair_e(c1, c2, 1.0))
+
+
+def _nbthole_energy(params, positions, box_diag):
+    return jnp.sum(_nbthole_pair_energies(params, positions, box_diag))
 
 
 def _screened_energy(params, positions):

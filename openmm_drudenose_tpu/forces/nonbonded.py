@@ -256,12 +256,17 @@ class NonbondedForce:
             raise ValueError(f"unknown strategy {strategy!r}")
 
         # NBFIX-style LJ pair overrides -> explicit correction terms
-        # (forces/pairterms.py), applied identically in every strategy
+        # (forces/pairterms.py), applied identically in every strategy.
+        # ov_cat collects the concatenated pair data so flat-ensemble NPT
+        # can evaluate per-replica override sums in the MC delta.
         override_terms = []
+        ov_cat = None
         if self._lj_overrides:
             from . import pairterms
             excluded = {(min(a, b), max(a, b))
                         for a, b in zip(exc_i.tolist(), exc_j.tolist())}
+            ov_cat = {"pi": [], "pj": [], "sig_new": [], "eps_new": [],
+                      "sig_old": [], "eps_old": []}
             for set1, set2, sig_o, eps_o in self._lj_overrides:
                 pi, pj = [], []
                 for a in set1:
@@ -280,6 +285,12 @@ class NonbondedForce:
                 pj = np.array(pj, np.int32)
                 sig_mix = 0.5 * (sigma[pi] + sigma[pj])
                 eps_mix = np.sqrt(eps[pi] * eps[pj])
+                ov_cat["pi"].append(pi)
+                ov_cat["pj"].append(pj)
+                ov_cat["sig_new"].append(np.full(len(pi), sig_o))
+                ov_cat["eps_new"].append(np.full(len(pi), eps_o))
+                ov_cat["sig_old"].append(sig_mix)
+                ov_cat["eps_old"].append(eps_mix)
                 override_terms.append(pairterms.make_pair_list_term(
                     n, pi, pj, pairterms.lj_override_eg(
                         jnp.asarray(np.full(len(pi), sig_o), dtype),
@@ -289,6 +300,8 @@ class NonbondedForce:
                         cutoff if use_cutoff else np.inf,
                         use_switch, r_switch),
                     periodic=periodic))
+            if not ov_cat["pi"]:
+                ov_cat = None
 
         has_exceptions = n_active_exc > 0 or (
             len(self._exceptions) > 0 and method in (self.Ewald, self.PME))
@@ -510,9 +523,10 @@ class NonbondedForce:
                     # same cell-aligned grid plan as a single-replica
                     # pencil context (setup_pme rounds K up to cell-grid
                     # multiples), so a flattened ensemble reproduces R
-                    # independent Contexts bit-for-bit; the pencil tables
-                    # themselves are unused (the reciprocal sum is vmapped
-                    # per replica below)
+                    # independent Contexts; the reciprocal sum runs as the
+                    # replica-batched per-(x, y, z-band) pencil spread
+                    # (pme.recip_ens_packed) when the plan is viable,
+                    # falling back to the vmapped generic spread otherwise
                     from . import pme as pme_mod
                     alpha0, gx0, _, _ = self._pme_params
                     pme = pme_mod.setup_pme(
@@ -520,7 +534,16 @@ class NonbondedForce:
                         alpha=alpha0 or None,
                         grid=pme.grid if gx0 > 0 else None,
                         cell_grid=cp_cfg.phys_grid)
-                    pme = dataclasses.replace(pme, cell_grid=None)
+                    if pme.cell_grid is not None:
+                        # per-(x, y, z-band) pencil capacity ~1.35x the
+                        # mean per-replica pencil population, rounded to
+                        # the 128-lane MXU contraction grain
+                        n_pen0 = (cp_cfg.phys_grid[0]
+                                  * cp_cfg.phys_grid[1])
+                        cp_need = int(np.ceil(1.35 * n0_e / n_pen0)) + 8
+                        cp_cfg = dataclasses.replace(
+                            cp_cfg, pen_capacity=max(
+                                -(-cp_need // 128) * 128, 128))
             else:
                 ens_r = 1
                 cp_cfg = cp.make_config(
@@ -615,10 +638,25 @@ class NonbondedForce:
                 if ens_r > 1:
                     # replicas overlap in physical coordinates (each lives
                     # in the per-replica box frame): one shared grid would
-                    # interfere their charges, so the reciprocal sum is
-                    # vmapped per replica (per-replica boxes under NPT)
+                    # interfere their charges.  Per-(x, y, z-band) pencil
+                    # packing gives each replica its own pencil set, so
+                    # ONE batched spread serves all R grids
+                    # (pme.recip_ens_packed); the vmapped generic spread
+                    # remains the fallback when the pencil plan is not
+                    # viable or the cellsort lacks pencil tables.
+                    use_pen = (pme.cell_grid is not None
+                               and cp_cfg.pen_capacity > 0)
+
                     def recip_energies_rep(params, positions, box_diag,
-                                           rep_scale=None):
+                                           nbl=None, rep_scale=None):
+                        if (use_pen and nbl is not None
+                                and getattr(nbl, "pen_atom", None)
+                                is not None):
+                            e, _ = pme.recip_ens(
+                                ens_r, params["charge"],
+                                _stored(positions, rep_scale), box_diag,
+                                nbl, rep_scale=rep_scale)
+                            return e
                         q = params["charge"].reshape(ens_r, n0_e)
                         p = positions.reshape(ens_r, n0_e, 3)
                         if rep_scale is None:
@@ -634,7 +672,7 @@ class NonbondedForce:
                     def recip_energy(params, positions, box_diag, nbl,
                                      rep_scale=None):
                         return jnp.sum(recip_energies_rep(
-                            params, positions, box_diag, rep_scale))
+                            params, positions, box_diag, nbl, rep_scale))
                 elif pme.cell_grid is not None:
                     def recip_energy(params, positions, box_diag, nbl,
                                      rep_scale=None):
@@ -675,18 +713,53 @@ class NonbondedForce:
 
             mc_energies = None
             if ens_r > 1:
+                # NBFIX overrides change under per-replica volume moves
+                # (intermolecular): per-replica sums by reshape over the
+                # replica-major concatenated pair list.  Template-box
+                # minimum imaging at physical positions is exact here —
+                # the correction is cutoff-masked, so any pair whose image
+                # assignment could differ between box0 and box0*s sits at
+                # ~half-box distance, far beyond the cutoff.
+                ov_energies_rep = None
+                if ov_cat is not None:
+                    from . import pairterms
+                    cat_pi = np.concatenate(ov_cat["pi"])
+                    cat_pj = np.concatenate(ov_cat["pj"])
+                    P_ov = len(cat_pi)
+                    rep_of = cat_pi // n0_e
+                    uniform = (P_ov % ens_r == 0 and np.array_equal(
+                        rep_of, np.arange(P_ov) // (P_ov // ens_r))
+                        and np.array_equal(rep_of, cat_pj // n0_e))
+                    if not uniform:
+                        raise ValueError(
+                            "flat-ensemble NPT needs replica-uniform NBFIX "
+                            "override pair lists (every replica the same "
+                            "overrides, replica-major)")
+                    ov_energies_rep = pairterms.make_pair_list_energies_rep(
+                        ens_r, cat_pi, cat_pj, pairterms.lj_override_eg(
+                            jnp.asarray(np.concatenate(ov_cat["sig_new"]),
+                                        dtype),
+                            jnp.asarray(np.concatenate(ov_cat["eps_new"]),
+                                        dtype),
+                            jnp.asarray(np.concatenate(ov_cat["sig_old"]),
+                                        dtype),
+                            jnp.asarray(np.concatenate(ov_cat["eps_old"]),
+                                        dtype),
+                            cutoff if use_cutoff else np.inf,
+                            use_switch, r_switch),
+                        periodic=periodic)
+
                 def mc_energies(params, positions, box, neighbors,
                                 rep_scale):
                     """(R,) per-replica energies of every term whose value
                     CHANGES under a per-replica molecule-COM volume move:
-                    the direct-space sweep, the PME reciprocal sum, and
-                    the dispersion tail.  Intramolecular terms (bonded,
-                    Drude springs, screened pairs, exceptions, reciprocal
-                    exclusion corrections, the Ewald self term) are
-                    invariant under COM scaling and cancel exactly in the
-                    Metropolis delta — parallel/flatrep.py refuses NPT
-                    systems with INTERmolecular extra terms (NBTHOLE / LJ
-                    pair overrides)."""
+                    the direct-space sweep, the PME reciprocal sum, the
+                    dispersion tail, and NBFIX override corrections
+                    (NBTHOLE rides the DrudeForce's own mc_energies hook).
+                    Intramolecular terms (bonded, Drude springs, screened
+                    pairs, exceptions, reciprocal exclusion corrections,
+                    the Ewald self term) are invariant under COM scaling
+                    and cancel exactly in the Metropolis delta."""
                     box_diag = jnp.diagonal(box)
                     e, _ = cp.pair_energy_forces(
                         params, _stored(positions, rep_scale), box_diag,
@@ -695,7 +768,10 @@ class NonbondedForce:
                         energy_per_replica=True)
                     if recip_energies_rep is not None:
                         e = e + recip_energies_rep(params, positions,
-                                                   box_diag, rep_scale)
+                                                   box_diag, neighbors,
+                                                   rep_scale)
+                    if ov_energies_rep is not None:
+                        e = e + ov_energies_rep(positions, box_diag)
                     if disp is not None:
                         vol = box_diag[0] * box_diag[1] * box_diag[2]
                         s3 = (jnp.ones((ens_r,), positions.dtype)
@@ -707,12 +783,27 @@ class NonbondedForce:
             recip_forces = None
             if (method in (self.Ewald, self.PME) and pme.cell_grid is not None
                     and cp_cfg.pen_capacity):
-                def recip_forces(params, positions, box_diag, neighbors):
-                    """Analytic reciprocal forces (pme.recip_forces); the
-                    force-only step then autodiffs only extras_energy."""
-                    _, f = pme.recip_forces(params["charge"], positions,
-                                            box_diag, neighbors)
-                    return f
+                if ens_r > 1:
+                    def recip_forces(params, positions, box_diag, neighbors,
+                                     rep_scale=None):
+                        """Analytic replica-batched reciprocal forces
+                        (pme.recip_ens_packed); the force-only step then
+                        autodiffs only extras_energy."""
+                        _, f = pme.recip_ens(
+                            ens_r, params["charge"],
+                            _stored(positions, rep_scale), box_diag,
+                            neighbors, rep_scale=rep_scale,
+                            with_forces=True)
+                        return f
+                else:
+                    def recip_forces(params, positions, box_diag, neighbors,
+                                     rep_scale=None):
+                        """Analytic reciprocal forces (pme.recip_forces);
+                        the force-only step then autodiffs only
+                        extras_energy."""
+                        _, f = pme.recip_forces(params["charge"], positions,
+                                                box_diag, neighbors)
+                        return f
 
             # the half-stencil force-only Pallas kernel (ops/pallas_sweep)
             # is the default in-step sweep on TPU: 1.5x the XLA sweep at

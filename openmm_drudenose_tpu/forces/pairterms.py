@@ -88,6 +88,35 @@ def make_pair_list_term(n_atoms: int, i_idx, j_idx, eg_fn,
     return energy
 
 
+def make_pair_list_energies_rep(R: int, i_idx, j_idx, eg_fn,
+                                periodic: bool = True):
+    """(positions, box_diag) -> (R,) PER-REPLICA pair-list energy sums for
+    flattened replica ensembles (parallel/flatrep.py): the pair list must
+    be replica-major with equal counts per replica (replicate_system
+    appends each replica's pairs in order), so attribution is a pure
+    reshape-sum.  Energy-only (no custom VJP) — used by the flat-NPT MC
+    Metropolis delta, where intermolecular terms (NBFIX overrides,
+    NBTHOLE) change under per-replica volume moves."""
+    ii = jnp.asarray(np.asarray(i_idx, np.int32))
+    jj = jnp.asarray(np.asarray(j_idx, np.int32))
+    P = len(np.asarray(i_idx))
+    if P % R:
+        raise ValueError("pair list is not replica-uniform")
+
+    def energies(positions, box_diag):
+        pos_t = positions.T
+        delta = pos_t[:, ii] - pos_t[:, jj]
+        if periodic:
+            from .boxutils import min_image_t
+            delta = min_image_t(delta, box_diag)
+        r2 = jnp.sum(delta * delta, axis=0)
+        r2s = jnp.maximum(r2, 1e-10)
+        e, _ = eg_fn(r2s, r2)
+        return e.reshape(R, P // R).sum(axis=1)
+
+    return energies
+
+
 def uniform_pair_shifts(n_atoms: int, K: int, i_idx, j_idx):
     """Shift grouping for uniform molecule-major layouts: when every pair
     row is intra-block (i // K == j // K), rows with the same lane shift

@@ -236,26 +236,14 @@ class FlatReplicaEnsemble:
                                hardwall_strict=context._hardwall_strict,
                                nb_options=nb, ensemble_r=R_int)
         from ..forces.cmmotion import MonteCarloBarostat
-        from ..forces.drude import DrudeForce
-        from ..forces.nonbonded import NonbondedForce
         if any(isinstance(f, MonteCarloBarostat)
                for f in context._system.getForces()):
             # per-replica NPT: intramolecular terms cancel in the MC
-            # Metropolis delta, so the per-replica energy only evaluates
-            # the sweep + PME reciprocal + dispersion — INTERmolecular
-            # extra terms would be silently missing from the acceptance
-            for f in context._system.getForces():
-                if isinstance(f, DrudeForce) and f._nbthole:
-                    raise ValueError(
-                        "flat-ensemble NPT does not support NBTHOLE pairs "
-                        "(intermolecular term outside the per-replica MC "
-                        "energy); use the vmap ReplicaEnsemble")
-                if isinstance(f, NonbondedForce) and f._lj_overrides:
-                    raise ValueError(
-                        "flat-ensemble NPT does not support NBFIX LJ "
-                        "pair overrides (intermolecular term outside the "
-                        "per-replica MC energy); use the vmap "
-                        "ReplicaEnsemble")
+            # Metropolis delta; every INTERmolecular term contributes a
+            # per-replica mc_energies hook (sweep/PME/dispersion/NBFIX on
+            # the NonbondedForce, NBTHOLE on the DrudeForce) so
+            # ionic-liquid-class systems run flat NPT too (round-4 work;
+            # the round-3 refusal is gone)
             import jax.numpy as jnp
             accum = self.context._prec.accum
             self.context._state = self.context._state._replace(

@@ -174,10 +174,104 @@ def test_flat_npt_runs_and_replicas_decouple():
     assert np.all(np.isfinite(pes))
 
 
-def test_flat_npt_refuses_intermolecular_extras():
-    tpl, system = _template_ctx(barostat=True)
+def _intermolecular_extras_template():
+    """Water template with ionic-liquid-class INTERmolecular extras:
+    NBTHOLE screening between two molecules' Drude pairs and an NBFIX LJ
+    override between two oxygens of different molecules (synthetic
+    parameters; the TGNH authors' ionic-liquid systems need exactly these
+    mechanisms — SURVEY intro, Son et al. JPCL 2019)."""
+    system, positions = builders.build_water_box(
+        N_MOL, method=dn.NonbondedForce.PME, cutoff=CUTOFF)
     drude = next(f for f in system.getForces()
                  if isinstance(f, dn.DrudeForce))
-    drude.addNBTholePair(0, 1, 1.3)
-    with pytest.raises(ValueError, match="NBTHOLE"):
-        FlatReplicaEnsemble(tpl, 2, rx=2, rz=1)
+    drude.addNBTholePair(0, 1, 1.3)     # Drude-particle indices (mol 0, 1)
+    nb = next(f for f in system.getForces()
+              if isinstance(f, dn.NonbondedForce))
+    nb.addLJPairOverride([10], [15], 0.31, 0.8)   # O of mol 2 vs mol 3
+    system.addForce(dn.MonteCarloBarostat(1.01325, 300.0, 2))
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005, 20, 2)
+    integ.setMaxDrudeDistance(0.05)
+    ctx = dn.Context(system, integ, precision="double",
+                     strategy="cellpair", hardwall_strict=False)
+    ctx.setPositions(positions)
+    ctx.applyConstraints(1e-8)
+    return ctx, system
+
+
+def test_flat_npt_mc_delta_with_nbthole_nbfix():
+    """Ionic-liquid replica case (VERDICT round-3 item 3): with NBTHOLE +
+    NBFIX present, the composed per-replica MC energy (NonbondedForce
+    hook + DrudeForce hook) must reproduce the full-PE delta of
+    independent scaled-box Contexts under a volume move — i.e. the
+    intermolecular extras now participate in the Metropolis acceptance."""
+    tpl, tpl_system = _intermolecular_extras_template()
+    ens = FlatReplicaEnsemble(tpl, 2, rx=2, rz=1)
+    ctx = ens.context
+    nb_fn = next(t[0] for t in ctx._terms if hasattr(t[0], "cellpair_cfg"))
+    pme = nb_fn.pme_setup
+    p0 = np.asarray(tpl._state.positions, np.float64)
+    pos = [_com_scaled(tpl_system, p0, s) for s in SCALES]
+    ctx._state = ctx._state._replace(
+        rep_scale=jnp.asarray(np.array(SCALES)))
+    ens.setPositions(np.stack(pos))
+    ctx._ensure_neighbors()
+    st = ctx._state
+
+    mc_terms = [(t[0].mc_energies, t[1]) for t in ctx._terms
+                if getattr(t[0], "mc_energies", None)]
+    assert len(mc_terms) == 2, "both the nonbonded and Drude hooks"
+
+    def mc(positions, rs):
+        return sum(np.asarray(f(p, positions, st.box, st.neighbors, rs),
+                              np.float64) for f, p in mc_terms)
+
+    e0 = mc(st.positions, st.rep_scale)
+    ls = 1.015
+    p = np.asarray(st.positions, np.float64).reshape(2, -1, 3)
+    p_new = p.copy()
+    p_new[0] = _com_scaled(tpl_system, p[0], ls)
+    s_new = jnp.asarray(np.array(SCALES) * np.array([ls, 1.0]))
+    e1 = mc(jnp.asarray(p_new.reshape(-1, 3)), s_new)
+
+    def indep(s, positions):
+        system, _ = builders.build_water_box(
+            N_MOL, method=dn.NonbondedForce.PME, cutoff=CUTOFF)
+        drude = next(f for f in system.getForces()
+                     if isinstance(f, dn.DrudeForce))
+        drude.addNBTholePair(0, 1, 1.3)
+        nbv = next(f for f in system.getForces()
+                   if isinstance(f, dn.NonbondedForce))
+        nbv.addLJPairOverride([10], [15], 0.31, 0.8)
+        box = np.array(system.getDefaultPeriodicBoxVectors(),
+                       np.float64) * s
+        system.setDefaultPeriodicBoxVectors(*box)
+        nbv.setPMEParameters(pme.alpha, *pme.grid)
+        integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.005, 0.0005,
+                                       20, 2)
+        integ.setMaxDrudeDistance(0.05)
+        c = dn.Context(system, integ, precision="double",
+                       strategy="cellpair", hardwall_strict=False)
+        c.setPositions(positions)
+        return c.getState(energy=True).getPotentialEnergy()
+
+    pe_a = indep(SCALES[0], pos[0])
+    pe_b = indep(SCALES[0] * ls, _com_scaled(tpl_system, p[0], ls))
+    np.testing.assert_allclose(e1[0] - e0[0], pe_b - pe_a,
+                               rtol=1e-8, atol=1e-7)
+    np.testing.assert_allclose(e1[1], e0[1], rtol=1e-12)
+
+
+def test_flat_npt_runs_with_nbthole_nbfix():
+    """End to end: the round-3 refusal is gone — flat NPT with NBTHOLE +
+    NBFIX steps, fires per-replica MC moves, and stays finite."""
+    tpl, _ = _intermolecular_extras_template()
+    ens = FlatReplicaEnsemble(tpl, 2, rx=2, rz=1)
+    assert ens.context._state.rep_scale is not None
+    ens.setVelocitiesToTemperature(300.0, seed=7)
+    ens.step(8)
+    st = ens.context._state
+    assert bool(jnp.all(jnp.isfinite(st.positions)))
+    nt = np.asarray(st.baro_nattempt) + np.asarray(st.baro_naccept)
+    assert nt.min() > 0
+    s = np.asarray(st.rep_scale, np.float64)
+    assert np.all(np.isfinite(s)) and np.all(s > 0.5) and np.all(s < 2.0)
