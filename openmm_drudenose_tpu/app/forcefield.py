@@ -34,6 +34,11 @@ Supported schema subset (the tags CHARMM-Drude-2013-style files use):
   <LennardJonesForce lj14scale>
       <Atom class sigma epsilon [sigma14 epsilon14]/>
       <NBFixPair class1 class2 sigma epsilon/>
+  <CustomNonbondedForce energy="acoef(type1, type2)/r^12 - bcoef(...)/r^6">
+      <PerParticleParameter name/> <Function name type="Discrete2D" .../>
+      <Atom class|type <param>=index/>   (the stock charmm_polar_2013.xml
+      LJ encoding — mapped onto LennardJonesForce + NBFixPair; see
+      _parse_CustomNonbondedForce)
   <DrudeForce><Particle type1 type2 [type3 type4 type5] charge
                         polarizability thole [aniso12] [aniso34]/>
               <NBTholePair type1 type2 thole/>   (extension: CHARMM NBTHOLE)
@@ -64,7 +69,9 @@ Design notes / divergences from OpenMM, stated explicitly:
     patches like disulfide bridges raise).  When no unpatched template
     matches, every allowed (template, patch) combination — via the
     patch's <ApplyToResidue> or the residue's <AllowPatch> — is tried,
-    one patch per residue (OpenMM additionally tries patch stacks).
+    including STACKS of up to two patches per residue (both application
+    orders, structurally deduplicated; OpenMM tries arbitrary-depth
+    stacks).
   * Exclusions use OpenMM's excludeAtomWith semantics: Drudes and virtual
     sites anchor to their parent atom; anchor pairs at bond distance 1-2
     are fully excluded, distance 3 gets 1-4 exceptions scaled by
@@ -611,6 +618,99 @@ class ForceField:
                 self.nbfix.append((el.get("class1"), el.get("class2"),
                                    _f(el, "sigma"), _f(el, "epsilon")))
 
+    def _parse_CustomNonbondedForce(self, sec) -> None:
+        """The stock ``charmm_polar_2013.xml`` LJ encoding: OpenMM ships
+        that file's Lennard-Jones as a CustomNonbondedForce with a
+        Discrete2D acoef/bcoef table indexed by a per-particle parameter
+        (the reference's own workflow comment points this out,
+        /root/reference/example/nacl_tg.py:44).  Only that known shape is
+        accepted — energy ``acoef(type1, type2)/r^12 - bcoef(type1,
+        type2)/r^6`` — and it is mapped onto the LennardJonesForce
+        machinery: per-class sigma/epsilon from the table diagonal
+        (A = 4 eps sigma^12, B = 4 eps sigma^6), off-diagonal entries
+        deviating from Lorentz-Berthelot mixing become NBFixPair
+        overrides.  Anything else raises with guidance."""
+        energy = (sec.get("energy") or "").replace(" ", "").rstrip(";")
+        expect = "acoef(type1,type2)/r^12-bcoef(type1,type2)/r^6"
+        if energy != expect:
+            raise ForceFieldError(
+                f"unsupported <CustomNonbondedForce> energy "
+                f"{sec.get('energy')!r}; only the CHARMM tabulated-LJ "
+                f"form {expect!r} is recognized")
+        pnames = [el.get("name") for el in sec
+                  if el.tag == "PerParticleParameter"]
+        if len(pnames) != 1:
+            raise ForceFieldError(
+                "<CustomNonbondedForce> must declare exactly one "
+                "PerParticleParameter (the acoef/bcoef table index)")
+        pname = pnames[0]
+        funcs = {}
+        for el in sec:
+            if el.tag in ("Function", "TabulatedFunction"):
+                if el.get("type", "Discrete2D") != "Discrete2D":
+                    raise ForceFieldError(
+                        f"<Function {el.get('name')}> must be Discrete2D")
+                xs = int(_f(el, "xsize"))
+                ys = int(_f(el, "ysize"))
+                txt = el.get("values") or (el.text or "")
+                vals = np.array(txt.split(), np.float64)
+                if vals.size != xs * ys:
+                    raise ForceFieldError(
+                        f"<Function {el.get('name')}> has {vals.size} "
+                        f"values, expected {xs * ys}")
+                # Discrete2D ordering: x varies fastest -> [y, x]
+                funcs[el.get("name")] = vals.reshape(ys, xs).T
+        if "acoef" not in funcs or "bcoef" not in funcs:
+            raise ForceFieldError(
+                "<CustomNonbondedForce> needs acoef and bcoef Discrete2D "
+                "functions")
+        A, B = funcs["acoef"], funcs["bcoef"]
+
+        idx_by_class: Dict[str, int] = {}
+        for el in sec:
+            if el.tag != "Atom":
+                continue
+            kl = el.get("class")
+            if kl is None:
+                t = el.get("type")
+                if t not in self.atom_types:
+                    raise ForceFieldError(
+                        f"<CustomNonbondedForce> atom type {t!r} unknown")
+                kl = self.atom_types[t].klass
+            idx_by_class[kl] = int(float(_f(el, pname)))
+
+        def ab_to_sig_eps(a, b):
+            if a <= 0.0 or b <= 0.0:
+                return 1.0, 0.0
+            sig = (a / b) ** (1.0 / 6.0)
+            return sig, b * b / (4.0 * a)
+
+        self.has_lj_force = True
+        self.lj_lj14 = float(sec.get("lj14scale", self.lj_lj14))
+        per_class = {}
+        for kl, i in idx_by_class.items():
+            sig, eps = ab_to_sig_eps(A[i, i], B[i, i])
+            per_class[kl] = (sig, eps)
+            self.lj_by_class[kl] = (sig, eps, sig, eps)
+        # off-diagonal deviations from Lorentz-Berthelot -> NBFIX pairs
+        classes = sorted(idx_by_class)
+        for x, k1 in enumerate(classes):
+            i = idx_by_class[k1]
+            s1, e1 = per_class[k1]
+            for k2 in classes[x:]:
+                j = idx_by_class[k2]
+                s2, e2 = per_class[k2]
+                sig_lb = 0.5 * (s1 + s2)
+                eps_lb = math.sqrt(e1 * e2)
+                a_lb = 4.0 * eps_lb * sig_lb ** 12
+                b_lb = 4.0 * eps_lb * sig_lb ** 6
+                a, b = A[i, j], B[i, j]
+                tol_a = 1e-6 * max(abs(a), abs(a_lb), 1e-300)
+                tol_b = 1e-6 * max(abs(b), abs(b_lb), 1e-300)
+                if abs(a - a_lb) > tol_a or abs(b - b_lb) > tol_b:
+                    sig_ij, eps_ij = ab_to_sig_eps(a, b)
+                    self.nbfix.append((k1, k2, sig_ij, eps_ij))
+
     def _parse_DrudeForce(self, sec) -> None:
         for el in sec:
             if el.tag == "Particle":
@@ -703,13 +803,46 @@ class ForceField:
                "attempted; renamed-atom inputs ingest through "
                "Modeller.addExtraParticles or createSystem(positions=...))"))
 
+    @staticmethod
+    def _template_key(t: _Template):
+        """Structural identity of a template (order-independent): used to
+        deduplicate patch stacks applied in different orders."""
+        names = [a.name for a in t.atoms]
+        return (tuple(sorted((a.name, a.type, round(a.charge, 12))
+                             for a in t.atoms)),
+                tuple(sorted(tuple(sorted((names[i], names[j])))
+                             for (i, j) in t.bonds)),
+                tuple(sorted(names[e] for e in t.external)),
+                len(t.vsites))
+
     def _all_patched_templates(self) -> list:
         out = []
+        seen = set()
         for tmpl in self.templates.values():
-            for patch in self._allowed_patches(tmpl):
+            allowed = self._allowed_patches(tmpl)
+            singles = []
+            for patch in allowed:
                 pt = self._patched_template(tmpl, patch)
                 if pt is not None:
+                    singles.append((patch, pt))
                     out.append(pt)
+                    seen.add(self._template_key(pt))
+            # two-patch stacks (OpenMM tries patch stacks; pairs cover the
+            # termination + modification combinations).  Both application
+            # orders are tried — patches can be order-dependent — and
+            # structurally identical results deduplicate.
+            for p1, pt1 in singles:
+                for p2 in allowed:
+                    if p2.name == p1.name:
+                        continue
+                    stacked = self._patched_template(pt1, p2)
+                    if stacked is None:
+                        continue
+                    key = self._template_key(stacked)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    out.append(stacked)
         return out
 
     def _graph_match(self, res_name: str, elements, positions):

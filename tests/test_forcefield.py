@@ -408,3 +408,138 @@ def test_renamed_without_positions_raises():
     ff = ffmod.ForceField(os.path.join(DATA, "swm4_nacl.xml"))
     with pytest.raises(ffmod.ForceFieldError, match="positions unavailable"):
         ff.match_residue("WAT", ["OW1", "HA", "HB"], ["O", "H", "H"], None)
+
+
+def _custom_nb_xml(tmp_path):
+    """swm4_nacl.xml with <LennardJonesForce> re-encoded as the
+    charmm_polar_2013.xml-style CustomNonbondedForce: a Discrete2D
+    acoef/bcoef table indexed by a per-particle 'type' parameter, atoms
+    keyed by class (the stock file's structure — the reference's own
+    comment says its LJ lives there, /root/reference/example/nacl_tg.py:44).
+    The NBFixPair becomes an off-diagonal table deviation."""
+    import xml.etree.ElementTree as ET
+    tree = ET.parse(os.path.join(DATA, "swm4_nacl.xml"))
+    root = tree.getroot()
+    lj = root.find("LennardJonesForce")
+    per = {a.get("class"): (float(a.get("sigma")), float(a.get("epsilon")))
+           for a in lj if a.tag == "Atom"}
+    nbfix = [(p.get("class1"), p.get("class2"), float(p.get("sigma")),
+              float(p.get("epsilon"))) for p in lj if p.tag == "NBFixPair"]
+    classes = sorted(per)
+    n = len(classes)
+    idx = {c: i for i, c in enumerate(classes)}
+    A = np.zeros((n, n))
+    B = np.zeros((n, n))
+    for c1 in classes:
+        for c2 in classes:
+            s = 0.5 * (per[c1][0] + per[c2][0])
+            e = math.sqrt(per[c1][1] * per[c2][1])
+            A[idx[c1], idx[c2]] = 4 * e * s ** 12
+            B[idx[c1], idx[c2]] = 4 * e * s ** 6
+    for c1, c2, s, e in nbfix:
+        for i, j in ((idx[c1], idx[c2]), (idx[c2], idx[c1])):
+            A[i, j] = 4 * e * s ** 12
+            B[i, j] = 4 * e * s ** 6
+    root.remove(lj)
+    cnb = ET.SubElement(root, "CustomNonbondedForce", attrib={
+        "energy": "acoef(type1, type2)/r^12 - bcoef(type1, type2)/r^6;",
+        "bondCutoff": "2"})
+    ET.SubElement(cnb, "PerParticleParameter", name="type")
+    for name, M in (("acoef", A), ("bcoef", B)):
+        f = ET.SubElement(cnb, "Function", attrib={
+            "name": name, "type": "Discrete2D",
+            "xsize": str(n), "ysize": str(n)})
+        # Discrete2D ordering: x varies fastest -> values[y*n + x] = M[x,y]
+        f.text = " ".join(repr(float(v)) for v in M.T.reshape(-1))
+    for c in classes:
+        ET.SubElement(cnb, "Atom", attrib={"class": c,
+                                           "type": str(idx[c])})
+    out = str(tmp_path / "swm4_custom.xml")
+    tree.write(out)
+    return out
+
+
+def test_custom_nonbonded_lj_matches_lennard_jones(tmp_path):
+    """VERDICT round-3 item 6: the stock charmm_polar_2013.xml
+    CustomNonbondedForce LJ encoding ingests and produces a System
+    identical to the LennardJonesForce path (per-atom sigma/epsilon AND
+    the NBFIX override)."""
+    pos_pdb, bare_pdb = _make_nacl_files(tmp_path)
+    sys_lj, mod_lj = _ff_system(bare_pdb)
+
+    ff = ffmod.ForceField(_custom_nb_xml(tmp_path))
+    pdb = pdbfile.PDBFile(bare_pdb)
+    modeller = ffmod.Modeller(pdb.topology, pdb.positions)
+    modeller.addExtraParticles(ff)
+    sys_c = ff.createSystem(modeller.topology, nonbondedMethod=ffmod.PME,
+                            nonbondedCutoff=0.9, constraints=ffmod.HBonds,
+                            rigidWater=True)
+    _repartition(sys_c, modeller.topology)
+
+    nb_lj = _force_of(sys_lj, dn.NonbondedForce)
+    nb_c = _force_of(sys_c, dn.NonbondedForce)
+    assert nb_c.getNumParticles() == nb_lj.getNumParticles()
+    for i in range(nb_lj.getNumParticles()):
+        q1, s1, e1 = nb_lj.getParticleParameters(i)
+        q2, s2, e2 = nb_c.getParticleParameters(i)
+        assert q1 == pytest.approx(q2, abs=1e-12)
+        assert e1 == pytest.approx(e2, rel=1e-9, abs=1e-12)
+        if e1 > 0:
+            assert s1 == pytest.approx(s2, rel=1e-9)
+
+    def norm_overrides(nb):
+        return sorted(
+            tuple(sorted([tuple(sorted(o[0])), tuple(sorted(o[1]))]))
+            + (round(o[2], 9), round(o[3], 9))
+            for o in nb._lj_overrides)
+    assert norm_overrides(nb_c) == norm_overrides(nb_lj)
+    assert len(nb_c._lj_overrides) == 1
+
+
+def test_custom_nonbonded_unknown_energy_raises(tmp_path):
+    import xml.etree.ElementTree as ET
+    tree = ET.parse(os.path.join(DATA, "swm4_nacl.xml"))
+    root = tree.getroot()
+    root.remove(root.find("LennardJonesForce"))
+    ET.SubElement(root, "CustomNonbondedForce",
+                  attrib={"energy": "k*exp(-r/rho)"})
+    out = str(tmp_path / "bad_custom.xml")
+    tree.write(out)
+    with pytest.raises(ffmod.ForceFieldError, match="tabulated-LJ"):
+        ffmod.ForceField(out)
+
+
+def test_patch_stack_ingestion(tmp_path):
+    """Two patches stacked on one residue (OpenMM tries patch stacks —
+    VERDICT round-3 item 9): a bare-oxygen residue matches only the
+    OHM (strip H2 + M site) + DEH1 (strip H1) combination; both
+    application orders produce the same structure and deduplicate."""
+    ff = ffmod.ForceField(os.path.join(DATA, "swm4_nacl.xml"),
+                          os.path.join(DATA, "hoh_patch.xml"),
+                          os.path.join(DATA, "hoh_patch2.xml"))
+    box = np.array([2.4, 2.4, 2.4])
+    rng = np.random.default_rng(13)
+    entries = []
+    centers = [np.array([0.6, 0.6, 0.6]), np.array([1.6, 1.0, 1.0]),
+               np.array([1.0, 1.7, 1.6])]
+    for o in centers[:2]:
+        w = _water_sites(o, _rotation(rng))
+        entries.append(("HOH", list(zip(["OH2", "H1", "H2"], w[:3]))))
+    entries.append(("HOH", [("OH2", centers[2])]))
+    pdb_path = str(tmp_path / "stacked.pdb")
+    _write_pdb(pdb_path, entries, box)
+
+    pdb = pdbfile.PDBFile(pdb_path)
+    modeller = ffmod.Modeller(pdb.topology, pdb.positions)
+    modeller.addExtraParticles(ff)
+    # bare O gains only its Drude: 2 x 5 + 2
+    assert len(modeller.topology.atoms) == 12
+    system = ff.createSystem(modeller.topology, nonbondedMethod=ffmod.PME,
+                             nonbondedCutoff=0.9, constraints=ffmod.HBonds,
+                             rigidWater=True)
+    nb = _force_of(system, dn.NonbondedForce)
+    # the stacked O carries OHM's ChangeAtom charge regardless of order
+    assert nb.getParticleParameters(10)[0] == pytest.approx(1.2)
+    dr = _force_of(system, dn.DrudeForce)
+    assert dr.getNumParticles() == 3
+    assert system.getNumConstraints() == 6
