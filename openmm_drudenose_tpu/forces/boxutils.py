@@ -91,12 +91,19 @@ def min_image_t(delta, box):
 
 def frac_coords(positions, box):
     """positions (N, 3) -> fractional coordinates (positions = frac @ box
-    for row-vector boxes).  Closed-form lower-triangular inverse (no
-    linalg.inv in the hot path)."""
+    for row-vector boxes).  Closed-form lower-triangular inverse, applied
+    ELEMENTWISE — `positions @ inv` would lower to a TPU f32 dot_general
+    whose bf16 inputs corrupt the fractional coordinates by ~0.4%
+    (measured on chip: 1e-2 rms force error through the PME spread's
+    B-spline taps; CPU-f64 tests cannot see this)."""
     if jnp.ndim(box) == 1:
         return positions / box
     inv = inv_box(box)
-    return positions @ inv
+    fx = (positions[..., 0] * inv[0, 0] + positions[..., 1] * inv[1, 0]
+          + positions[..., 2] * inv[2, 0])
+    fy = positions[..., 1] * inv[1, 1] + positions[..., 2] * inv[2, 1]
+    fz = positions[..., 2] * inv[2, 2]
+    return jnp.stack([fx, fy, fz], axis=-1)
 
 
 def plane_widths(box):

@@ -535,15 +535,30 @@ class NonbondedForce:
                         grid=pme.grid if gx0 > 0 else None,
                         cell_grid=cp_cfg.phys_grid)
                     if pme.cell_grid is not None:
-                        # per-(x, y, z-band) pencil capacity ~1.35x the
-                        # mean per-replica pencil population, rounded to
-                        # the 128-lane MXU contraction grain
-                        n_pen0 = (cp_cfg.phys_grid[0]
-                                  * cp_cfg.phys_grid[1])
-                        cp_need = int(np.ceil(1.35 * n0_e / n_pen0)) + 8
-                        cp_cfg = dataclasses.replace(
-                            cp_cfg, pen_capacity=max(
-                                -(-cp_need // 128) * 128, 128))
+                        # locality gate (measured on v5e, 64 x 4k): at
+                        # small per-replica grids the pencil windows stop
+                        # being local — lwx*lwy = 225 of K1*K2 = 625
+                        # (36%) made the batched pencil FORCE pass 27.0
+                        # ms vs the vmapped generic autodiff's 15.4 ms
+                        # (three (NP, lw^2, Cp) one-hot tensors dominate
+                        # HBM).  Engage the pencil path only when the
+                        # windows cover <= 25% of the (x, y) grid plane;
+                        # otherwise keep cell_grid=None (generic spread,
+                        # now gradient-correct at knots via the B-spline
+                        # custom JVP).
+                        plan = pme_mod._pencil_plan(pme.grid,
+                                                    pme.cell_grid)
+                        (_, lwx_p, _), (_, lwy_p, _) = plan
+                        if (lwx_p * lwy_p) * 4 <= (pme.grid[0]
+                                                   * pme.grid[1]):
+                            n_pen0 = (cp_cfg.phys_grid[0]
+                                      * cp_cfg.phys_grid[1])
+                            cp_need = int(np.ceil(1.35 * n0_e / n_pen0)) + 8
+                            cp_cfg = dataclasses.replace(
+                                cp_cfg, pen_capacity=max(
+                                    -(-cp_need // 128) * 128, 128))
+                        else:
+                            pme = dataclasses.replace(pme, cell_grid=None)
             else:
                 ens_r = 1
                 cp_cfg = cp.make_config(

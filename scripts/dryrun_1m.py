@@ -87,8 +87,18 @@ def main():
     if "--resident" in sys.argv:
         # state-resident decomposition: molecule-sharded state + migration
         # (box ~18 nm -> 32 cell planes = 4 planes/slab, the halo minimum)
+        # --rc= / --ec= override the per-slab molecule / migration
+        # capacities: the XLA-CPU compile footprint at 1M atoms scales
+        # with them, and a one-step demonstration needs no migration slack
+        # (VERDICT round-3 item 4)
         from openmm_drudenose_tpu.parallel import resident
-        rctx = resident.ResidentContext(ctx, mesh)
+        Rc = Ec = None
+        for a in sys.argv:
+            if a.startswith("--rc="):
+                Rc = int(a.split("=")[1])
+            if a.startswith("--ec="):
+                Ec = int(a.split("=")[1])
+        rctx = resident.ResidentContext(ctx, mesh, Rc=Rc, Ec=Ec)
         rctx.step(1)
         pos = rctx.positions()
         assert bool(np.all(np.isfinite(pos))), "non-finite positions"

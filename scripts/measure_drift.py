@@ -32,23 +32,43 @@ def main():
     ap.add_argument("--ns", type=float, default=1.0)
     ap.add_argument("--molecules", type=int, default=500)
     ap.add_argument("--equil-ps", type=float, default=50.0)
+    ap.add_argument("--snapshot", action="store_true",
+                    help="start from the committed equilibrated benchmark "
+                         "state (data/bench_equil_100k.npz; implies "
+                         "--molecules 20000) — the BASELINE.md 100k-atom "
+                         "config (VERDICT round-3 item 5)")
     args = ap.parse_args()
 
     import openmm_drudenose_tpu as dn
     from openmm_drudenose_tpu.io import builders
     from openmm_drudenose_tpu.units import BOLTZ
 
+    if args.snapshot:
+        args.molecules = 20000
     system, positions = builders.build_water_box(args.molecules)
     integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.001, 20, 1)
     integ.setMaxDrudeDistance(0.02)
-    ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
-    ctx.setPositions(positions)
-    ctx.minimizeEnergy(maxIterations=300)
-    ctx.setVelocitiesToTemperature(300.0, seed=7)
+    nb_opts = None
+    snap = None
+    if args.snapshot:
+        snap_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "bench_equil_100k.npz")
+        snap = np.load(snap_path)
+        if "capacity" in snap:
+            nb_opts = {"capacity": int(snap["capacity"])}
+    ctx = dn.Context(system, integ, precision="single", strategy="cellpair",
+                     nb_options=nb_opts)
+    if snap is not None:
+        ctx.setPositions(np.asarray(snap["positions"], np.float64))
+        ctx.setVelocities(np.asarray(snap["velocities"], np.float64))
+    else:
+        ctx.setPositions(positions)
+        ctx.minimizeEnergy(maxIterations=300)
+        ctx.setVelocitiesToTemperature(300.0, seed=7)
 
     n_equil = int(args.equil_ps * 1000)
     integ.step(n_equil)
-    print(f"equilibrated {args.equil_ps} ps")
+    print(f"equilibrated {args.equil_ps} ps", flush=True)
 
     spec = ctx._spec
     nkbt = np.asarray(spec.nh_nkbt, np.float64)
