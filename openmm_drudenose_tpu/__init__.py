@@ -23,7 +23,8 @@ from .system import (System, TwoParticleAverageSite, ThreeParticleAverageSite,
 from .forces.drude import DrudeForce
 from .forces.nonbonded import NonbondedForce
 from .forces.bonded import (HarmonicBondForce, HarmonicAngleForce,
-                            PeriodicTorsionForce)
+                            PeriodicTorsionForce, HarmonicTorsionForce)
+from .forces.cmap import CMAPTorsionForce
 from .forces.cmmotion import CMMotionRemover, MonteCarloBarostat
 from .app.integrator import DrudeTGNHIntegrator
 from .app.context import Context, State
@@ -43,7 +44,8 @@ __version__ = "0.1.0"
 __all__ = [
     "System", "TwoParticleAverageSite", "ThreeParticleAverageSite",
     "OutOfPlaneSite", "DrudeForce", "NonbondedForce", "HarmonicBondForce",
-    "HarmonicAngleForce", "PeriodicTorsionForce", "CMMotionRemover",
+    "HarmonicAngleForce", "PeriodicTorsionForce", "HarmonicTorsionForce",
+    "CMAPTorsionForce", "CMMotionRemover",
     "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",
     "Simulation", "StateDataReporter", "CheckpointReporter", "DCDReporter",
     "PDBReporter", "ReplicaEnsemble", "FlatReplicaEnsemble", "ForceField",

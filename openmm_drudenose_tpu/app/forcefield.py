@@ -39,6 +39,14 @@ Supported schema subset (the tags CHARMM-Drude-2013-style files use):
       <Atom class|type <param>=index/>   (the stock charmm_polar_2013.xml
       LJ encoding — mapped onto LennardJonesForce + NBFixPair; see
       _parse_CustomNonbondedForce)
+  <CustomTorsionForce energy="k*(theta-theta0)^2">
+      <PerTorsionParameter name="k|theta0"/> <Improper class1..4 k theta0/>
+      (CHARMM harmonic impropers; the known harmonic shapes map onto
+      HarmonicTorsionForce — see _parse_CustomTorsionForce)
+  <CmapTorsionForce>  (or CMAPTorsionForce)
+      <Map>size^2 whitespace-separated energies</Map>
+      <Torsion map class1..5/>   (backbone (phi, psi) correction maps ->
+      forces/cmap.py CMAPTorsionForce; five consecutively bonded atoms)
   <DrudeForce><Particle type1 type2 [type3 type4 type5] charge
                         polarizability thole [aniso12] [aniso34]/>
               <NBTholePair type1 type2 thole/>   (extension: CHARMM NBTHOLE)
@@ -93,7 +101,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..forces.bonded import (HarmonicAngleForce, HarmonicBondForce,
-                             PeriodicTorsionForce)
+                             HarmonicTorsionForce, PeriodicTorsionForce)
+from ..forces.cmap import CMAPTorsionForce
 from ..forces.cmmotion import CMMotionRemover
 from ..forces.drude import DrudeForce
 from ..forces.nonbonded import NonbondedForce
@@ -298,6 +307,11 @@ class ForceField:
         self.urey_params: Dict[Tuple[str, str, str], Tuple[float, float]] = {}
         self.proper: List[Tuple[Tuple[str, str, str, str], list]] = []
         self.improper: List[Tuple[Tuple[str, str, str, str], list]] = []
+        # harmonic (CustomTorsionForce-encoded) impropers: key -> (theta0, k)
+        self.harmonic_improper: List[Tuple[Tuple[str, str, str, str],
+                                           Tuple[float, float]]] = []
+        self.cmap_maps: List[Tuple[int, "np.ndarray"]] = []
+        self.cmap_torsions: List[Tuple[Tuple[str, ...], int]] = []
         self.coulomb14: float = 1.0
         self.lj14: float = 1.0
         self.nb_by_type: Dict[str, Tuple[float, float, Optional[float]]] = {}
@@ -583,6 +597,68 @@ class ForceField:
             key = tuple(el.get(f"class{k}", "") for k in (1, 2, 3, 4))
             dest = self.proper if el.tag == "Proper" else self.improper
             dest.append((key, self._parse_torsion_terms(el)))
+
+    def _parse_CustomTorsionForce(self, sec) -> None:
+        """OpenMM's CHARMM ports express harmonic impropers through a
+        CustomTorsionForce.  Only the known harmonic shapes are accepted
+        and mapped onto HarmonicTorsionForce (E = k * wrap(theta -
+        theta0)^2); a genuinely different expression raises.  Accepted
+        (whitespace-insensitive): k*(theta-theta0)^2,
+        k*(acos(cos(theta-theta0)))^2, and the explicit min-image form
+        k*min(dtheta,2*pi-dtheta)^2; dtheta=abs(theta-theta0) — all equal
+        on the wrapped branch; 0.5*-prefixed variants fold the half into
+        k."""
+        energy = (sec.get("energy") or "").replace(" ", "").rstrip(";")
+        half = False
+        if energy.startswith("0.5*"):
+            half = True
+            energy = energy[4:]
+        known = (
+            "k*(theta-theta0)^2",
+            "k*(acos(cos(theta-theta0)))^2",
+            "k*min(dtheta,2*pi-dtheta)^2;dtheta=abs(theta-theta0)",
+            "k*dtheta^2;dtheta=min(d,2*pi-d);d=abs(theta-theta0)",
+        )
+        if energy not in known:
+            raise ForceFieldError(
+                f"unsupported <CustomTorsionForce> energy "
+                f"{sec.get('energy')!r}; only harmonic improper forms "
+                f"{known} are recognized")
+        pnames = [el.get("name") for el in sec
+                  if el.tag == "PerTorsionParameter"]
+        if sorted(pnames) != ["k", "theta0"]:
+            raise ForceFieldError(
+                "<CustomTorsionForce> must declare exactly the "
+                "PerTorsionParameters 'k' and 'theta0'")
+        scale = 0.5 if half else 1.0
+        for el in sec:
+            if el.tag in ("Improper", "Proper"):
+                key = tuple(el.get(f"class{k}", "") for k in (1, 2, 3, 4))
+                self.harmonic_improper.append(
+                    (key, (_f(el, "theta0"), scale * _f(el, "k"))))
+
+    def _parse_CmapTorsionForce(self, sec) -> None:
+        """CMAP backbone correction maps (the CHARMM-Drude-2013 protein
+        decks' <CmapTorsionForce>): <Map> children hold size^2
+        whitespace-separated energies (kJ/mol, angle1-fastest starting at
+        -pi — forces/cmap.py documents the grid convention); <Torsion
+        map= class1..class5/> names five consecutively bonded atoms whose
+        two overlapping dihedrals (1-2-3-4, 2-3-4-5) index the map."""
+        base = len(self.cmap_maps)
+        for el in sec:
+            if el.tag == "Map":
+                vals = np.array((el.text or "").split(), np.float64)
+                size = int(round(math.sqrt(vals.size)))
+                if size * size != vals.size:
+                    raise ForceFieldError(
+                        f"<Map> has {vals.size} values (not a square)")
+                self.cmap_maps.append((size, vals))
+            elif el.tag == "Torsion":
+                key = tuple(el.get(f"class{k}", "") for k in (1, 2, 3, 4, 5))
+                self.cmap_torsions.append((key, base + int(el.get("map"))))
+
+    # OpenMM historically spells the section both ways
+    _parse_CMAPTorsionForce = _parse_CmapTorsionForce
 
     def _parse_NonbondedForce(self, sec) -> None:
         self.coulomb14 = float(sec.get("coulomb14scale", "1"))
@@ -1188,6 +1264,73 @@ class ForceField:
                     for (per, phase, kk) in terms:
                         torsion_f.addTorsion(*quad, per, phase, kk)
 
+        harm_torsion_f = HarmonicTorsionForce()
+        if self.harmonic_improper:
+            import itertools
+            for c in range(n):
+                nbh = sorted(adj[c])
+                if len(nbh) < 3:
+                    continue
+                matched = None
+                for perm in itertools.permutations(nbh, 3):
+                    quad = (c,) + perm
+                    hit = match_torsion(
+                        self.harmonic_improper,
+                        tuple(types[x].klass for x in quad))
+                    if hit:
+                        matched = (quad, hit)
+                        break
+                if matched:
+                    quad, (th0, kk) = matched
+                    harm_torsion_f.addTorsion(*quad, th0, kk)
+
+        # CMAP (phi, psi) pairs: every path of five consecutively bonded
+        # atoms whose classes match a <Torsion> entry (forward or
+        # reversed; reversed matches add the atoms reversed so the
+        # asymmetric map keeps its (angle1, angle2) orientation)
+        cmap_f = CMAPTorsionForce()
+        if self.cmap_torsions:
+            map_rows: Dict[int, int] = {}
+            seen5 = set()
+            for (ba, bb) in bonds:
+                for (p2, p3) in ((ba, bb), (bb, ba)):
+                    for p1 in adj[p2]:
+                        if p1 == p3:
+                            continue
+                        for p4 in adj[p3]:
+                            if p4 in (p2, p1):
+                                continue
+                            for p5 in adj[p4]:
+                                if p5 in (p3, p2, p1):
+                                    continue
+                                quint = (p1, p2, p3, p4, p5)
+                                if quint in seen5 or quint[::-1] in seen5:
+                                    continue
+                                seen5.add(quint)
+                                cls = tuple(types[x].klass for x in quint)
+                                best = None
+                                best_wild = 6
+                                for key, mi in self.cmap_torsions:
+                                    for cand, atoms in ((cls, quint),
+                                                        (cls[::-1],
+                                                         quint[::-1])):
+                                        if all(kk == "" or kk == cc
+                                               for kk, cc in zip(key, cand)):
+                                            wild = sum(1 for kk in key
+                                                       if kk == "")
+                                            if wild < best_wild:
+                                                best = (mi, atoms)
+                                                best_wild = wild
+                                if best is not None:
+                                    mi, atoms = best
+                                    if mi not in map_rows:
+                                        size, vals = self.cmap_maps[mi]
+                                        map_rows[mi] = cmap_f.addMap(size,
+                                                                     vals)
+                                    cmap_f.addTorsion(map_rows[mi],
+                                                      *atoms[0:4],
+                                                      *atoms[1:5])
+
         # nonbonded ------------------------------------------------------------
         sig = np.ones(n)
         eps = np.zeros(n)
@@ -1330,6 +1473,10 @@ class ForceField:
             sys_.addForce(hangle_f)
         if torsion_f.getNumTorsions():
             sys_.addForce(torsion_f)
+        if harm_torsion_f.getNumTorsions():
+            sys_.addForce(harm_torsion_f)
+        if cmap_f.getNumTorsions():
+            sys_.addForce(cmap_f)
         if removeCMMotion:
             sys_.addForce(CMMotionRemover())
         return sys_

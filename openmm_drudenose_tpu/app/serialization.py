@@ -210,6 +210,30 @@ def _force_to_xml(f) -> ET.Element:
                 "periodicity": str(per), "phase": repr(ph), "k": repr(k)})
         return e
 
+    from ..forces.bonded import HarmonicTorsionForce
+    if isinstance(f, HarmonicTorsionForce):
+        e = ET.Element("Force", {"type": "HarmonicTorsionForce"})
+        for p1, p2, p3, p4, th0, k in f._torsions:
+            ET.SubElement(e, "Torsion", {
+                "p1": str(p1), "p2": str(p2), "p3": str(p3), "p4": str(p4),
+                "theta0": repr(th0), "k": repr(k)})
+        return e
+
+    from ..forces.cmap import CMAPTorsionForce
+    if isinstance(f, CMAPTorsionForce):
+        e = ET.Element("Force", {"type": "CMAPTorsionForce"})
+        maps = ET.SubElement(e, "Maps")
+        for size, energy in f._maps:
+            m = ET.SubElement(maps, "Map", {"size": str(size)})
+            m.text = " ".join(repr(float(v)) for v in energy)
+        tors = ET.SubElement(e, "Torsions")
+        for t in f._torsions:
+            ET.SubElement(tors, "Torsion", {
+                "map": str(t[0]),
+                **{f"a{i+1}": str(t[1 + i]) for i in range(4)},
+                **{f"b{i+1}": str(t[5 + i]) for i in range(4)}})
+        return e
+
     if isinstance(f, CMMotionRemover):
         return ET.Element("Force", {"type": "CMMotionRemover",
                                     "frequency": str(f.getFrequency())})
@@ -300,6 +324,27 @@ def _force_from_xml(e: ET.Element):
                          int(t.get("p3")), int(t.get("p4")),
                          int(t.get("periodicity")), float(t.get("phase")),
                          float(t.get("k")))
+        return f
+
+    if kind == "HarmonicTorsionForce":
+        from ..forces.bonded import HarmonicTorsionForce
+        f = HarmonicTorsionForce()
+        for t in e:
+            f.addTorsion(int(t.get("p1")), int(t.get("p2")),
+                         int(t.get("p3")), int(t.get("p4")),
+                         float(t.get("theta0")), float(t.get("k")))
+        return f
+
+    if kind == "CMAPTorsionForce":
+        from ..forces.cmap import CMAPTorsionForce
+        f = CMAPTorsionForce()
+        for m in e.find("Maps"):
+            size = int(m.get("size"))
+            f.addMap(size, [float(v) for v in (m.text or "").split()])
+        for t in e.find("Torsions"):
+            f.addTorsion(int(t.get("map")),
+                         *(int(t.get(f"a{i+1}")) for i in range(4)),
+                         *(int(t.get(f"b{i+1}")) for i in range(4)))
         return f
 
     if kind == "CMMotionRemover":

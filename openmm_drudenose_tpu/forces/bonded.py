@@ -157,3 +157,72 @@ class PeriodicTorsionForce:
                                                         - params["phase"])))
 
         return energy, params
+
+
+class HarmonicTorsionForce:
+    """Harmonic (CHARMM-improper-style) torsion: E = k * wrap(theta -
+    theta0)^2 with wrap into (-pi, pi] — the energy OpenMM's CHARMM ports
+    express through a CustomTorsionForce (app/forcefield.py ingests that
+    known shape onto this force).  k follows the CHARMM convention (no
+    1/2 factor).  The wrap's kink sits at |dtheta| = pi, half a turn from
+    the minimum — dynamically unreachable for a bound improper; gradients
+    there take the right-hand branch."""
+
+    def __init__(self):
+        self._torsions: List[Tuple[int, int, int, int, float, float]] = []
+
+    def addTorsion(self, p1, p2, p3, p4, theta0, k) -> int:
+        self._torsions.append((int(p1), int(p2), int(p3), int(p4),
+                               float(theta0), float(k)))
+        return len(self._torsions) - 1
+
+    def getNumTorsions(self) -> int:
+        return len(self._torsions)
+
+    def getTorsionParameters(self, index: int):
+        return self._torsions[index]
+
+    def setTorsionParameters(self, index, p1, p2, p3, p4, theta0, k):
+        self._torsions[index] = (int(p1), int(p2), int(p3), int(p4),
+                                 float(theta0), float(k))
+
+    def usesPeriodicBoundaryConditions(self) -> bool:
+        return False
+
+    def bonded_pairs(self):
+        out = []
+        for t in self._torsions:
+            out.append((t[0], t[1]))
+            out.append((t[1], t[2]))
+            out.append((t[2], t[3]))
+        return out
+
+    def compile(self, system, dtype):
+        if not self._torsions:
+            return None, None
+        arr = np.array(self._torsions, np.float64)
+        params = {
+            "i": jnp.asarray(arr[:, 0].astype(np.int32)),
+            "j": jnp.asarray(arr[:, 1].astype(np.int32)),
+            "k_": jnp.asarray(arr[:, 2].astype(np.int32)),
+            "l": jnp.asarray(arr[:, 3].astype(np.int32)),
+            "theta0": jnp.asarray(arr[:, 4], dtype),
+            "k": jnp.asarray(arr[:, 5], dtype),
+        }
+
+        def energy(params, positions, box):
+            b1 = positions[params["j"]] - positions[params["i"]]
+            b2 = positions[params["k_"]] - positions[params["j"]]
+            b3 = positions[params["l"]] - positions[params["k_"]]
+            c1 = jnp.cross(b1, b2)
+            c2 = jnp.cross(b2, b3)
+            p1 = jnp.sum(c1 * c2, axis=-1)
+            p2 = jnp.sum(jnp.cross(c1, b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True))
+                         * c2, axis=-1)
+            phi = jnp.arctan2(p2, p1)
+            d = phi - params["theta0"]
+            two_pi = 2.0 * jnp.pi
+            d = d - two_pi * jnp.round(d / two_pi)
+            return jnp.sum(params["k"] * d * d)
+
+        return energy, params

@@ -127,6 +127,27 @@ def _replicate_force(f, R: int, n0: int):
                 g.addTorsion(p1 + o, p2 + o, p3 + o, p4 + o, per, ph, k)
         return g
 
+    from ..forces.bonded import HarmonicTorsionForce
+    if isinstance(f, HarmonicTorsionForce):
+        g = HarmonicTorsionForce()
+        for r in range(R):
+            o = r * n0
+            for i in range(f.getNumTorsions()):
+                p1, p2, p3, p4, th0, k = f.getTorsionParameters(i)
+                g.addTorsion(p1 + o, p2 + o, p3 + o, p4 + o, th0, k)
+        return g
+
+    from ..forces.cmap import CMAPTorsionForce
+    if isinstance(f, CMAPTorsionForce):
+        g = CMAPTorsionForce()
+        for (size, energy) in f._maps:
+            g.addMap(size, energy)
+        for r in range(R):
+            o = r * n0
+            for t in f._torsions:
+                g.addTorsion(t[0], *(x + o for x in t[1:]))
+        return g
+
     if isinstance(f, CMMotionRemover):
         return CMMotionRemover(f.getFrequency())
 
