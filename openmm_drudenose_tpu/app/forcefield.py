@@ -73,13 +73,17 @@ Design notes / divergences from OpenMM, stated explicitly:
     fallback on already-complete topologies).  The graph fallback matches
     core (non-Drude, non-virtual-site) atoms — inputs that already
     contain Drudes/vsites must name them as the template does.
-  * Patches are applied single-residue (``residues="1"``; multi-residue
-    patches like disulfide bridges raise).  When no unpatched template
-    matches, every allowed (template, patch) combination — via the
-    patch's <ApplyToResidue> or the residue's <AllowPatch> — is tried,
-    including STACKS of up to two patches per residue (both application
-    orders, structurally deduplicated; OpenMM tries arbitrary-depth
-    stacks).
+  * When no unpatched template matches, every allowed (template, patch)
+    combination — via the patch's <ApplyToResidue> or the residue's
+    <AllowPatch> — is tried, including STACKS of up to two patches per
+    residue (both application orders, structurally deduplicated; OpenMM
+    tries arbitrary-depth stacks).  ``residues="2"`` patches (disulfide
+    class, '1:'/'2:'-prefixed names) split into per-residue part
+    patches that flow through the same matching; their cross-residue
+    AddBonds apply after matching by pairing part-1 with part-2
+    residues (nearest cross-bond-atom distance when positions are
+    available; symmetric parts pair within the shared pool).
+    ``residues>=3`` raises.
   * Exclusions use OpenMM's excludeAtomWith semantics: Drudes and virtual
     sites anchor to their parent atom; anchor pairs at bond distance 1-2
     are fully excluded, distance 3 gets 1-4 exceptions scaled by
@@ -322,6 +326,9 @@ class ForceField:
         self.nbfix: List[Tuple[str, str, float, float]] = []
         self.drude_defs: List[_DrudeDef] = []
         self.nbthole_defs: List[Tuple[str, str, float]] = []
+        # residues="2" patches: name -> cross-residue bonds
+        # [(part1_atom, part2_atom)]
+        self.multipatch_cross: Dict[str, List[Tuple[str, str]]] = {}
         self._ignore = set(ignore_tags)
         for f in files:
             self._load(f)
@@ -449,40 +456,110 @@ class ForceField:
             if pel.tag != "Patch":
                 continue
             name = pel.get("name")
-            if int(pel.get("residues", "1")) != 1:
+            n_res = int(pel.get("residues", "1"))
+            if n_res == 1:
+                self.patches[name] = self._parse_one_patch(pel, name)
+            elif n_res == 2:
+                self._parse_two_residue_patch(pel, name)
+            else:
                 raise ForceFieldError(
-                    f"patch {name!r}: multi-residue patches are not "
-                    "supported (residues=\"1\" only)")
-            p = _Patch(name, [], [], [], [], [], [], [], [], [])
-            for el in pel:
-                if el.tag == "AddAtom":
-                    p.add_atoms.append(_TemplateAtom(
-                        el.get("name"), el.get("type"),
-                        float(el.get("charge", "0"))))
-                elif el.tag == "ChangeAtom":
-                    p.change_atoms.append(_TemplateAtom(
-                        el.get("name"), el.get("type"),
-                        float(el.get("charge", "0"))))
-                elif el.tag == "RemoveAtom":
-                    p.remove_atoms.append(el.get("name"))
+                    f"patch {name!r}: residues=\"{n_res}\" is not "
+                    "supported (1 or 2 only)")
+
+    def _parse_one_patch(self, pel, name: str) -> "_Patch":
+        p = _Patch(name, [], [], [], [], [], [], [], [], [])
+        for el in pel:
+            if el.tag == "AddAtom":
+                p.add_atoms.append(_TemplateAtom(
+                    el.get("name"), el.get("type"),
+                    float(el.get("charge", "0"))))
+            elif el.tag == "ChangeAtom":
+                p.change_atoms.append(_TemplateAtom(
+                    el.get("name"), el.get("type"),
+                    float(el.get("charge", "0"))))
+            elif el.tag == "RemoveAtom":
+                p.remove_atoms.append(el.get("name"))
+            elif el.tag == "AddBond":
+                p.add_bonds.append((el.get("atomName1"),
+                                    el.get("atomName2")))
+            elif el.tag == "RemoveBond":
+                p.remove_bonds.append((el.get("atomName1"),
+                                       el.get("atomName2")))
+            elif el.tag == "AddExternalBond":
+                p.add_external.append(el.get("atomName"))
+            elif el.tag == "RemoveExternalBond":
+                p.remove_external.append(el.get("atomName"))
+            elif el.tag == "VirtualSite":
+                p.vsite_elems.append(el)
+            elif el.tag == "ApplyToResidue":
+                p.apply_to.append(el.get("name"))
+            else:
+                raise ForceFieldError(
+                    f"patch {name!r}: unsupported tag <{el.tag}>")
+        return p
+
+    def _parse_two_residue_patch(self, pel, name: str) -> None:
+        """A residues=\"2\" <Patch> (OpenMM's disulfide-class patches):
+        atom names carry '1:'/'2:' prefixes selecting the residue copy.
+        Split into two single-residue part-patches '<name>#1'/'<name>#2'
+        that flow through the ordinary patched-template matching, plus
+        the CROSS-residue AddBonds, which createSystem applies after
+        matching by pairing part-1 with part-2 residues (nearest
+        cross-bond-atom distance when positions are available)."""
+        parts = [_Patch(f"{name}#1", [], [], [], [], [], [], [], [], []),
+                 _Patch(f"{name}#2", [], [], [], [], [], [], [], [], [])]
+        cross: List[Tuple[str, str]] = []
+
+        def split(nm):
+            if nm is None or len(nm) < 3 or nm[1] != ":" or \
+                    nm[0] not in "12":
+                raise ForceFieldError(
+                    f"patch {name!r}: atom name {nm!r} must be prefixed "
+                    "'1:' or '2:' in a residues=\"2\" patch")
+            return int(nm[0]) - 1, nm[2:]
+
+        for el in pel:
+            if el.tag in ("AddAtom", "ChangeAtom"):
+                k, nm = split(el.get("name"))
+                dest = (parts[k].add_atoms if el.tag == "AddAtom"
+                        else parts[k].change_atoms)
+                dest.append(_TemplateAtom(nm, el.get("type"),
+                                          float(el.get("charge", "0"))))
+            elif el.tag == "RemoveAtom":
+                k, nm = split(el.get("name"))
+                parts[k].remove_atoms.append(nm)
+            elif el.tag in ("AddBond", "RemoveBond"):
+                k1, n1 = split(el.get("atomName1"))
+                k2, n2 = split(el.get("atomName2"))
+                if k1 == k2:
+                    dest = (parts[k1].add_bonds if el.tag == "AddBond"
+                            else parts[k1].remove_bonds)
+                    dest.append((n1, n2))
                 elif el.tag == "AddBond":
-                    p.add_bonds.append((el.get("atomName1"),
-                                        el.get("atomName2")))
-                elif el.tag == "RemoveBond":
-                    p.remove_bonds.append((el.get("atomName1"),
-                                           el.get("atomName2")))
-                elif el.tag == "AddExternalBond":
-                    p.add_external.append(el.get("atomName"))
-                elif el.tag == "RemoveExternalBond":
-                    p.remove_external.append(el.get("atomName"))
-                elif el.tag == "VirtualSite":
-                    p.vsite_elems.append(el)
-                elif el.tag == "ApplyToResidue":
-                    p.apply_to.append(el.get("name"))
+                    cross.append((n1, n2) if k1 == 0 else (n2, n1))
                 else:
                     raise ForceFieldError(
-                        f"patch {name!r}: unsupported tag <{el.tag}>")
-            self.patches[name] = p
+                        f"patch {name!r}: cross-residue RemoveBond is "
+                        "not supported")
+            elif el.tag in ("AddExternalBond", "RemoveExternalBond"):
+                k, nm = split(el.get("atomName"))
+                dest = (parts[k].add_external
+                        if el.tag == "AddExternalBond"
+                        else parts[k].remove_external)
+                dest.append(nm)
+            elif el.tag == "ApplyToResidue":
+                k, nm = split(el.get("name"))
+                parts[k].apply_to.append(nm)
+            elif el.tag == "VirtualSite":
+                raise ForceFieldError(
+                    f"patch {name!r}: VirtualSite in a residues=\"2\" "
+                    "patch is not supported")
+            else:
+                raise ForceFieldError(
+                    f"patch {name!r}: unsupported tag <{el.tag}>")
+        for p in parts:
+            self.patches[p.name] = p
+        self.multipatch_cross[name] = cross
 
     def _patched_template(self, tmpl: _Template,
                           patch: _Patch) -> Optional[_Template]:
@@ -553,7 +630,9 @@ class ForceField:
         base = tmpl.name
         out = []
         for p in self.patches.values():
-            if base in p.apply_to or p.name in tmpl.allow_patches:
+            base_name = p.name.split("#")[0]   # residues="2" part patches
+            if (base in p.apply_to or p.name in tmpl.allow_patches
+                    or base_name in tmpl.allow_patches):
                 out.append(p)
         return out
 
@@ -900,9 +979,16 @@ class ForceField:
             for patch in allowed:
                 pt = self._patched_template(tmpl, patch)
                 if pt is not None:
+                    key = self._template_key(pt)
+                    if key in seen:
+                        # e.g. the two parts of a SYMMETRIC residues="2"
+                        # patch produce identical templates; keeping one
+                        # avoids a spurious ambiguity (createSystem pairs
+                        # such residues within the shared-part pool)
+                        continue
                     singles.append((patch, pt))
                     out.append(pt)
-                    seen.add(self._template_key(pt))
+                    seen.add(key)
             # two-patch stacks (OpenMM tries patch stacks; pairs cover the
             # termination + modification combinations).  Both application
             # orders are tried — patches can be order-dependent — and
@@ -1080,6 +1166,76 @@ class ForceField:
             while prev_ext and ext:
                 bonds.append((prev_ext.pop(), ext.pop(0)))
             prev_ext = ext
+
+        # residues="2" patch CROSS bonds (disulfide class): pair part-1
+        # with part-2 residues; symmetric patches (whose parts collapse
+        # to one template) pair within the shared pool.  Multiple
+        # candidate pairs disambiguate by nearest cross-bond-atom
+        # distance, which needs positions.
+        def _pg(ri_, nm):
+            return map_of[ri_][tmpl_of[ri_].atom_index(nm)]
+
+        for pname, cross in self.multipatch_cross.items():
+            if not cross:
+                continue
+            r1 = [ri for ri, t in enumerate(tmpl_of)
+                  if f"-{pname}#1" in t.name]
+            r2 = [ri for ri, t in enumerate(tmpl_of)
+                  if f"-{pname}#2" in t.name]
+            if not r1 and not r2:
+                continue
+            if not r2:
+                # symmetric-part pool: any two members bond to each other
+                if len(r1) % 2:
+                    raise ForceFieldError(
+                        f"patch {pname!r}: odd number of patched "
+                        f"residues ({len(r1)}) cannot pair")
+                if any(n1 != n2 for (n1, n2) in cross):
+                    raise ForceFieldError(
+                        f"patch {pname!r}: asymmetric cross bonds with "
+                        "a symmetric part pool")
+                pool, r1, r2 = list(r1), [], []
+                half = True
+            else:
+                pool = None
+                half = False
+                if len(r1) != len(r2):
+                    raise ForceFieldError(
+                        f"patch {pname!r}: {len(r1)} part-1 vs "
+                        f"{len(r2)} part-2 residues cannot pair")
+            a1n, a2n = cross[0]
+            if half:
+                cand_pairs = [(a, b) for i, a in enumerate(pool)
+                              for b in pool[i + 1:]]
+                need = len(pool) // 2
+            else:
+                cand_pairs = [(a, b) for a in r1 for b in r2]
+                need = len(r1)
+            if need == 1 and len(cand_pairs) == 1:
+                pairs = cand_pairs
+            elif pos_arr is None:
+                raise ForceFieldError(
+                    f"patch {pname!r}: multiple candidate residue pairs "
+                    "need positions= to disambiguate by distance")
+            else:
+                scored = sorted(
+                    (float(np.linalg.norm(pos_arr[_pg(a, a1n)]
+                                          - pos_arr[_pg(b, a2n)])), a, b)
+                    for (a, b) in cand_pairs)
+                used: set = set()
+                pairs = []
+                for _, a, b in scored:
+                    if a in used or b in used:
+                        continue
+                    pairs.append((a, b))
+                    used.update((a, b))
+                if len(pairs) != need:
+                    raise ForceFieldError(
+                        f"patch {pname!r}: could not pair all patched "
+                        "residues")
+            for (a, b) in pairs:
+                for (n1, n2) in cross:
+                    bonds.append((_pg(a, n1), _pg(b, n2)))
 
         # virtual sites + drude identification --------------------------------
         vsite_sites = set()

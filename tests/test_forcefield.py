@@ -543,3 +543,121 @@ def test_patch_stack_ingestion(tmp_path):
     dr = _force_of(system, dn.DrudeForce)
     assert dr.getNumParticles() == 3
     assert system.getNumConstraints() == 6
+
+
+_DISU_XML = """<?xml version="1.0" encoding="utf-8"?>
+<ForceField>
+  <AtomTypes>
+    <Type name="tC" class="CT" element="C" mass="12.011"/>
+    <Type name="tS" class="ST" element="S" mass="32.06"/>
+    <Type name="tSS" class="SS" element="S" mass="32.06"/>
+    <Type name="tH" class="HT" element="H" mass="1.008"/>
+  </AtomTypes>
+  <Residues>
+    <Residue name="THL">
+      <Atom name="C1" type="tC" charge="0.0"/>
+      <Atom name="S1" type="tS" charge="-0.1"/>
+      <Atom name="HS1" type="tH" charge="0.1"/>
+      <Bond atomName1="C1" atomName2="S1"/>
+      <Bond atomName1="S1" atomName2="HS1"/>
+      <AllowPatch name="DISU"/>
+    </Residue>
+  </Residues>
+  <Patches>
+    <Patch name="DISU" residues="2">
+      <RemoveAtom name="1:HS1"/>
+      <RemoveAtom name="2:HS1"/>
+      <ChangeAtom name="1:S1" type="tSS" charge="-0.05"/>
+      <ChangeAtom name="2:S1" type="tSS" charge="-0.05"/>
+      <AddBond atomName1="1:S1" atomName2="2:S1"/>
+    </Patch>
+  </Patches>
+  <HarmonicBondForce>
+    <Bond class1="CT" class2="ST" length="0.18" k="200000"/>
+    <Bond class1="ST" class2="HT" length="0.135" k="250000"/>
+    <Bond class1="CT" class2="SS" length="0.18" k="200000"/>
+    <Bond class1="SS" class2="SS" length="0.204" k="150000"/>
+  </HarmonicBondForce>
+  <HarmonicAngleForce>
+    <Angle class1="CT" class2="ST" class3="HT" angle="1.65" k="300"/>
+    <Angle class1="CT" class2="SS" class3="SS" angle="1.78" k="350"/>
+  </HarmonicAngleForce>
+  <NonbondedForce coulomb14scale="1.0" lj14scale="1.0">
+    <Atom type="tC" charge="0.0" sigma="0.35" epsilon="0.3"/>
+    <Atom type="tS" charge="-0.1" sigma="0.36" epsilon="0.4"/>
+    <Atom type="tSS" charge="-0.05" sigma="0.36" epsilon="0.4"/>
+    <Atom type="tH" charge="0.1" sigma="0.2" epsilon="0.1"/>
+  </NonbondedForce>
+</ForceField>
+"""
+
+
+def _thl_topology(n_residues):
+    atoms = []
+    serial = 1
+    for r in range(n_residues):
+        for nm, el in (("C1", "C"), ("S1", "S")):
+            atoms.append(pdbfile.PDBAtom(serial, nm, "THL", "A", r + 1, el))
+            serial += 1
+    return pdbfile.PDBTopology(atoms)
+
+
+def test_two_residue_patch_single_pair(tmp_path):
+    """A residues="2" (disulfide-class) patch: two bare THL residues
+    match the patch parts and gain the cross-residue S-S bond."""
+    out = tmp_path / "disu.xml"
+    out.write_text(_DISU_XML)
+    ff = ffmod.ForceField(str(out))
+    system = ff.createSystem(_thl_topology(2), nonbondedMethod=ffmod.NoCutoff,
+                             constraints=None, removeCMMotion=False)
+    assert system.getNumParticles() == 4
+    hb = _force_of(system, dn.HarmonicBondForce)
+    bonds = {tuple(sorted(hb.getBondParameters(i)[:2]))
+             for i in range(hb.getNumBonds())}
+    assert (1, 3) in bonds            # the cross S-S bond
+    ss = [hb.getBondParameters(i) for i in range(hb.getNumBonds())
+          if tuple(sorted(hb.getBondParameters(i)[:2])) == (1, 3)][0]
+    assert ss[2] == pytest.approx(0.204) and ss[3] == pytest.approx(150000.0)
+    ha = _force_of(system, dn.HarmonicAngleForce)
+    # C1-S1-S2 on both sides of the bridge
+    angles = {tuple(ha.getAngleParameters(i)[:3])
+              for i in range(ha.getNumAngles())}
+    assert len(angles) == 2
+    nb = _force_of(system, dn.NonbondedForce)
+    assert nb.getParticleParameters(1)[0] == pytest.approx(-0.05)
+    # exclusions span the bridge: S1-S2 bonded (1-2), C1-S2 1-3, C1-C2 1-4
+    exc = {tuple(sorted(nb.getExceptionParameters(i)[:2]))
+           for i in range(nb.getNumExceptions())}
+    assert {(1, 3), (0, 3), (0, 2)} <= exc
+
+
+def test_two_residue_patch_distance_pairing(tmp_path):
+    """Four patched residues pair by nearest cross-bond-atom distance."""
+    out = tmp_path / "disu.xml"
+    out.write_text(_DISU_XML)
+    ff = ffmod.ForceField(str(out))
+    # S atoms at indices 1, 3, 5, 7; place so pairs are (0, 3) and (1, 2)
+    pos = np.array([
+        [0.0, 0.0, 0.0], [0.2, 0.0, 0.0],     # res 0: S near x=0.2
+        [2.0, 0.0, 0.0], [1.8, 0.0, 0.0],     # res 1: S near x=1.8
+        [1.4, 0.0, 0.0], [1.6, 0.0, 0.0],     # res 2: S near x=1.6
+        [0.6, 0.0, 0.0], [0.4, 0.0, 0.0],     # res 3: S near x=0.4
+    ])
+    system = ff.createSystem(_thl_topology(4), nonbondedMethod=ffmod.NoCutoff,
+                             constraints=None, removeCMMotion=False,
+                             positions=pos)
+    hb = _force_of(system, dn.HarmonicBondForce)
+    bonds = {tuple(sorted(hb.getBondParameters(i)[:2]))
+             for i in range(hb.getNumBonds())}
+    assert (1, 7) in bonds and (3, 5) in bonds
+    assert (1, 3) not in bonds and (5, 7) not in bonds
+
+
+def test_two_residue_patch_odd_count_raises(tmp_path):
+    out = tmp_path / "disu.xml"
+    out.write_text(_DISU_XML)
+    ff = ffmod.ForceField(str(out))
+    with pytest.raises(ffmod.ForceFieldError, match="odd"):
+        ff.createSystem(_thl_topology(3), nonbondedMethod=ffmod.NoCutoff,
+                        constraints=None, removeCMMotion=False,
+                        positions=np.zeros((6, 3)))
