@@ -829,6 +829,11 @@ class NonbondedForce:
             default_pallas = 2 if jax.default_backend() == "tpu" else 0
             up = nb_kwargs.get("use_pallas", default_pallas)
             use_pallas_sweep = up in (2, 3)
+            if cp_cfg.triclinic and use_pallas_sweep and up != 3 \
+                    and not nb_kwargs.get("pallas_triclinic", True):
+                # escape hatch: nb_options {"pallas_triclinic": 0} falls
+                # triclinic boxes back to the XLA sweep
+                use_pallas_sweep = False
             pallas_chunk = None
             if use_pallas_sweep:
                 from ..ops import pallas_sweep
@@ -903,6 +908,8 @@ class NonbondedForce:
             energy.needs_neighbors = True
             energy.cellpair_cfg = cp_cfg
             energy.mi_box_full = is_tri
+            energy.uses_pallas = bool(use_pallas_sweep)
+            energy.pallas_chunk = pallas_chunk
             energy.pallas_excl_skip = pallas_excl_skip
             energy.nbl_cutoff = cutoff
             energy.nbl_exclusions = (exc_i, exc_j)

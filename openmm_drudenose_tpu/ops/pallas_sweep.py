@@ -64,10 +64,12 @@ def supports(cfg, dtype) -> bool:
     lay_stride = -(-2 * n_yz // 128) * 128
     fr_stride = -(-n_yz // 128) * 128
     vmem = 4 * cfg.capacity * n_lay * (8 * lay_stride + 2 * 3 * fr_stride)
-    # triclinic configs: the kernel's layer DMA layout assumes
-    # axis-aligned cells; the XLA sweep handles triclinic instead
+    # triclinic configs ride the SAME kernel: geometry enters only
+    # through the cell-local field construction and the per-offset shift
+    # (o/g) @ box — both handled by _centers_and_hvec; the layer DMA /
+    # wrap machinery is pure index space (validated on chip vs CPU f64,
+    # scripts/check_triclinic_tpu.py --pallas)
     return (HAVE_PALLAS and cfg.regular and cfg.half_stencil
-            and not getattr(cfg, "triclinic", False)
             and cfg.excl_words == 1 and 2 * cfg.excl_window + 1 <= 31
             and dtype == jnp.float32
             and px >= 2 * cfg.window[0] + 1
@@ -76,6 +78,34 @@ def supports(cfg, dtype) -> bool:
             # 128-lane tile ("dynamic load with unaligned indices"); the
             # (y,z) plane is the kernel's lane axis
             and n_yz >= 128)
+
+
+def _centers_and_hvec(cfg, box_diag, c3, dtype):
+    """Cell centers (3 x (n_cells,)) and the 6-scalar cell-vector pack
+    [hax, hby, hcz, hbx, hcx, hcy] = rows(box)/grid in OpenMM's reduced
+    row-vector form.  The per-offset pair shift is then the static linear
+    combination tx = ox*hax + oy*hbx + oz*hcx, ty = oy*hby + oz*hcy,
+    tz = oz*hcz — orthorhombic boxes zero the off-diagonals, so ONE
+    kernel serves both geometries.  Centers are computed ELEMENTWISE
+    (boxutils.rows_combo_elem): a (n,3)@(3,3) matmul here would hit the
+    TPU bf16 dot_general default and misbin atoms (CLAUDE.md)."""
+    from ..forces import cellpair as cp  # noqa: F401 (doc cross-ref)
+    g_inv = 1.0 / np.asarray(cfg.phys_grid, np.float64)
+    if getattr(cfg, "triclinic", False):
+        from ..forces.boxutils import rows_combo_elem
+        c3f = jnp.asarray((c3 * g_inv).T, dtype)            # (3, nc)
+        cen = rows_combo_elem(c3f, box_diag)                # (3, nc)
+        centers_d = [cen[d] for d in range(3)]
+        H = box_diag.astype(dtype) * jnp.asarray(g_inv, dtype)[:, None]
+        hvec = jnp.stack([H[0, 0], H[1, 1], H[2, 2],
+                          H[1, 0], H[2, 0], H[2, 1]])
+    else:
+        h = box_diag.astype(dtype) / jnp.asarray(
+            np.array(cfg.phys_grid), dtype)
+        centers_d = [jnp.asarray(c3[:, d], dtype) * h[d] for d in range(3)]
+        zero = jnp.zeros((), dtype)
+        hvec = jnp.stack([h[0], h[1], h[2], zero, zero, zero])
+    return centers_d, hvec
 
 
 def _make_pair_g(method, cutoff, alpha=0.0, krf=0.0, crf=0.0):
@@ -152,8 +182,8 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
     # cell centers / cell size in the PER-REPLICA frame (phys == grid for
     # plain systems; embedded ensembles repeat per-replica centers per band)
-    h = box_diag.astype(dtype) / jnp.asarray(np.array(cfg.phys_grid), dtype)
     c3 = cp._local_c3(cfg) + 0.5
+    centers_d, hvec = _centers_and_hvec(cfg, box_diag, c3, dtype)
     px = cfg.x_period or gx        # x-band layer-wrap period
     pz = cfg.z_period or gz        # in-layer z-wrap period
 
@@ -167,8 +197,7 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
 
     fields = []
     for d, k in enumerate("xyz"):
-        centers = jnp.asarray(c3[:, d], dtype) * h[d]
-        fields.append(layer_double((blocks[k] - centers[:, None]).T))
+        fields.append(layer_double((blocks[k] - centers_d[d][:, None]).T))
     fields.append(layer_double(blocks["q"].T))
     fields.append(layer_double(blocks["sig"].T))
     fields.append(layer_double(jnp.sqrt(blocks["eps"]).T))
@@ -193,7 +222,6 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
     lay_idx = ((_lx[:, None] // px) * px
                + (_lx[:, None] % px + np.arange(-w, w + 1)[None]) % px
                ).astype(np.int32)                            # (gx, n_lay)
-    hvec = jnp.asarray([h[0], h[1], h[2]], dtype)
     cutoff2 = cfg.cutoff * cfg.cutoff
 
     # per-LAYER slot-loop bounds: pad slots fill from the top, so slots
@@ -253,6 +281,9 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
         hx = hvec_ref[0]
         hy = hvec_ref[1]
         hz = hvec_ref[2]
+        hbx = hvec_ref[3]   # triclinic tilts (0 for orthorhombic)
+        hcx = hvec_ref[4]
+        hcy = hvec_ref[5]
 
         freact_ref[0, :, :] = jnp.zeros((3 * C, n_lay * fr_stride), dtype)
 
@@ -293,8 +324,12 @@ def pair_forces_pallas(params, positions, box_diag, cellsort, cfg,
         for oi in range(1, n_off):
             ox, oy, oz = (int(offsets[oi, 0]), int(offsets[oi, 1]),
                           int(offsets[oi, 2]))
-            tx = ox * hx
-            ty = oy * hy
+            # minimum-image shift between cells o apart = (o/g) @ box:
+            # exact across wraps (a full lattice vector IS the image
+            # correction), so one static linear combination per offset
+            # serves orthorhombic and triclinic alike
+            tx = ox * hx + oy * hbx + oz * hcx
+            ty = oy * hy + oz * hcy
             tz = oz * hz
             lcol = (ox + w) * lay_stride
             # forward view: src(l) = l + d0 (+-gz where cz+oz wraps),
@@ -472,7 +507,6 @@ def choose_chunk(cfg, dtype, force=False):
         return None
     px = getattr(cfg, "x_period", 0) or cfg.grid[0]
     if not (cfg.regular and cfg.half_stencil and cfg.excl_words == 1
-            and not getattr(cfg, "triclinic", False)
             and 2 * cfg.excl_window + 1 <= 31
             and px >= 2 * cfg.window[0] + 1):
         return None
@@ -580,8 +614,8 @@ def pair_forces_pallas_chunked(params, positions, box_diag, cellsort, cfg,
     s = cp._sorted_arrays(params, positions, cellsort, cfg, n,
                           box_diag=box_diag)
     blocks = {k: v.reshape(n_cells, C) for k, v in s.items()}
-    h = box_diag.astype(dtype) / jnp.asarray(np.array(cfg.phys_grid), dtype)
     c3 = cp._local_c3(cfg) + 0.5
+    centers_d, hvec = _centers_and_hvec(cfg, box_diag, c3, dtype)
     row_starts = [((j * cy - wy - 1) % gy) for j in range(n_chunk)]
 
     def chunked(ft):
@@ -598,8 +632,7 @@ def pair_forces_pallas_chunked(params, positions, box_diag, cellsort, cfg,
 
     fields = []
     for d, k in enumerate("xyz"):
-        centers = jnp.asarray(c3[:, d], dtype) * h[d]
-        fields.append(chunked((blocks[k] - centers[:, None]).T))
+        fields.append(chunked((blocks[k] - centers_d[d][:, None]).T))
     fields.append(chunked(blocks["q"].T))
     fields.append(chunked(blocks["sig"].T))
     fields.append(chunked(jnp.sqrt(blocks["eps"]).T))
@@ -613,7 +646,6 @@ def pair_forces_pallas_chunked(params, positions, box_diag, cellsort, cfg,
     lay_idx = ((_lx[:, None] // px) * px
                + (_lx[:, None] % px + np.arange(-wx, wx + 1)[None]) % px
                ).astype(np.int32)                            # (gx, n_lay)
-    hvec = jnp.asarray([h[0], h[1], h[2]], dtype)
     cutoff2 = cfg.cutoff * cfg.cutoff
 
     # per-(layer, chunk) slot-loop bounds over the chunk's b rows (+halo)
@@ -675,6 +707,9 @@ def pair_forces_pallas_chunked(params, positions, box_diag, cellsort, cfg,
         hx = hvec_ref[0]
         hy = hvec_ref[1]
         hz = hvec_ref[2]
+        hbx = hvec_ref[3]   # triclinic tilts (0 for orthorhombic)
+        hcx = hvec_ref[4]
+        hcy = hvec_ref[5]
 
         freact_ref[0, 0, :, :] = jnp.zeros((3 * C, n_lay * fr_stride), dtype)
 
@@ -713,8 +748,12 @@ def pair_forces_pallas_chunked(params, positions, box_diag, cellsort, cfg,
         for oi in range(1, n_off):
             ox, oy, oz = (int(offsets[oi, 0]), int(offsets[oi, 1]),
                           int(offsets[oi, 2]))
-            tx = ox * hx
-            ty = oy * hy
+            # minimum-image shift between cells o apart = (o/g) @ box:
+            # exact across wraps (a full lattice vector IS the image
+            # correction), so one static linear combination per offset
+            # serves orthorhombic and triclinic alike
+            tx = ox * hx + oy * hbx + oz * hcx
+            ty = oy * hy + oz * hcy
             tz = oz * hz
             lcol = (ox + wx) * ch_stride
             # forward view: b rows sit oy slab rows up at z + oz, with the

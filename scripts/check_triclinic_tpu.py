@@ -5,8 +5,11 @@ Two parts (one process, batched per CLAUDE.md TPU-tunnel discipline):
   1. parity: TPU f32 triclinic-cellpair forces vs CPU f64 ground truth on
      identical positions (subprocess computes the f64 reference) — guards
     the bf16-matmul class of silent corruption on the new code path.
-  2. timing: ms/step of a 100k-atom sheared SWM4 water box (XLA sweep;
-     the Pallas kernel is orthorhombic-only and disengages).
+  2. timing: ms/step of a 100k-atom sheared SWM4 water box (round 4:
+     the Pallas kernel rides the same code path as orthorhombic boxes —
+     geometry enters only through _centers_and_hvec — so this times the
+     kernel when supports() engages it; pass nb_options use_pallas=0 to
+     time the XLA fallback).
 
 Usage: python scripts/check_triclinic_tpu.py [--atoms 100000] [--parity-atoms 10240]
 """
@@ -92,6 +95,9 @@ def main():
     system, positions, integ = build(n_mol_p)
     ctx = dn.Context(system, integ, precision="single", strategy="cellpair")
     assert ctx._cp_cfg is not None and ctx._cp_cfg.triclinic
+    nbf = next(t[0] for t in ctx._terms if hasattr(t[0], "cellpair_cfg"))
+    log(f"parity ctx: uses_pallas={getattr(nbf, 'uses_pallas', None)} "
+        f"chunk={getattr(nbf, 'pallas_chunk', None)}")
     ctx.setPositions(positions)
     st = ctx.getState(forces=True, energy=True)
     f32 = np.asarray(st.getForces())
@@ -111,6 +117,9 @@ def main():
     ctx2 = dn.Context(system2, integ2, precision="single",
                       strategy="cellpair")
     assert ctx2._cp_cfg.triclinic
+    nbf2 = next(t[0] for t in ctx2._terms if hasattr(t[0], "cellpair_cfg"))
+    log(f"timing ctx: uses_pallas={getattr(nbf2, 'uses_pallas', None)} "
+        f"chunk={getattr(nbf2, 'pallas_chunk', None)}")
     ctx2.setPositions(positions2)
     ctx2.setVelocitiesToTemperature(300.0, seed=0)
     interval = ctx2._rebuild_interval

@@ -74,31 +74,47 @@ def main():
     nkbt = np.asarray(spec.nh_nkbt, np.float64)
     dof = nkbt / BOLTZ / np.array([300.0, 300.0, 1.0])
 
+    def report(temps_arr):
+        """OLS drift per bath with standard errors (partial-safe)."""
+        m = len(temps_arr)
+        t = np.arange(m) / 1000.0  # ns
+        print(f"\n[{m} ps] per-bath means:",
+              temps_arr.mean(axis=0).round(4), " targets [300, 300, 1]",
+              flush=True)
+        if m < 10:
+            return
+        for g, name in enumerate(["internal", "COM", "Drude"]):
+            A = np.vstack([t, np.ones_like(t)]).T
+            coef, res, *_ = np.linalg.lstsq(A, temps_arr[:, g], rcond=None)
+            resid = temps_arr[:, g] - A @ coef
+            se = np.sqrt(np.sum(resid**2) / (m - 2)
+                         / np.sum((t - t.mean())**2))
+            print(f"{name:9s}: drift {coef[0]:+8.3f} +- {se:.3f} K/ns  "
+                  f"mean {temps_arr[:, g].mean():.4f} K", flush=True)
+
+    # stream samples so a partial run still yields a full analysis
+    csv_path = os.environ.get("DRIFT_CSV", "/tmp/drift_samples.csv")
     n_ps = int(args.ns * 1000)
     t0 = time.time()
     temps = []
-    for k in range(n_ps):
-        integ.step(1000)  # 1 ps
-        two_ke = np.asarray(ctx._state.group_ke, np.float64)
-        temps.append(two_ke / (dof * BOLTZ))
-        if (k + 1) % 50 == 0:
-            el = time.time() - t0
-            rate = (k + 1) / el * 86.4  # ns/day
-            print(f"{k+1} ps  T = {np.mean(temps[-50:], axis=0).round(3)}"
-                  f"  ({el:.0f}s, {rate:.2f} ns/day)")
+    with open(csv_path, "w") as csv:
+        csv.write("# ps, T_internal, T_COM, T_Drude\n")
+        for k in range(n_ps):
+            integ.step(1000)  # 1 ps
+            two_ke = np.asarray(ctx._state.group_ke, np.float64)
+            temps.append(two_ke / (dof * BOLTZ))
+            csv.write(f"{k + 1}, " + ", ".join(
+                f"{v:.6f}" for v in temps[-1]) + "\n")
+            csv.flush()
+            if (k + 1) % 25 == 0:
+                el = time.time() - t0
+                rate = (k + 1) / el * 86.4  # ns/day
+                print(f"{k+1} ps  T = "
+                      f"{np.mean(temps[-25:], axis=0).round(3)}"
+                      f"  ({el:.0f}s, {rate:.2f} ns/day)", flush=True)
+                report(np.array(temps))
 
-    temps = np.array(temps)  # (n_ps, 3)
-    t = np.arange(n_ps) / 1000.0  # ns
-    print("\nper-bath mean temperatures:", temps.mean(axis=0).round(4))
-    print("targets: [300, 300, 1]")
-    for g, name in enumerate(["internal", "COM", "Drude"]):
-        A = np.vstack([t, np.ones_like(t)]).T
-        coef, res, *_ = np.linalg.lstsq(A, temps[:, g], rcond=None)
-        resid = temps[:, g] - A @ coef
-        se = np.sqrt(np.sum(resid**2) / (len(t) - 2)
-                     / np.sum((t - t.mean())**2))
-        print(f"{name:9s}: drift {coef[0]:+8.3f} +- {se:.3f} K/ns  "
-              f"mean {temps[:, g].mean():.4f} K")
+    report(np.array(temps))
 
 
 if __name__ == "__main__":

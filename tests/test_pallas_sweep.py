@@ -160,3 +160,75 @@ def test_choose_chunk(water_ctx):
     assert ps.supports(mid, jnp.float32)
     assert ps.choose_chunk(mid, jnp.float32) is None
     assert ps.choose_chunk(mid, jnp.float32, force=True) is not None
+
+
+def test_triclinic_forces_match_xla_sweep():
+    """Triclinic cells through the SAME kernel: geometry enters only via
+    the cell-local field construction and the 6-scalar per-offset shift
+    pack (o/g)@box (_centers_and_hvec) — interpret-mode parity vs the
+    XLA triclinic sweep on a sheared box with exceptions (round 4)."""
+    rng = np.random.default_rng(23)
+    box2 = 2.0 * np.array([[2.0, 0.0, 0.0],
+                           [0.7, 1.9, 0.0],
+                           [-0.5, 0.6, 2.1]])
+    n = 220
+    system = dn.System()
+    nb = dn.NonbondedForce()
+    charges = rng.normal(0, 0.4, n)
+    charges -= charges.mean()
+    for i in range(n):
+        system.addParticle(1.0)
+        nb.addParticle(charges[i], 0.25, 0.4)
+    for i in range(0, 30, 3):
+        nb.addException(i, i + 1, 0.1 * charges[i] * charges[i + 1],
+                        0.25, 0.1)
+        nb.addException(i, i + 2, 0.0, 1.0, 0.0)
+    nb.setNonbondedMethod(dn.NonbondedForce.PME)
+    nb.setCutoffDistance(0.9)
+    system.addForce(nb)
+    system.setDefaultPeriodicBoxVectors(*box2)
+    # jittered fractional lattice: physical separations (~0.5 nm), so the
+    # f32 parity tolerance is meaningful (uniform-random placements give
+    # overlapping pairs with 1e11-scale forces that drown the comparison)
+    m = 7
+    f = (np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                  axis=-1).reshape(-1, 3) + 0.5) / m
+    pos = (f[:n] + rng.normal(0, 0.04, (n, 3))) @ box2
+    for i in range(0, 30, 3):
+        pos[i + 1] = pos[i] + np.array([0.12, 0.05, -0.04])
+        pos[i + 2] = pos[i] + np.array([-0.06, 0.14, 0.08])
+
+    fn_c, params_c = nb.compile(system, jnp.float32, strategy="cellpair")
+    cfg = fn_c.cellpair_cfg
+    assert cfg.triclinic and cfg.regular and cfg.half_stencil
+    box_j = jnp.asarray(box2, jnp.float32)
+    p0 = jnp.asarray(pos, jnp.float32)
+    nbl = cp.build_cellsort(p0, box_j, cfg)
+    assert not bool(nbl.overflow) and not bool(nbl.stencil_invalid)
+
+    _, f_ref = cp.pair_energy_forces(
+        params_c, p0, box_j, nbl, cfg, fn_c.pair_eg, fn_c.coulomb_scale,
+        with_energy=False)
+    f_pl = ps.pair_forces_pallas(
+        params_c, p0, box_j, nbl, cfg, "ewald",
+        alpha=fn_c.pme_setup.alpha, interpret=True)
+    f_ref = np.asarray(f_ref)
+    f_pl = np.asarray(f_pl)
+    scale = np.abs(f_ref).max()
+    np.testing.assert_allclose(f_pl, f_ref, atol=3e-5 * scale)
+
+    # y-chunked variant on the same config
+    cy = None
+    gy = cfg.grid[1]
+    offs = np.array(cfg.offsets)
+    wy = int(np.max(np.abs(offs[:, 1])))
+    for cand in range(gy, 0, -1):
+        if gy % cand == 0 and cand >= max(wy, 1) \
+                and cand + 2 * wy + 2 <= 2 * gy:
+            cy = cand
+            break
+    f_ch = ps.pair_forces_pallas_chunked(
+        params_c, p0, box_j, nbl, cfg, "ewald", cy,
+        alpha=fn_c.pme_setup.alpha, interpret=True)
+    np.testing.assert_allclose(np.asarray(f_ch), f_ref,
+                               atol=3e-5 * scale)
