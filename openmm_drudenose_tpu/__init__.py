@@ -19,7 +19,7 @@ Quick start::
 """
 
 from .system import (System, TwoParticleAverageSite, ThreeParticleAverageSite,
-                     OutOfPlaneSite)
+                     OutOfPlaneSite, LocalCoordinatesSite)
 from .forces.drude import DrudeForce
 from .forces.nonbonded import NonbondedForce
 from .forces.bonded import (HarmonicBondForce, HarmonicAngleForce,
@@ -43,7 +43,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "System", "TwoParticleAverageSite", "ThreeParticleAverageSite",
-    "OutOfPlaneSite", "DrudeForce", "NonbondedForce", "HarmonicBondForce",
+    "OutOfPlaneSite", "LocalCoordinatesSite",
+    "DrudeForce", "NonbondedForce", "HarmonicBondForce",
     "HarmonicAngleForce", "PeriodicTorsionForce", "HarmonicTorsionForce",
     "CMAPTorsionForce", "CMMotionRemover",
     "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",

@@ -99,6 +99,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import re
 import xml.etree.ElementTree as ET
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -205,6 +206,38 @@ def _f(el, key, default=None):
             raise ForceFieldError(f"<{el.tag}> missing attribute {key!r}")
         return default
     return float(v)
+
+
+def _subst_idents(expr: str, mapping: Dict[str, str]) -> str:
+    """Whole-identifier substitution in an energy expression (so a
+    parameter named ``lj`` never clobbers ``ljtype1``)."""
+    return re.sub(r"[A-Za-z_][A-Za-z0-9_]*",
+                  lambda m: mapping.get(m.group(0), m.group(0)), expr)
+
+
+def _split_terms(expr: str) -> List[Tuple[str, str]]:
+    """Split a whitespace-free expression into top-level signed terms:
+    ``'a-b+c' -> [('+', 'a'), ('-', 'b'), ('+', 'c')]``.  +/- inside
+    parentheses stay inside their term."""
+    terms: List[Tuple[str, str]] = []
+    depth = 0
+    sign = "+"
+    cur: List[str] = []
+    for ch in expr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and ch in "+-":
+            if cur:
+                terms.append((sign, "".join(cur)))
+                cur = []
+            sign = ch
+        else:
+            cur.append(ch)
+    if cur:
+        terms.append((sign, "".join(cur)))
+    return terms
 
 
 # covalent radii (nm), Cordero 2008 — used only to infer intra-residue
@@ -681,40 +714,54 @@ class ForceField:
         """OpenMM's CHARMM ports express harmonic impropers through a
         CustomTorsionForce.  Only the known harmonic shapes are accepted
         and mapped onto HarmonicTorsionForce (E = k * wrap(theta -
-        theta0)^2); a genuinely different expression raises.  Accepted
-        (whitespace-insensitive): k*(theta-theta0)^2,
-        k*(acos(cos(theta-theta0)))^2, and the explicit min-image form
-        k*min(dtheta,2*pi-dtheta)^2; dtheta=abs(theta-theta0) — all equal
-        on the wrapped branch; 0.5*-prefixed variants fold the half into
-        k."""
-        energy = (sec.get("energy") or "").replace(" ", "").rstrip(";")
-        half = False
-        if energy.startswith("0.5*"):
-            half = True
-            energy = energy[4:]
+        theta0)^2); a genuinely different expression raises.  The
+        expression is NORMALIZED before the shape match: whitespace is
+        stripped, the two PerTorsionParameters may be declared under ANY
+        names (the stiffness is the multiplier, the offset the subtracted
+        angle — both assignments are tried), and (theta0-theta) ==
+        (theta-theta0) under the square.  Accepted canonical shapes:
+        k*(theta-theta0)^2, k*(acos(cos(theta-theta0)))^2, and the
+        explicit min-image forms k*min(dtheta,2*pi-dtheta)^2;
+        dtheta=abs(theta-theta0) — all equal on the wrapped branch;
+        0.5*-prefixed variants fold the half into k."""
+        raw = sec.get("energy") or ""
+        energy = re.sub(r"\s+", "", raw).rstrip(";")
+        pnames = [el.get("name") for el in sec
+                  if el.tag == "PerTorsionParameter"]
+        if len(pnames) != 2:
+            raise ForceFieldError(
+                "<CustomTorsionForce> must declare exactly two "
+                "PerTorsionParameters (a stiffness and an offset angle)")
         known = (
             "k*(theta-theta0)^2",
             "k*(acos(cos(theta-theta0)))^2",
             "k*min(dtheta,2*pi-dtheta)^2;dtheta=abs(theta-theta0)",
             "k*dtheta^2;dtheta=min(d,2*pi-d);d=abs(theta-theta0)",
         )
-        if energy not in known:
+        match = None  # (k_attr, theta0_attr, half)
+        for k_name, t0_name in (tuple(pnames), tuple(reversed(pnames))):
+            e = _subst_idents(energy, {k_name: "k", t0_name: "theta0"})
+            # the square makes the subtraction order irrelevant
+            e = e.replace("(theta0-theta)", "(theta-theta0)")
+            half = e.startswith("0.5*")
+            if half:
+                e = e[4:]
+            if e in known:
+                match = (k_name, t0_name, half)
+                break
+        if match is None:
             raise ForceFieldError(
-                f"unsupported <CustomTorsionForce> energy "
-                f"{sec.get('energy')!r}; only harmonic improper forms "
-                f"{known} are recognized")
-        pnames = [el.get("name") for el in sec
-                  if el.tag == "PerTorsionParameter"]
-        if sorted(pnames) != ["k", "theta0"]:
-            raise ForceFieldError(
-                "<CustomTorsionForce> must declare exactly the "
-                "PerTorsionParameters 'k' and 'theta0'")
+                f"unsupported <CustomTorsionForce> energy {raw!r}; only "
+                f"harmonic improper forms equivalent to {known} are "
+                f"recognized (parameter names, whitespace and the "
+                f"(theta-theta0) order are normalized before matching)")
+        k_name, t0_name, half = match
         scale = 0.5 if half else 1.0
         for el in sec:
             if el.tag in ("Improper", "Proper"):
                 key = tuple(el.get(f"class{k}", "") for k in (1, 2, 3, 4))
                 self.harmonic_improper.append(
-                    (key, (_f(el, "theta0"), scale * _f(el, "k"))))
+                    (key, (_f(el, t0_name), scale * _f(el, k_name))))
 
     def _parse_CmapTorsionForce(self, sec) -> None:
         """CMAP backbone correction maps (the CHARMM-Drude-2013 protein
@@ -784,14 +831,15 @@ class ForceField:
         machinery: per-class sigma/epsilon from the table diagonal
         (A = 4 eps sigma^12, B = 4 eps sigma^6), off-diagonal entries
         deviating from Lorentz-Berthelot mixing become NBFixPair
-        overrides.  Anything else raises with guidance."""
-        energy = (sec.get("energy") or "").replace(" ", "").rstrip(";")
-        expect = "acoef(type1,type2)/r^12-bcoef(type1,type2)/r^6"
-        if energy != expect:
-            raise ForceFieldError(
-                f"unsupported <CustomNonbondedForce> energy "
-                f"{sec.get('energy')!r}; only the CHARMM tabulated-LJ "
-                f"form {expect!r} is recognized")
+        overrides.  The expression is NORMALIZED before the shape match:
+        whitespace is stripped, the PerParticleParameter and the two
+        Discrete2D functions may carry ANY names (the /r^12 function is
+        A, the /r^6 one B), the two terms may appear in either order, and
+        (type2, type1) argument order is accepted (the table is
+        transposed).  Anything genuinely different raises with
+        guidance."""
+        raw = sec.get("energy") or ""
+        energy = re.sub(r"\s+", "", raw).rstrip(";")
         pnames = [el.get("name") for el in sec
                   if el.tag == "PerParticleParameter"]
         if len(pnames) != 1:
@@ -799,6 +847,36 @@ class ForceField:
                 "<CustomNonbondedForce> must declare exactly one "
                 "PerParticleParameter (the acoef/bcoef table index)")
         pname = pnames[0]
+        energy = _subst_idents(
+            energy, {pname + "1": "type1", pname + "2": "type2"})
+        a_name = b_name = None
+        a_rev = b_rev = False
+        term_re = re.compile(
+            r"([A-Za-z_]\w*)\((type1,type2|type2,type1)\)/r\^(12|6)")
+        terms = _split_terms(energy)
+        ok = len(terms) == 2
+        if ok:
+            for sign, t in terms:
+                m = term_re.fullmatch(t)
+                if m is None:
+                    ok = False
+                    break
+                rev = m.group(2) == "type2,type1"
+                if m.group(3) == "12" and sign == "+" and a_name is None:
+                    a_name, a_rev = m.group(1), rev
+                elif m.group(3) == "6" and sign == "-" and b_name is None:
+                    b_name, b_rev = m.group(1), rev
+                else:
+                    ok = False
+                    break
+        if not ok or a_name is None or b_name is None:
+            raise ForceFieldError(
+                f"unsupported <CustomNonbondedForce> energy {raw!r}; "
+                f"only the CHARMM tabulated-LJ form "
+                f"'A(type1,type2)/r^12 - B(type1,type2)/r^6' is "
+                f"recognized (function/parameter names, whitespace, term "
+                f"order and argument order are normalized before "
+                f"matching)")
         funcs = {}
         for el in sec:
             if el.tag in ("Function", "TabulatedFunction"):
@@ -815,11 +893,15 @@ class ForceField:
                         f"values, expected {xs * ys}")
                 # Discrete2D ordering: x varies fastest -> [y, x]
                 funcs[el.get("name")] = vals.reshape(ys, xs).T
-        if "acoef" not in funcs or "bcoef" not in funcs:
+        if a_name not in funcs or b_name not in funcs:
             raise ForceFieldError(
-                "<CustomNonbondedForce> needs acoef and bcoef Discrete2D "
-                "functions")
-        A, B = funcs["acoef"], funcs["bcoef"]
+                f"<CustomNonbondedForce> needs {a_name} and {b_name} "
+                f"Discrete2D functions (named in the energy expression)")
+        A, B = funcs[a_name], funcs[b_name]
+        if a_rev:
+            A = A.T
+        if b_rev:
+            B = B.T
 
         idx_by_class: Dict[str, int] = {}
         for el in sec:

@@ -173,7 +173,7 @@ class DCDReporter(_IntervalReporter):
     def report(self, simulation, _state) -> None:
         st = simulation.context.getState(positions=True)
         self._writer.write_frame(st.getPositions(),
-                                 np.diagonal(st.getPeriodicBoxVectors()))
+                                 st.getPeriodicBoxVectors())
 
 
 class PDBReporter(_IntervalReporter):

@@ -42,13 +42,30 @@ class DCDWriter:
         self._f.flush()
 
     def write_frame(self, positions_nm: np.ndarray, box_nm) -> None:
+        """Write one frame.
+
+        ``box_nm`` may be a length-3 diagonal (orthorhombic) or the full
+        (3, 3) row-vector box matrix; triclinic cells are recorded as
+        (a, b, c, alpha, beta, gamma) derived from the box vectors.
+        """
         pos = np.asarray(positions_nm, np.float64) * 10.0  # nm -> angstrom
         if self._n_atoms is None:
             self._n_atoms = pos.shape[0]
             self._write_header(self._n_atoms)
         box = np.asarray(box_nm, np.float64) * 10.0
-        # unit cell: a, gamma, b, beta, alpha, c (cosines for angles)
-        cell = struct.pack("<6d", box[0], 0.0, box[1], 0.0, 0.0, box[2])
+        if box.ndim == 1:
+            a, b, c = box
+            cos_a = cos_b = cos_g = 0.0
+        else:
+            v1, v2, v3 = box
+            a = float(np.linalg.norm(v1))
+            b = float(np.linalg.norm(v2))
+            c = float(np.linalg.norm(v3))
+            cos_a = float(np.dot(v2, v3) / (b * c))   # alpha: angle(b, c)
+            cos_b = float(np.dot(v1, v3) / (a * c))   # beta:  angle(a, c)
+            cos_g = float(np.dot(v1, v2) / (a * b))   # gamma: angle(a, b)
+        # CHARMM unit-cell record: a, cos(gamma), b, cos(beta), cos(alpha), c
+        cell = struct.pack("<6d", a, cos_g, b, cos_b, cos_a, c)
         self._block(cell)
         for c in range(3):
             self._block(pos[:, c].astype("<f4").tobytes())

