@@ -44,6 +44,9 @@ def main():
     if "--cpu" in sys.argv:
         # the axon plugin overrides JAX_PLATFORMS; force CPU after import
         jax.config.update("jax_platforms", "cpu")
+    if "--log-compiles" in sys.argv:
+        # stamp each XLA compile start (which program OOMs the CPU host?)
+        jax.config.update("jax_log_compiles", True)
     if jax.device_count() < 8:
         raise SystemExit("need 8 devices (run with --cpu and "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=8"
