@@ -20,6 +20,7 @@ state is checkpointed every --ckpt-every ps and at exit.
 
 import argparse
 import os
+import signal
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -68,6 +69,30 @@ def read_csv(path):
                 continue
             rows.append([float(v) for v in line.split(",")[1:]])
     return rows
+
+
+def truncate_csv(path, n_keep):
+    """Drop samples beyond the last checkpoint (a killed session can
+    leave the CSV ahead of the state file; resuming would mislabel the
+    re-simulated picoseconds)."""
+    kept, n_data, dropped = [], 0, 0
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if not s or s.startswith("#"):
+                kept.append(line)
+            elif n_data < n_keep:
+                kept.append(line)
+                n_data += 1
+            else:
+                dropped += 1
+    if dropped:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(kept)
+        os.replace(tmp, path)
+        print(f"truncated {dropped} post-checkpoint samples from "
+              f"{path}", flush=True)
 
 
 def main():
@@ -123,6 +148,11 @@ def main():
     ctx = dn.Context(system, integ, precision="single", strategy="cellpair",
                      nb_options=nb_opts)
 
+    ps_marker = (args.state + ".ps") if args.state else None
+    if (ps_marker and os.path.exists(ps_marker)
+            and os.path.exists(csv_path)):
+        with open(ps_marker) as f:
+            truncate_csv(csv_path, int(f.read().strip()))
     rows = read_csv(csv_path)
     resuming = (args.state is not None and os.path.exists(args.state)
                 and rows)
@@ -161,12 +191,22 @@ def main():
     nkbt = np.asarray(spec.nh_nkbt, np.float64)
     dof = nkbt / BOLTZ / np.array([300.0, 300.0, 1.0])
 
-    def checkpoint():
+    def checkpoint(n_ps):
         if args.state is None:
             return
         tmp = args.state + ".tmp"
         save_checkpoint(tmp, ctx)
         os.replace(tmp, args.state)
+        with open(ps_marker + ".tmp", "w") as f:
+            f.write(str(n_ps))
+        os.replace(ps_marker + ".tmp", ps_marker)
+
+    # SIGTERM (session teardown, kill $(cat pid)) must run the finally
+    # block so the checkpoint and the CSV stay consistent
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
 
     n_ps_target = int(args.ns * 1000)
     k0 = len(rows)
@@ -174,9 +214,12 @@ def main():
     t_run = time.time()
     new = 0
     csv = open(csv_path, "a")
+    at_boundary = True
     try:
         for k in range(k0, n_ps_target):
+            at_boundary = False
             integ.step(1000)  # 1 ps
+            at_boundary = True
             two_ke = np.asarray(ctx._state.group_ke, np.float64)
             temps.append(list(two_ke / (dof * BOLTZ)))
             csv.write(f"{k + 1}, " + ", ".join(
@@ -184,7 +227,7 @@ def main():
             csv.flush()
             new += 1
             if new % args.ckpt_every == 0:
-                checkpoint()
+                checkpoint(k + 1)
             if new % 25 == 0:
                 el = time.time() - t_run
                 rate = new / el * 86.4  # ns/day
@@ -201,9 +244,14 @@ def main():
                 break
     finally:
         csv.close()
-        checkpoint()
-        print(f"checkpointed at {len(temps)} ps total "
-              f"({new} new this session)", flush=True)
+        if at_boundary:
+            checkpoint(len(temps))
+            print(f"checkpointed at {len(temps)} ps total "
+                  f"({new} new this session)", flush=True)
+        else:
+            print(f"interrupted mid-step; keeping the last periodic "
+                  f"checkpoint ({new} new samples this session)",
+                  flush=True)
 
     fit_report(np.array(temps))
 
