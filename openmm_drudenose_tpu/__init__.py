@@ -25,6 +25,8 @@ from .forces.nonbonded import NonbondedForce
 from .forces.bonded import (HarmonicBondForce, HarmonicAngleForce,
                             PeriodicTorsionForce, HarmonicTorsionForce)
 from .forces.cmap import CMAPTorsionForce
+from .forces.custom import (CustomBondForce, CustomAngleForce,
+                            CustomTorsionForce, CustomNonbondedForce)
 from .forces.cmmotion import CMMotionRemover, MonteCarloBarostat
 from .app.integrator import DrudeTGNHIntegrator
 from .app.context import Context, State
@@ -47,6 +49,8 @@ __all__ = [
     "DrudeForce", "NonbondedForce", "HarmonicBondForce",
     "HarmonicAngleForce", "PeriodicTorsionForce", "HarmonicTorsionForce",
     "CMAPTorsionForce", "CMMotionRemover",
+    "CustomBondForce", "CustomAngleForce", "CustomTorsionForce",
+    "CustomNonbondedForce",
     "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",
     "Simulation", "StateDataReporter", "CheckpointReporter", "DCDReporter",
     "PDBReporter", "ReplicaEnsemble", "FlatReplicaEnsemble", "ForceField",

@@ -117,6 +117,7 @@ from ..system import (LocalCoordinatesSite, OutOfPlaneSite, System,
 
 # app-layer constants mirroring OpenMM's names (example/nacl_tg.py:42)
 NoCutoff = NonbondedForce.NoCutoff
+CutoffNonPeriodic = NonbondedForce.CutoffNonPeriodic
 CutoffPeriodic = NonbondedForce.CutoffPeriodic
 PME = NonbondedForce.PME
 HBonds = "HBonds"
@@ -357,6 +358,10 @@ class ForceField:
         self.lj_lj14: float = 1.0
         self.has_lj_force = False
         self.nbfix: List[Tuple[str, str, float, float]] = []
+        # general Custom*Force sections (expression-compiled fallbacks
+        # for shapes outside the stock charmm_polar_2013.xml encodings)
+        self.custom_bonded: List[dict] = []
+        self.custom_nonbonded: Optional[dict] = None
         self.drude_defs: List[_DrudeDef] = []
         self.nbthole_defs: List[Tuple[str, str, float]] = []
         # residues="k" patches: name -> (n_parts, cross-residue bonds
@@ -738,9 +743,12 @@ class ForceField:
         pnames = [el.get("name") for el in sec
                   if el.tag == "PerTorsionParameter"]
         if len(pnames) != 2:
-            raise ForceFieldError(
-                "<CustomTorsionForce> must declare exactly two "
-                "PerTorsionParameters (a stiffness and an offset angle)")
+            # harmonic impropers carry exactly (stiffness, offset); any
+            # other arity is a general torsion for the expression compiler
+            self._collect_custom_bonded(sec, "torsion", 4,
+                                        "PerTorsionParameter",
+                                        ("Proper", "Improper"))
+            return
         known = (
             "k*(theta-theta0)^2",
             "k*(acos(cos(theta-theta0)))^2",
@@ -759,11 +767,13 @@ class ForceField:
                 match = (k_name, t0_name, half)
                 break
         if match is None:
-            raise ForceFieldError(
-                f"unsupported <CustomTorsionForce> energy {raw!r}; only "
-                f"harmonic improper forms equivalent to {known} are "
-                f"recognized (parameter names, whitespace and the "
-                f"(theta-theta0) order are normalized before matching)")
+            # not a harmonic improper: ingest as a GENERAL torsion via the
+            # expression compiler (utils/expr.py) — the path OpenMM's
+            # Lepton machinery covers for the reference workflow
+            self._collect_custom_bonded(sec, "torsion", 4,
+                                        "PerTorsionParameter",
+                                        ("Proper", "Improper"))
+            return
         k_name, t0_name, half = match
         scale = 0.5 if half else 1.0
         for el in sec:
@@ -794,6 +804,93 @@ class ForceField:
 
     # OpenMM historically spells the section both ways
     _parse_CMAPTorsionForce = _parse_CmapTorsionForce
+
+    # -- general Custom*Force sections (utils/expr.py fallback) ---------
+    # These play the role OpenMM's Lepton-driven generators play for the
+    # reference workflow (example/nacl_tg.py:37-42): the energy expression
+    # is validated at parse time, per-term parameters keep their declared
+    # names, and each term entry records (tag, class/type key, values)
+    # for createSystem's topology matching.
+    def _collect_custom_nonbonded(self, sec) -> None:
+        from ..utils.expr import ExpressionError, compile_expression
+        raw = sec.get("energy") or ""
+        pnames = [el.get("name") for el in sec
+                  if el.tag == "PerParticleParameter"]
+        globs = [(el.get("name"), float(el.get("defaultValue", "0")))
+                 for el in sec if el.tag == "GlobalParameter"]
+        for el in sec:
+            if el.tag in ("Function", "TabulatedFunction"):
+                raise ForceFieldError(
+                    "general <CustomNonbondedForce> expressions with "
+                    "tabulated functions are not supported — only the "
+                    "stock CHARMM 'A(type1,type2)/r^12 - B(...)/r^6' "
+                    "Discrete2D form (which maps onto the "
+                    "LennardJonesForce tables)")
+        names = (["r"] + [p + "1" for p in pnames]
+                 + [p + "2" for p in pnames] + [g[0] for g in globs])
+        try:
+            compile_expression(raw, names)
+        except ExpressionError as err:
+            raise ForceFieldError(
+                f"<CustomNonbondedForce> energy expression: {err}") from err
+        by_type: Dict[str, tuple] = {}
+        by_class: Dict[str, tuple] = {}
+        for el in sec:
+            if el.tag != "Atom":
+                continue
+            vals = tuple(_f(el, p) for p in pnames)
+            t = el.get("type")
+            if t is not None:
+                by_type[t] = vals
+            else:
+                by_class[el.get("class")] = vals
+        if self.custom_nonbonded is not None:
+            raise ForceFieldError(
+                "multiple general <CustomNonbondedForce> sections")
+        self.custom_nonbonded = {
+            "energy": raw, "pnames": pnames, "globals": globs,
+            "bond_cutoff": int(sec.get("bondCutoff", "3")),
+            "by_type": by_type, "by_class": by_class}
+
+    def _parse_CustomBondForce(self, sec) -> None:
+        self._collect_custom_bonded(sec, "bond", 2, "PerBondParameter",
+                                    ("Bond",))
+
+    def _parse_CustomAngleForce(self, sec) -> None:
+        self._collect_custom_bonded(sec, "angle", 3, "PerAngleParameter",
+                                    ("Angle",))
+
+    def _collect_custom_bonded(self, sec, kind: str, n_cls: int,
+                               per_tag: str, term_tags) -> None:
+        from ..utils.expr import ExpressionError, compile_expression
+        raw = sec.get("energy") or ""
+        pnames = [el.get("name") for el in sec if el.tag == per_tag]
+        globs = [(el.get("name"), float(el.get("defaultValue", "0")))
+                 for el in sec if el.tag == "GlobalParameter"]
+        var = "r" if kind == "bond" else "theta"
+        try:
+            compile_expression(raw, [var] + pnames + [g[0] for g in globs])
+        except ExpressionError as err:
+            raise ForceFieldError(
+                f"<{sec.tag}> energy expression: {err}") from err
+        entries = []
+        for el in sec:
+            if el.tag in term_tags:
+                key = []
+                for kx in range(1, n_cls + 1):
+                    c = el.get(f"class{kx}")
+                    t = el.get(f"type{kx}")
+                    if c:
+                        key.append(("class", c))
+                    elif t:
+                        key.append(("type", t))
+                    else:
+                        key.append(("class", ""))       # wildcard
+                entries.append((el.tag, tuple(key),
+                                tuple(_f(el, p) for p in pnames)))
+        self.custom_bonded.append({
+            "kind": kind, "tag": sec.tag, "energy": raw, "pnames": pnames,
+            "globals": globs, "entries": entries})
 
     def _parse_NonbondedForce(self, sec) -> None:
         self.coulomb14 = float(sec.get("coulomb14scale", "1"))
@@ -852,9 +949,10 @@ class ForceField:
         pnames = [el.get("name") for el in sec
                   if el.tag == "PerParticleParameter"]
         if len(pnames) != 1:
-            raise ForceFieldError(
-                "<CustomNonbondedForce> must declare exactly one "
-                "PerParticleParameter (the acoef/bcoef table index)")
+            # not the tabulated-LJ shape: ingest as a GENERAL custom
+            # nonbonded force via the expression compiler
+            self._collect_custom_nonbonded(sec)
+            return
         pname = pnames[0]
         energy = _subst_idents(
             energy, {pname + "1": "type1", pname + "2": "type2"})
@@ -879,13 +977,8 @@ class ForceField:
                     ok = False
                     break
         if not ok or a_name is None or b_name is None:
-            raise ForceFieldError(
-                f"unsupported <CustomNonbondedForce> energy {raw!r}; "
-                f"only the CHARMM tabulated-LJ form "
-                f"'A(type1,type2)/r^12 - B(type1,type2)/r^6' is "
-                f"recognized (function/parameter names, whitespace, term "
-                f"order and argument order are normalized before "
-                f"matching)")
+            self._collect_custom_nonbonded(sec)
+            return
         funcs = {}
         for el in sec:
             if el.tag in ("Function", "TabulatedFunction"):
@@ -1483,11 +1576,43 @@ class ForceField:
             adj[i].append(j)
             adj[j].append(i)
 
+        # general Custom*Force matching helpers (used both to excuse
+        # missing harmonic parameters below and to build the forces)
+        def ck_ok(item, g):
+            kindk, v = item
+            if v == "":
+                return True
+            return (v == types[g].klass if kindk == "class"
+                    else v == types[g].name)
+
+        def match_entries(entries, atoms, tags):
+            best, best_wild = None, 99
+            for (tag, key, vals) in entries:
+                if tag not in tags:
+                    continue
+                for cand in (atoms, atoms[::-1]):
+                    if all(ck_ok(ki, g) for ki, g in zip(key, cand)):
+                        wild = sum(1 for ki in key if ki[1] == "")
+                        if wild < best_wild:
+                            best, best_wild = vals, wild
+            return best
+
+        def custom_covers(atoms, kind, tags):
+            for cspec in self.custom_bonded:
+                if cspec["kind"] == kind and match_entries(
+                        cspec["entries"], atoms, tags) is not None:
+                    return True
+            return False
+
         for (i, j) in bonds:
             if frozenset((i, j)) in constrained:
                 continue
             bp = bond_key(i, j)
             if bp is None:
+                # decks may parameterize a bond ONLY through a general
+                # CustomBondForce section (OpenMM semantics)
+                if custom_covers((i, j), "bond", ("Bond",)):
+                    continue
                 raise ForceFieldError(
                     f"no bond parameters for classes "
                     f"({types[i].klass}, {types[j].klass})")
@@ -1504,6 +1629,8 @@ class ForceField:
                 continue
             ap = angle_key(i, j, k, self.angle_params)
             if ap is None:
+                if custom_covers((i, j, k), "angle", ("Angle",)):
+                    continue
                 raise ForceFieldError(
                     f"no angle parameters for classes "
                     f"({types[i].klass}, {types[j].klass}, {types[k].klass})")
@@ -1627,6 +1754,82 @@ class ForceField:
                                     cmap_f.addTorsion(map_rows[mi],
                                                       *atoms[0:4],
                                                       *atoms[1:5])
+
+        # general Custom*Force bonded sections (expression-compiled) ----------
+        custom_forces: list = []
+        if self.custom_bonded:
+            from ..forces.custom import (CustomAngleForce, CustomBondForce,
+                                         CustomTorsionForce)
+
+            for cspec in self.custom_bonded:
+                if cspec["kind"] == "bond":
+                    f = CustomBondForce(cspec["energy"])
+                    for p in cspec["pnames"]:
+                        f.addPerBondParameter(p)
+                    for nm, dv in cspec["globals"]:
+                        f.addGlobalParameter(nm, dv)
+                    for (i, j) in bonds:
+                        vals = match_entries(cspec["entries"], (i, j),
+                                             ("Bond",))
+                        if vals is not None:
+                            f.addBond(i, j, vals)
+                    if f.getNumBonds():
+                        custom_forces.append(f)
+                elif cspec["kind"] == "angle":
+                    f = CustomAngleForce(cspec["energy"])
+                    for p in cspec["pnames"]:
+                        f.addPerAngleParameter(p)
+                    for nm, dv in cspec["globals"]:
+                        f.addGlobalParameter(nm, dv)
+                    for (i, j, k) in angles:
+                        vals = match_entries(cspec["entries"], (i, j, k),
+                                             ("Angle",))
+                        if vals is not None:
+                            f.addAngle(i, j, k, vals)
+                    if f.getNumAngles():
+                        custom_forces.append(f)
+                else:                                   # torsion
+                    f = CustomTorsionForce(cspec["energy"])
+                    for p in cspec["pnames"]:
+                        f.addPerTorsionParameter(p)
+                    for nm, dv in cspec["globals"]:
+                        f.addGlobalParameter(nm, dv)
+                    if any(t == "Proper" for (t, _, _) in cspec["entries"]):
+                        seen_q = set()
+                        for (bj, bk) in bonds:
+                            for (a, b2) in ((bj, bk), (bk, bj)):
+                                for i in adj[a]:
+                                    if i == b2:
+                                        continue
+                                    for l in adj[b2]:
+                                        if l == a or l == i:
+                                            continue
+                                        quad = (i, a, b2, l)
+                                        if (quad in seen_q
+                                                or quad[::-1] in seen_q):
+                                            continue
+                                        seen_q.add(quad)
+                                        vals = match_entries(
+                                            cspec["entries"], quad,
+                                            ("Proper",))
+                                        if vals is not None:
+                                            f.addTorsion(*quad, vals)
+                    if any(t == "Improper"
+                           for (t, _, _) in cspec["entries"]):
+                        import itertools
+                        for c in range(n):
+                            nbh = sorted(adj[c])
+                            if len(nbh) < 3:
+                                continue
+                            for perm in itertools.permutations(nbh, 3):
+                                quad = (c,) + perm
+                                vals = match_entries(cspec["entries"],
+                                                     quad, ("Improper",))
+                                if vals is not None:
+                                    f.addTorsion(*quad, vals)
+                                    break
+                    if f.getNumTorsions():
+                        custom_forces.append(f)
 
         # nonbonded ------------------------------------------------------------
         sig = np.ones(n)
@@ -1753,6 +1956,61 @@ class ForceField:
                             continue
                         drude.addNBTholePair(a, b2, th)
 
+        # general CustomNonbondedForce (expression-compiled) ------------------
+        if self.custom_nonbonded is not None:
+            from ..forces.custom import CustomNonbondedForce
+            cnspec = self.custom_nonbonded
+            cn = CustomNonbondedForce(cnspec["energy"])
+            for p in cnspec["pnames"]:
+                cn.addPerParticleParameter(p)
+            for nm, dv in cnspec["globals"]:
+                cn.addGlobalParameter(nm, dv)
+            for g in range(n):
+                t = types[g]
+                vals = cnspec["by_type"].get(
+                    t.name, cnspec["by_class"].get(t.klass))
+                if vals is None:
+                    raise ForceFieldError(
+                        f"no <CustomNonbondedForce> parameters for type "
+                        f"{t.name!r} (class {t.klass!r})")
+                cn.addParticle(vals)
+            # exclusions: pairs within bondCutoff bonds over the anchor
+            # graph, groups expanded so Drudes/vsites follow their parents
+            # (same excludeAtomWith semantics as the NonbondedForce
+            # exception machinery above)
+            bc = cnspec["bond_cutoff"]
+            for a0 in group:
+                dist = {a0: 0}
+                frontier = [a0]
+                for d in range(1, bc + 1):
+                    nxt = []
+                    for u in frontier:
+                        for v in real_adj[u]:
+                            if v not in dist:
+                                dist[v] = d
+                                nxt.append(v)
+                    frontier = nxt
+                for b0 in dist:
+                    if b0 < a0:
+                        continue
+                    for a in group[a0]:
+                        for b2 in group[b0]:
+                            if a < b2:
+                                cn.addExclusion(a, b2)
+            if nonbondedMethod == NoCutoff:
+                cn.setNonbondedMethod(CustomNonbondedForce.NoCutoff)
+            elif nonbondedMethod == CutoffNonPeriodic:
+                cn.setNonbondedMethod(
+                    CustomNonbondedForce.CutoffNonPeriodic)
+                cn.setCutoffDistance(nonbondedCutoff)
+            else:
+                cn.setNonbondedMethod(CustomNonbondedForce.CutoffPeriodic)
+                cn.setCutoffDistance(nonbondedCutoff)
+            if switchDistance is not None:
+                cn.setUseSwitchingFunction(True)
+                cn.setSwitchingDistance(switchDistance)
+            custom_forces.append(cn)
+
         # NBFIX pair overrides -------------------------------------------------
         for (c1, c2, s, e) in self.nbfix:
             p1 = [g for g in range(n) if types[g].klass == c1]
@@ -1774,6 +2032,8 @@ class ForceField:
             sys_.addForce(harm_torsion_f)
         if cmap_f.getNumTorsions():
             sys_.addForce(cmap_f)
+        for f in custom_forces:
+            sys_.addForce(f)
         if removeCMMotion:
             sys_.addForce(CMMotionRemover())
         return sys_

@@ -245,6 +245,51 @@ def _force_to_xml(f) -> ET.Element:
             "temperature": repr(f.getDefaultTemperature()),
             "frequency": str(f.getFrequency())})
 
+    from ..forces.custom import (CustomAngleForce, CustomBondForce,
+                                 CustomNonbondedForce, CustomTorsionForce)
+    if isinstance(f, (CustomBondForce, CustomAngleForce,
+                      CustomTorsionForce)):
+        e = ET.Element("Force", {"type": type(f).__name__,
+                                 "energy": f.getEnergyFunction()})
+        pp = ET.SubElement(e, "PerTermParameters")
+        for name in f._per_names:
+            ET.SubElement(pp, "Parameter", {"name": name})
+        gp = ET.SubElement(e, "GlobalParameters")
+        for name, default in f._globals:
+            ET.SubElement(gp, "Parameter", {"name": name,
+                                            "default": repr(default)})
+        ts = ET.SubElement(e, "Terms")
+        npart = f._N_PARTICLES
+        for t in f._terms:
+            ET.SubElement(ts, "Term", {
+                "particles": " ".join(map(str, t[:npart])),
+                "params": " ".join(repr(v) for v in t[npart])})
+        return e
+
+    if isinstance(f, CustomNonbondedForce):
+        e = ET.Element("Force", {
+            "type": "CustomNonbondedForce",
+            "energy": f.getEnergyFunction(),
+            "method": str(f.getNonbondedMethod()),
+            "cutoff": repr(f.getCutoffDistance()),
+            "useSwitchingFunction": str(int(f.getUseSwitchingFunction())),
+            "switchingDistance": repr(f.getSwitchingDistance())})
+        pp = ET.SubElement(e, "PerParticleParameters")
+        for name in f._per_names:
+            ET.SubElement(pp, "Parameter", {"name": name})
+        gp = ET.SubElement(e, "GlobalParameters")
+        for name, default in f._globals:
+            ET.SubElement(gp, "Parameter", {"name": name,
+                                            "default": repr(default)})
+        ps = ET.SubElement(e, "Particles")
+        for prm in f._particles:
+            ET.SubElement(ps, "Particle", {
+                "params": " ".join(repr(v) for v in prm)})
+        ex = ET.SubElement(e, "Exclusions")
+        for a, b in f._exclusions:
+            ET.SubElement(ex, "Exclusion", {"p1": str(a), "p2": str(b)})
+        return e
+
     raise ValueError(f"cannot serialize force {type(f).__name__}")
 
 
@@ -354,6 +399,41 @@ def _force_from_xml(e: ET.Element):
         return MonteCarloBarostat(float(e.get("pressure")),
                                   float(e.get("temperature")),
                                   int(e.get("frequency")))
+
+    if kind in ("CustomBondForce", "CustomAngleForce",
+                "CustomTorsionForce"):
+        from ..forces.custom import (CustomAngleForce, CustomBondForce,
+                                     CustomTorsionForce)
+        cls = {"CustomBondForce": CustomBondForce,
+               "CustomAngleForce": CustomAngleForce,
+               "CustomTorsionForce": CustomTorsionForce}[kind]
+        f = cls(e.get("energy"))
+        for p in e.find("PerTermParameters"):
+            f._add_per(p.get("name"))
+        for p in e.find("GlobalParameters"):
+            f.addGlobalParameter(p.get("name"), float(p.get("default")))
+        for t in e.find("Terms"):
+            particles = [int(x) for x in t.get("particles").split()]
+            prm = tuple(float(x) for x in t.get("params").split())
+            f._terms.append(tuple(particles) + (prm,))
+        return f
+
+    if kind == "CustomNonbondedForce":
+        from ..forces.custom import CustomNonbondedForce
+        f = CustomNonbondedForce(e.get("energy"))
+        f.setNonbondedMethod(int(e.get("method")))
+        f.setCutoffDistance(float(e.get("cutoff")))
+        f.setUseSwitchingFunction(bool(int(e.get("useSwitchingFunction"))))
+        f.setSwitchingDistance(float(e.get("switchingDistance")))
+        for p in e.find("PerParticleParameters"):
+            f.addPerParticleParameter(p.get("name"))
+        for p in e.find("GlobalParameters"):
+            f.addGlobalParameter(p.get("name"), float(p.get("default")))
+        for p in e.find("Particles"):
+            f.addParticle([float(x) for x in p.get("params").split()])
+        for x in e.find("Exclusions"):
+            f.addExclusion(int(x.get("p1")), int(x.get("p2")))
+        return f
 
     raise ValueError(f"unknown force type in XML: {kind}")
 

@@ -148,6 +148,36 @@ def _replicate_force(f, R: int, n0: int):
                 g.addTorsion(t[0], *(x + o for x in t[1:]))
         return g
 
+    from ..forces.custom import (CustomAngleForce, CustomBondForce,
+                                 CustomNonbondedForce, CustomTorsionForce)
+    if isinstance(f, (CustomBondForce, CustomAngleForce,
+                      CustomTorsionForce)):
+        g = type(f)(f.getEnergyFunction())
+        g._per_names = list(f._per_names)
+        g._globals = list(f._globals)
+        npart = f._N_PARTICLES
+        for r in range(R):
+            o = r * n0
+            for t in f._terms:
+                g._terms.append(tuple(p + o for p in t[:npart])
+                                + (t[npart],))
+        return g
+
+    if isinstance(f, CustomNonbondedForce):
+        # replicas are embedded in ONE extended box; the general dense
+        # pair matrix knows nothing of the per-replica wrap periods that
+        # isolate them (cellpair stencils do), so cross-band pairs within
+        # the cutoff would interact and minimum imaging would run over
+        # the extended box.  The vmapped ReplicaEnsemble replicates
+        # per-Context and stays exact.
+        raise ValueError(
+            "FlatReplicaEnsemble cannot replicate a general "
+            "CustomNonbondedForce (replicas share one extended box; the "
+            "dense pair path would couple them) — use the vmapped "
+            "ReplicaEnsemble, or map the interaction onto NonbondedForce "
+            "/ LennardJonesForce tables as app/forcefield.py does for "
+            "the stock CHARMM decks")
+
     if isinstance(f, CMMotionRemover):
         return CMMotionRemover(f.getFrequency())
 

@@ -333,14 +333,34 @@ def test_custom_torsion_normalized_variant(tmp_path):
     assert p[:4] == (2, 1, 3, 5) and p[4:] == (0.0, 40.0)
 
 
-def test_custom_torsion_unknown_energy_raises(tmp_path):
+def test_custom_torsion_nonharmonic_ingests_as_general(tmp_path):
+    # a shape outside the harmonic-improper family now falls back to the
+    # GENERAL expression-compiled CustomTorsionForce (round-5 Custom*Force
+    # support) instead of raising
+    from openmm_drudenose_tpu.forces.custom import CustomTorsionForce
     txt = _CMAP_XML.format(
         map_text=" ".join(repr(float(v)) for v in _surface_map(8)),
         c1="CA", c2="CB", c3="CC", c4="CD", c5="CE").replace(
         'energy="k*(theta-theta0)^2"', 'energy="k*cos(theta-theta0)"')
+    out = tmp_path / "gen.xml"
+    out.write_text(txt)
+    ff = ffmod.ForceField(str(out))
+    system = ff.createSystem(_pen_topology(), nonbondedMethod=ffmod.NoCutoff,
+                             constraints=None, removeCMMotion=False)
+    gen = [f for f in system.getForces()
+           if isinstance(f, CustomTorsionForce)]
+    assert len(gen) == 1 and gen[0].getNumTorsions() >= 1
+    assert gen[0].getEnergyFunction() == "k*cos(theta-theta0)"
+
+
+def test_custom_torsion_invalid_expression_raises(tmp_path):
+    txt = _CMAP_XML.format(
+        map_text=" ".join(repr(float(v)) for v in _surface_map(8)),
+        c1="CA", c2="CB", c3="CC", c4="CD", c5="CE").replace(
+        'energy="k*(theta-theta0)^2"', 'energy="k*nosuchfn(theta)"')
     out = tmp_path / "bad.xml"
     out.write_text(txt)
-    with pytest.raises(ffmod.ForceFieldError, match="harmonic"):
+    with pytest.raises(ffmod.ForceFieldError, match="nosuchfn"):
         ffmod.ForceField(str(out))
 
 

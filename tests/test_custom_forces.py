@@ -1,0 +1,259 @@
+"""General Custom*Force classes (forces/custom.py).
+
+The reference rides OpenMM's Lepton-driven Custom*Force machinery
+(example/nacl_tg.py:37-42 loads XML decks with arbitrary Custom*Force
+algebra); these tests pin our expression-compiled equivalents against
+the stock forces and finite differences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import openmm_drudenose_tpu as dn
+from openmm_drudenose_tpu.forces.custom import (CustomAngleForce,
+                                                CustomBondForce,
+                                                CustomNonbondedForce,
+                                                CustomTorsionForce)
+
+F64 = jnp.float64
+
+
+def _energy(force, system, positions, box=None):
+    fn, params = force.compile(system, F64)
+    if box is None:
+        box = np.array(system.getDefaultPeriodicBoxVectors(), np.float64)
+    return fn, params, jnp.asarray(positions, F64), jnp.asarray(box, F64)
+
+
+def _fd_forces(fn, params, pos, box, h=1e-6):
+    pos = np.asarray(pos, np.float64)
+    out = np.zeros_like(pos)
+    for i in range(pos.shape[0]):
+        for c in range(3):
+            p = pos.copy()
+            p[i, c] += h
+            ep = float(fn(params, jnp.asarray(p), box))
+            p[i, c] -= 2 * h
+            em = float(fn(params, jnp.asarray(p), box))
+            out[i, c] = -(ep - em) / (2 * h)
+    return out
+
+
+def _small_system(n):
+    s = dn.System()
+    for _ in range(n):
+        s.addParticle(16.0)
+    s.setDefaultPeriodicBoxVectors([4.0, 0, 0], [0, 4.0, 0], [0, 0, 4.0])
+    return s
+
+
+def test_custom_bond_matches_harmonic():
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0.5, 1.5, (6, 3))
+    s = _small_system(6)
+    hb = dn.HarmonicBondForce()
+    cb = CustomBondForce("0.5*kb*(r-r0)^2")
+    cb.addPerBondParameter("r0")
+    cb.addPerBondParameter("kb")
+    for (i, j) in ((0, 1), (2, 3), (4, 5)):
+        hb.addBond(i, j, 0.1, 1000.0)
+        cb.addBond(i, j, [0.1, 1000.0])
+    fn_h, p_h = hb.compile(s, F64)
+    fn_c, p_c = cb.compile(s, F64)
+    box = jnp.eye(3, dtype=F64) * 4.0
+    pj = jnp.asarray(pos, F64)
+    np.testing.assert_allclose(float(fn_c(p_c, pj, box)),
+                               float(fn_h(p_h, pj, box)), rtol=1e-12)
+    g_c = jax.grad(lambda p: fn_c(p_c, p, box))(pj)
+    g_h = jax.grad(lambda p: fn_h(p_h, p, box))(pj)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_h), rtol=1e-12)
+
+
+def test_custom_bond_global_parameter_and_defs():
+    s = _small_system(2)
+    cb = CustomBondForce("scale*e0; e0=kb*(r-r0)^2")
+    cb.addPerBondParameter("r0")
+    cb.addPerBondParameter("kb")
+    cb.addGlobalParameter("scale", 0.5)
+    cb.addBond(0, 1, [0.1, 1000.0])
+    fn, params = cb.compile(s, F64)
+    pos = jnp.asarray([[0.0, 0, 0], [0.25, 0, 0]], F64)
+    box = jnp.eye(3, dtype=F64) * 4.0
+    assert np.isclose(float(fn(params, pos, box)),
+                      0.5 * 1000.0 * 0.15 ** 2)
+
+
+def test_custom_angle_matches_harmonic():
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(0.5, 1.5, (3, 3))
+    s = _small_system(3)
+    ha = dn.HarmonicAngleForce()
+    ca = CustomAngleForce("0.5*ka*(theta-t0)^2")
+    ca.addPerAngleParameter("t0")
+    ca.addPerAngleParameter("ka")
+    ha.addAngle(0, 1, 2, 1.9, 400.0)
+    ca.addAngle(0, 1, 2, [1.9, 400.0])
+    fn_h, p_h = ha.compile(s, F64)
+    fn_c, p_c = ca.compile(s, F64)
+    box = jnp.eye(3, dtype=F64) * 4.0
+    pj = jnp.asarray(pos, F64)
+    np.testing.assert_allclose(float(fn_c(p_c, pj, box)),
+                               float(fn_h(p_h, pj, box)), rtol=1e-12)
+
+
+def test_custom_torsion_matches_periodic():
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0.0, 1.0, (4, 3))
+    s = _small_system(4)
+    pt = dn.PeriodicTorsionForce()
+    ct = CustomTorsionForce("kt*(1+cos(n*theta-phase))")
+    ct.addPerTorsionParameter("kt")
+    ct.addPerTorsionParameter("n")
+    ct.addPerTorsionParameter("phase")
+    pt.addTorsion(0, 1, 2, 3, 2, 0.6, 12.0)
+    ct.addTorsion(0, 1, 2, 3, [12.0, 2.0, 0.6])
+    fn_p, p_p = pt.compile(s, F64)
+    fn_c, p_c = ct.compile(s, F64)
+    box = jnp.eye(3, dtype=F64) * 4.0
+    pj = jnp.asarray(pos, F64)
+    np.testing.assert_allclose(float(fn_c(p_c, pj, box)),
+                               float(fn_p(p_p, pj, box)), rtol=1e-12)
+    g_c = jax.grad(lambda p: fn_c(p_c, p, box))(pj)
+    fd = _fd_forces(fn_c, p_c, pos, box)
+    np.testing.assert_allclose(-np.asarray(g_c), fd, atol=1e-5)
+
+
+def test_custom_nonbonded_lj_matches_closed_form():
+    # 4 particles, NoCutoff LJ via per-particle sigma/eps,
+    # Lorentz-Berthelot in the expression
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0.0, 1.2, (4, 3))
+    s = _small_system(4)
+    cn = CustomNonbondedForce(
+        "4*eps*(s6^2-s6); s6=(sig/r)^6; "
+        "sig=0.5*(sigma1+sigma2); eps=sqrt(epsilon1*epsilon2)")
+    cn.addPerParticleParameter("sigma")
+    cn.addPerParticleParameter("epsilon")
+    prm = [(0.3, 0.5), (0.32, 0.7), (0.28, 0.4), (0.31, 0.6)]
+    for p in prm:
+        cn.addParticle(p)
+    cn.addExclusion(0, 1)
+    fn, params = cn.compile(s, F64)
+    box = jnp.eye(3, dtype=F64) * 4.0
+    pj = jnp.asarray(pos, F64)
+    e = float(fn(params, pj, box))
+    ref = 0.0
+    for i in range(4):
+        for j in range(i + 1, 4):
+            if (i, j) == (0, 1):
+                continue
+            r = np.linalg.norm(pos[i] - pos[j])
+            sig = 0.5 * (prm[i][0] + prm[j][0])
+            eps = np.sqrt(prm[i][1] * prm[j][1])
+            s6 = (sig / r) ** 6
+            ref += 4 * eps * (s6 * s6 - s6)
+    np.testing.assert_allclose(e, ref, rtol=1e-10)
+    # forces: autodiff == finite differences (incl. the excluded pair's
+    # absence and the double-where guard at the diagonal)
+    g = jax.grad(lambda p: fn(params, p, box))(pj)
+    fd = _fd_forces(fn, params, pos, box)
+    np.testing.assert_allclose(-np.asarray(g), fd, atol=1e-4)
+
+
+def test_custom_nonbonded_cutoff_periodic_and_switch():
+    rng = np.random.default_rng(4)
+    n = 20
+    box_l = 2.0
+    pos = rng.uniform(0.0, box_l, (n, 3))
+    s = _small_system(n)
+    s.setDefaultPeriodicBoxVectors([box_l, 0, 0], [0, box_l, 0],
+                                   [0, 0, box_l])
+    cn = CustomNonbondedForce("a1*a2/r^6")
+    cn.addPerParticleParameter("a")
+    av = rng.uniform(0.5, 1.0, n)
+    for i in range(n):
+        cn.addParticle([av[i]])
+    cn.setNonbondedMethod(CustomNonbondedForce.CutoffPeriodic)
+    cn.setCutoffDistance(0.9)
+    cn.setUseSwitchingFunction(True)
+    cn.setSwitchingDistance(0.7)
+    fn, params = cn.compile(s, F64)
+    box = jnp.eye(3, dtype=F64) * box_l
+    pj = jnp.asarray(pos, F64)
+    e = float(fn(params, pj, box))
+    ref = 0.0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = pos[i] - pos[j]
+            d -= box_l * np.round(d / box_l)
+            r = np.linalg.norm(d)
+            if r >= 0.9:
+                continue
+            x = np.clip((r - 0.7) / 0.2, 0.0, 1.0)
+            sw = 1 - 10 * x ** 3 + 15 * x ** 4 - 6 * x ** 5
+            ref += av[i] * av[j] / r ** 6 * sw
+    np.testing.assert_allclose(e, ref, rtol=1e-9)
+
+
+def test_custom_nonbonded_blocking_invariance():
+    # row-block size must not change the answer (padding rows masked)
+    rng = np.random.default_rng(5)
+    n = 7
+    pos = rng.uniform(0.0, 1.0, (n, 3))
+    s = _small_system(n)
+    cn = CustomNonbondedForce("q1*q2/r")
+    cn.addPerParticleParameter("q")
+    for i in range(n):
+        cn.addParticle([(-1.0) ** i])
+    box = jnp.eye(3, dtype=F64) * 4.0
+    pj = jnp.asarray(pos, F64)
+    vals = []
+    for B in (1, 3, 7, 256):
+        fn, params = cn.compile(s, F64, block_rows=B)
+        vals.append(float(fn(params, pj, box)))
+    np.testing.assert_allclose(vals, vals[0], rtol=1e-12)
+
+
+def test_custom_forces_in_context_dynamics():
+    # a Custom bond + torsion run end to end through Context (forces via
+    # autodiff inside the jitted step)
+    s = dn.System()
+    for _ in range(4):
+        s.addParticle(12.0)
+    s.addParticle(0.4)           # Drude particle (the integrator requires
+    drude = dn.DrudeForce()      # a DrudeForce, reference parity)
+    drude.addParticle(4, 0, -1, -1, -1, 0.3, 0.001, 1, 1)
+    s.addForce(drude)
+    s.setDefaultPeriodicBoxVectors([3.0, 0, 0], [0, 3.0, 0], [0, 0, 3.0])
+    cb = CustomBondForce("0.5*kb*(r-r0)^2")
+    cb.addPerBondParameter("r0")
+    cb.addPerBondParameter("kb")
+    for (i, j) in ((0, 1), (1, 2), (2, 3)):
+        cb.addBond(i, j, [0.15, 50000.0])
+    ct = CustomTorsionForce("kt*(1+cos(theta))")
+    ct.addPerTorsionParameter("kt")
+    ct.addTorsion(0, 1, 2, 3, [20.0])
+    s.addForce(cb)
+    s.addForce(ct)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.0005, 1, 1)
+    ctx = dn.Context(s, integ, precision="double", strategy="dense")
+    pos0 = np.array([[0.0, 0, 0], [0.15, 0, 0], [0.15, 0.15, 0],
+                     [0.3, 0.15, 0.05], [0.001, 0.001, 0.0]])
+    ctx.setPositions(pos0)
+    ctx.setVelocitiesToTemperature(300.0, seed=1)
+    e0 = ctx.getState(getEnergy=True).getPotentialEnergy()
+    integ.step(200)
+    st = ctx.getState(getEnergy=True, getPositions=True)
+    assert np.all(np.isfinite(st.getPositions()))
+    assert np.isfinite(st.getPotentialEnergy())
+    assert abs(st.getPotentialEnergy()) < 1e4 and np.isfinite(e0)
+
+
+def test_custom_nonbonded_particle_count_mismatch():
+    s = _small_system(3)
+    cn = CustomNonbondedForce("1/r")
+    cn.addParticle([])
+    with pytest.raises(ValueError):
+        cn.compile(s, F64)

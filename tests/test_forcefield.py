@@ -510,7 +510,10 @@ def test_custom_nonbonded_lj_matches_lennard_jones(tmp_path, variant):
     assert len(nb_c._lj_overrides) == 1
 
 
-def test_custom_nonbonded_unknown_energy_raises(tmp_path):
+def test_custom_nonbonded_undeclared_names_raise(tmp_path):
+    # a non-tabulated-LJ shape now falls through to the GENERAL
+    # expression-compiled CustomNonbondedForce (round-5 Custom*Force
+    # support); undeclared parameter names still fail fast at parse time
     import xml.etree.ElementTree as ET
     tree = ET.parse(os.path.join(DATA, "swm4_nacl.xml"))
     root = tree.getroot()
@@ -520,7 +523,7 @@ def test_custom_nonbonded_unknown_energy_raises(tmp_path):
     ET.SubElement(cnb, "PerParticleParameter", name="type")
     out = str(tmp_path / "bad_custom.xml")
     tree.write(out)
-    with pytest.raises(ffmod.ForceFieldError, match="tabulated-LJ"):
+    with pytest.raises(ffmod.ForceFieldError, match="unknown name"):
         ffmod.ForceField(out)
 
 
