@@ -1219,7 +1219,13 @@ def _sweep_local_e_f(tb, positions, box_diag, slot_atom, cfg, layout,
     zero = jnp.zeros((n_cells_loc, C), dtype)
     carry = (jnp.zeros((), dtype), zero, zero, zero)
     (e_total, fx, fy, fz), _ = jax.lax.scan(
-        one_offset, carry, jnp.arange(len(offsets)), unroll=2)
+        one_offset, carry, jnp.arange(len(offsets)),
+        # unroll=1 on CPU: the virtual-device emulation holds every
+        # unrolled iteration's (n_cells_loc, C, C) temporaries live on
+        # ONE host x 8 devices — at 1M atoms/8 slabs that is the
+        # difference between fitting the 125 GB host and an OOM kill
+        # (round-5 execution got past compile and died here)
+        unroll=(1 if jax.default_backend() == "cpu" else 2))
 
     f_slots = jnp.stack([fx.reshape(-1), fy.reshape(-1), fz.reshape(-1)],
                         axis=1)

@@ -44,6 +44,10 @@ def main():
     if "--cpu" in sys.argv:
         # the axon plugin overrides JAX_PLATFORMS; force CPU after import
         jax.config.update("jax_platforms", "cpu")
+    from openmm_drudenose_tpu.utils import compile_cache
+    # persistent executables make repeat 1M attempts cheap (the XLA-CPU
+    # resident compile alone is ~15 min on this 1-core host)
+    compile_cache.enable("/tmp/jaxcache")
     if "--log-compiles" in sys.argv:
         # stamp each XLA compile start (which program OOMs the CPU host?)
         jax.config.update("jax_log_compiles", True)
@@ -73,8 +77,17 @@ def main():
     integ.setMaxDrudeDistance(0.02)
     # gx % 8 == 0 makes the x-slab resident decomposition valid AND the
     # work-sharded engine's flattened cell count divisible by the mesh
+    nb_options = {"grid_x_multiple": 8}
+    for a in sys.argv:
+        # --cap=N: cell capacity override.  A fresh-lattice start has
+        # near-uniform occupancy (~30/cell), so the equilibrium-headroom
+        # default (48) only inflates the (cells, C, C) sweep temporaries
+        # that OOM the emulation host; the cs_overflow latch raises
+        # honestly if the cap is wrong
+        if a.startswith("--cap="):
+            nb_options["capacity"] = int(a.split("=")[1])
     ctx = dn.Context(system, integ, precision="single", strategy="cellpair",
-                     nb_options={"grid_x_multiple": 8})
+                     nb_options=nb_options)
     ctx.setPositions(positions)
     ctx.setVelocitiesToTemperature(300.0, seed=0)
     print(f"context ready: grid {ctx._cp_cfg.grid}, "
