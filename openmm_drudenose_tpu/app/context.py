@@ -903,6 +903,44 @@ class Context:
     def getIntegrator(self):
         return self._integrator
 
+    def setParameter(self, name: str, value: float) -> None:
+        """Set a Custom*Force global parameter (OpenMM
+        Context::setParameter semantics, e.g. lambda scans).  Globals are
+        baked into the compiled expression terms, so this recompiles the
+        step via reinitialize(preserveState=True) — cheap on repeat values
+        thanks to the persistent compile cache, but batch parameter sweeps
+        through a vmapped ReplicaEnsemble when possible."""
+        hit = False
+        for f in self._system.getForces():
+            globs = getattr(f, "_globals", None)
+            if globs is None:
+                continue
+            for i, (nm, _) in enumerate(globs):
+                if nm == name:
+                    f.setGlobalParameterDefaultValue(i, float(value))
+                    hit = True
+        if not hit:
+            raise ValueError(
+                f"no force declares a global parameter {name!r}")
+        self.reinitialize(preserveState=True)
+
+    def getParameter(self, name: str) -> float:
+        for f in self._system.getForces():
+            globs = getattr(f, "_globals", None)
+            if globs is None:
+                continue
+            for nm, v in globs:
+                if nm == name:
+                    return v
+        raise ValueError(f"no force declares a global parameter {name!r}")
+
+    def getParameters(self) -> dict:
+        out: dict = {}
+        for f in self._system.getForces():
+            for nm, v in (getattr(f, "_globals", None) or ()):
+                out.setdefault(nm, v)
+        return out
+
     def reinitialize(self, preserveState: bool = True) -> None:
         """Recompile after System/Integrator edits (OpenMM
         Context::reinitialize semantics).  With preserveState, positions,

@@ -257,3 +257,35 @@ def test_custom_nonbonded_particle_count_mismatch():
     cn.addParticle([])
     with pytest.raises(ValueError):
         cn.compile(s, F64)
+
+
+def test_context_set_parameter():
+    # OpenMM Context::setParameter semantics: update a Custom*Force
+    # global and the recompiled energies follow
+    s = _small_system(2)
+    s.addParticle(0.4)
+    drude = dn.DrudeForce()
+    drude.addParticle(2, 0, -1, -1, -1, 0.3, 0.001, 1, 1)
+    s.addForce(drude)
+    cb = CustomBondForce("scale*0.5*kb*(r-r0)^2")
+    cb.addPerBondParameter("r0")
+    cb.addPerBondParameter("kb")
+    cb.addGlobalParameter("scale", 1.0)
+    cb.addBond(0, 1, [0.1, 1000.0])
+    s.addForce(cb)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.0005, 1, 1)
+    ctx = dn.Context(s, integ, precision="double", strategy="dense")
+    pos = np.array([[0.0, 0, 0], [0.25, 0, 0], [0.001, 0, 0]])
+    ctx.setPositions(pos)
+    e1 = ctx.getState(getEnergy=True).getPotentialEnergy()
+    assert ctx.getParameter("scale") == 1.0
+    ctx.setParameter("scale", 0.25)
+    e2 = ctx.getState(getEnergy=True).getPotentialEnergy()
+    # the bond term scales by 0.25; the (unchanged) Drude spring energy
+    # is ~0 at this geometry
+    drude_e = e1 - 0.5 * 1000.0 * 0.15 ** 2
+    np.testing.assert_allclose(e2 - drude_e, 0.25 * (e1 - drude_e),
+                               rtol=1e-9, atol=1e-12)
+    assert ctx.getParameters()["scale"] == 0.25
+    with pytest.raises(ValueError):
+        ctx.setParameter("nope", 1.0)
