@@ -287,8 +287,16 @@ def spread_charge_grid(grid, charges, positions, box_diag):
         return Q + jnp.dot(Wx.T, Wyz, preferred_element_type=dtype,
                            precision=MM_PRECISION), None
 
-    # scan (not fori_loop) so reverse-mode autodiff works through the chunks
-    Q, _ = jax.lax.scan(body, jnp.zeros((K1, K2 * K3), dtype),
+    # scan (not fori_loop) so reverse-mode autodiff works through the
+    # chunks; jax.checkpoint(body) so the backward RECOMPUTES each
+    # chunk's one-hot products instead of storing them — without it the
+    # scan saves a (chunk, K2*K3) residual PER CHUNK, which at 1M atoms
+    # is ~0.5 GB x 34 chunks = the ~17 GB/device XLA temp arena that
+    # OOM-killed the 8-slab resident artifact on the 125 GB emulation
+    # host (scripts/mem_1m.py measured it; the backward is two extra
+    # matmul passes, trivially cheaper than the memory)
+    Q, _ = jax.lax.scan(jax.checkpoint(body),
+                        jnp.zeros((K1, K2 * K3), dtype),
                         jnp.arange(n_chunks))
     return Q.reshape(K1, K2, K3)
 
