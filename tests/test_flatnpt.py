@@ -147,6 +147,8 @@ def test_flat_npt_mc_delta_matches_independent(scaled_parity_setup):
     np.testing.assert_allclose(e1[1], e0[1], rtol=1e-12)
 
 
+@pytest.mark.slow          # end-to-end run; the fast tier keeps the
+                           # parity/MC-delta pins (round-5 tier budget)
 def test_flat_npt_runs_and_replicas_decouple():
     """End to end: per-replica MC moves fire, scales evolve
     independently, trajectories stay finite, and accessors report
@@ -261,6 +263,8 @@ def test_flat_npt_mc_delta_with_nbthole_nbfix():
     np.testing.assert_allclose(e1[1], e0[1], rtol=1e-12)
 
 
+@pytest.mark.slow          # end-to-end run; the fast tier keeps the
+                           # parity/MC-delta pins (round-5 tier budget)
 def test_flat_npt_runs_with_nbthole_nbfix():
     """End to end: the round-3 refusal is gone — flat NPT with NBTHOLE +
     NBFIX steps, fires per-replica MC moves, and stays finite."""

@@ -191,6 +191,8 @@ def test_triclinic_cellpair_matches_dense():
                                rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow          # end-to-end run; the fast tier keeps the
+                           # parity/MC-delta pins (round-5 tier budget)
 def test_triclinic_cellpair_water_end_to_end():
     """Sheared 512-molecule SWM4 box through the public API with
     strategy='cellpair': forces match a dense-strategy Context at the
@@ -275,6 +277,8 @@ def test_triclinic_lj_rf_forces_finite_diff():
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow          # end-to-end run; the fast tier keeps the
+                           # parity/MC-delta pins (round-5 tier budget)
 def test_triclinic_water_dynamics():
     """End-to-end: SWM4 Drude water in a sheared box through the public
     API (auto -> dense strategy), TGNH steps, finite PE, and the NBTHOLE/
