@@ -289,3 +289,39 @@ def test_context_set_parameter():
     assert ctx.getParameters()["scale"] == 0.25
     with pytest.raises(ValueError):
         ctx.setParameter("nope", 1.0)
+
+
+def test_custom_forces_in_vmapped_ensemble():
+    # the MIGRATING.md guidance for lambda sweeps: custom-force systems
+    # replicate through the vmapped ReplicaEnsemble unchanged
+    s = _small_system(4)
+    s.addParticle(0.4)
+    drude = dn.DrudeForce()
+    drude.addParticle(4, 0, -1, -1, -1, 0.3, 0.001, 1, 1)
+    s.addForce(drude)
+    cb = CustomBondForce("D*(1-exp(-aa*(r-r0)))^2")
+    cb.addPerBondParameter("D")
+    cb.addPerBondParameter("aa")
+    cb.addPerBondParameter("r0")
+    for ij in ((0, 1), (1, 2), (2, 3)):
+        cb.addBond(*ij, [100.0, 15.0, 0.15])
+    cn = CustomNonbondedForce("c1*c2/r^6")
+    cn.addPerParticleParameter("c")
+    for _ in range(5):
+        cn.addParticle([0.001])
+    for ij in ((0, 1), (1, 2), (2, 3), (0, 4)):
+        cn.addExclusion(*ij)
+    s.addForce(cb)
+    s.addForce(cn)
+    integ = dn.DrudeTGNHIntegrator(300.0, 0.1, 1.0, 0.1, 0.0005, 5, 1)
+    ctx = dn.Context(s, integ, precision="double", strategy="dense")
+    ctx.setPositions([[0, 0, 0], [0.15, 0, 0], [0.2, 0.14, 0],
+                      [0.35, 0.15, 0.04], [0.001, 0.001, 0]])
+    ens = dn.ReplicaEnsemble(ctx, n_replicas=3, seed=11)
+    ens.setVelocitiesToTemperature(300.0)
+    ens.step(50)
+    ke = np.asarray(ens.kinetic_energies())
+    assert ke.shape == (3,) and np.all(np.isfinite(ke))
+    # replicas got distinct velocity draws -> distinct trajectories
+    pos = np.asarray(ens.state.positions)
+    assert not np.allclose(pos[0], pos[1])
