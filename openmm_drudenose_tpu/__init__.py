@@ -26,7 +26,8 @@ from .forces.bonded import (HarmonicBondForce, HarmonicAngleForce,
                             PeriodicTorsionForce, HarmonicTorsionForce)
 from .forces.cmap import CMAPTorsionForce
 from .forces.custom import (CustomBondForce, CustomAngleForce,
-                            CustomTorsionForce, CustomNonbondedForce)
+                            CustomTorsionForce, CustomNonbondedForce,
+                            CustomExternalForce)
 from .forces.cmmotion import CMMotionRemover, MonteCarloBarostat
 from .app.integrator import DrudeTGNHIntegrator
 from .app.context import Context, State
@@ -50,7 +51,7 @@ __all__ = [
     "HarmonicAngleForce", "PeriodicTorsionForce", "HarmonicTorsionForce",
     "CMAPTorsionForce", "CMMotionRemover",
     "CustomBondForce", "CustomAngleForce", "CustomTorsionForce",
-    "CustomNonbondedForce",
+    "CustomNonbondedForce", "CustomExternalForce",
     "MonteCarloBarostat", "DrudeTGNHIntegrator", "Context", "State",
     "Simulation", "StateDataReporter", "CheckpointReporter", "DCDReporter",
     "PDBReporter", "ReplicaEnsemble", "FlatReplicaEnsemble", "ForceField",

@@ -246,9 +246,10 @@ def _force_to_xml(f) -> ET.Element:
             "frequency": str(f.getFrequency())})
 
     from ..forces.custom import (CustomAngleForce, CustomBondForce,
-                                 CustomNonbondedForce, CustomTorsionForce)
+                                 CustomExternalForce, CustomNonbondedForce,
+                                 CustomTorsionForce)
     if isinstance(f, (CustomBondForce, CustomAngleForce,
-                      CustomTorsionForce)):
+                      CustomTorsionForce, CustomExternalForce)):
         e = ET.Element("Force", {"type": type(f).__name__,
                                  "energy": f.getEnergyFunction()})
         pp = ET.SubElement(e, "PerTermParameters")
@@ -401,12 +402,14 @@ def _force_from_xml(e: ET.Element):
                                   int(e.get("frequency")))
 
     if kind in ("CustomBondForce", "CustomAngleForce",
-                "CustomTorsionForce"):
+                "CustomTorsionForce", "CustomExternalForce"):
         from ..forces.custom import (CustomAngleForce, CustomBondForce,
+                                     CustomExternalForce,
                                      CustomTorsionForce)
         cls = {"CustomBondForce": CustomBondForce,
                "CustomAngleForce": CustomAngleForce,
-               "CustomTorsionForce": CustomTorsionForce}[kind]
+               "CustomTorsionForce": CustomTorsionForce,
+               "CustomExternalForce": CustomExternalForce}[kind]
         f = cls(e.get("energy"))
         for p in e.find("PerTermParameters"):
             f._add_per(p.get("name"))

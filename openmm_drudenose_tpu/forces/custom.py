@@ -304,6 +304,96 @@ class CustomTorsionForce(_CustomBondedBase):
         return energy, params
 
 
+class CustomExternalForce(_CustomBondedBase):
+    """OpenMM-compatible CustomExternalForce: E = f(x, y, z) per tagged
+    particle — the standard OpenMM vehicle for positional restraints,
+    umbrella-sampling biases, and external fields (the reference workflow
+    inherits it from the host toolkit; `CustomExternalForce.h` in OpenMM).
+
+    Variables are the particle's Cartesian coordinates x, y, z (nm) plus
+    per-particle and global parameters.  The OpenMM builtin
+    ``periodicdistance(x1, y1, z1, x2, y2, z2)`` is available and applies
+    minimum-image convention under the CURRENT box (orthorhombic or
+    triclinic), so restraints stay correct under NPT box moves.
+    Matching OpenMM, a particle may be tagged multiple times.
+    """
+
+    _VAR = None  # variables are x, y, z (handled directly)
+    _N_PARTICLES = 1
+
+    def addPerParticleParameter(self, name: str) -> int:
+        return self._add_per(name)
+
+    def getNumPerParticleParameters(self) -> int:
+        return len(self._per_names)
+
+    def getPerParticleParameterName(self, index: int) -> str:
+        return self._per_names[index]
+
+    def addParticle(self, particle: int,
+                    parameters: Sequence[float] = ()) -> int:
+        self._terms.append((int(particle),
+                            self._check_term_params(parameters)))
+        return len(self._terms) - 1
+
+    def getNumParticles(self) -> int:
+        return len(self._terms)
+
+    def getParticleParameters(self, index: int):
+        return self._terms[index]
+
+    def setParticleParameters(self, index, particle: int,
+                              parameters: Sequence[float] = ()):
+        self._terms[index] = (int(particle),
+                              self._check_term_params(parameters))
+
+    def bonded_pairs(self):
+        return []  # single-particle terms add no connectivity
+
+    def usesPeriodicBoundaryConditions(self) -> bool:
+        from ..utils.expr import expression_functions
+        return "periodicdistance" in expression_functions(self._energy_expr)
+
+    def _compiled_expr(self):
+        names = (["x", "y", "z"] + list(self._per_names)
+                 + [g[0] for g in self._globals])
+        return compile_expression(self._energy_expr, names,
+                                  extra_fns={"periodicdistance": 6})
+
+    def compile(self, system, dtype):
+        if not self._terms:
+            return None, None
+        fn = self._compiled_expr()
+        env0 = self._term_env(dtype)
+        params = dict(
+            env0,
+            i=jnp.asarray([t[0] for t in self._terms], jnp.int32))
+
+        from . import boxutils
+        box0 = np.array(system.getDefaultPeriodicBoxVectors(), np.float64)
+        triclinic = bool(boxutils.is_triclinic(box0))
+
+        def energy(params, positions, box):
+            pos = positions[params["i"]]
+            mib = box if triclinic else jnp.diagonal(box)
+
+            def periodicdistance(x1, y1, z1, x2, y2, z2):
+                delta = jnp.stack(
+                    [jnp.asarray(x1) - x2, jnp.asarray(y1) - y2,
+                     jnp.asarray(z1) - z2], axis=-1)
+                d = boxutils.min_image(delta, mib)
+                return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+            env = {k: v for k, v in params.items() if k != "i"}
+            env["x"] = pos[:, 0]
+            env["y"] = pos[:, 1]
+            env["z"] = pos[:, 2]
+            env["periodicdistance"] = periodicdistance
+            return jnp.sum(fn(env))
+
+        return energy, params
+
+
 class CustomNonbondedForce:
     """OpenMM-compatible CustomNonbondedForce: E = f(r, per-particle
     params suffixed 1/2) summed over non-excluded pairs.

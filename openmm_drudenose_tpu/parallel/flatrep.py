@@ -149,9 +149,10 @@ def _replicate_force(f, R: int, n0: int):
         return g
 
     from ..forces.custom import (CustomAngleForce, CustomBondForce,
-                                 CustomNonbondedForce, CustomTorsionForce)
+                                 CustomExternalForce, CustomNonbondedForce,
+                                 CustomTorsionForce)
     if isinstance(f, (CustomBondForce, CustomAngleForce,
-                      CustomTorsionForce)):
+                      CustomTorsionForce, CustomExternalForce)):
         g = type(f)(f.getEnergyFunction())
         g._per_names = list(f._per_names)
         g._globals = list(f._globals)

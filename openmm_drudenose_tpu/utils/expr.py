@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["parse", "compile_expression", "expression_names",
-           "ExpressionError"]
+           "expression_functions", "ExpressionError"]
 
 
 class ExpressionError(ValueError):
@@ -232,6 +232,12 @@ def _eval(node, env, text):
         if len(vals) != 3:
             raise ExpressionError(f"select() takes 3 arguments in {text!r}")
         return jnp.where(jnp.asarray(vals[0]) == 0, vals[2], vals[1])
+    # caller-registered functions (e.g. CustomExternalForce's
+    # periodicdistance, which closes over the current box): bound as
+    # callables in the evaluation env, validated by _check_calls via the
+    # extra_fns arity table passed to compile_expression
+    if fname in env and callable(env[fname]):
+        return env[fname](*vals)
     raise ExpressionError(f"unknown function {fname!r} in {text!r}")
 
 
@@ -271,22 +277,23 @@ _ARITY = dict({f: 1 for f in _F}, **{f: 2 for f in _F2},
               step=1, delta=1, select=3)
 
 
-def _check_calls(node, text):
+def _check_calls(node, text, extra_arity=None):
+    arity = dict(_ARITY, **(extra_arity or {}))
     if node[0] == "neg":
-        _check_calls(node[1], text)
+        _check_calls(node[1], text, extra_arity)
     elif node[0] == "bin":
-        _check_calls(node[2], text)
-        _check_calls(node[3], text)
+        _check_calls(node[2], text, extra_arity)
+        _check_calls(node[3], text, extra_arity)
     elif node[0] == "call":
         fname, args = node[1], node[2]
-        if fname not in _ARITY:
+        if fname not in arity:
             raise ExpressionError(f"unknown function {fname!r} in {text!r}")
-        if len(args) != _ARITY[fname]:
+        if len(args) != arity[fname]:
             raise ExpressionError(
-                f"{fname}() takes {_ARITY[fname]} argument(s), got "
+                f"{fname}() takes {arity[fname]} argument(s), got "
                 f"{len(args)} in {text!r}")
         for a in args:
-            _check_calls(a, text)
+            _check_calls(a, text, extra_arity)
 
 
 def expression_names(text: str) -> set:
@@ -300,8 +307,32 @@ def expression_names(text: str) -> set:
     return free - {name for name, _ in defs}
 
 
-def compile_expression(text: str,
-                       variables: Sequence[str]) -> Callable[..., object]:
+def _call_names(node, out):
+    if node[0] == "neg":
+        _call_names(node[1], out)
+    elif node[0] == "bin":
+        _call_names(node[2], out)
+        _call_names(node[3], out)
+    elif node[0] == "call":
+        out.add(node[1])
+        for a in node[2]:
+            _call_names(a, out)
+
+
+def expression_functions(text: str) -> set:
+    """Function names called anywhere in a full expression (used e.g. to
+    detect `periodicdistance` for usesPeriodicBoundaryConditions)."""
+    main, defs = _segments(text)
+    fns: set = set()
+    _call_names(main, fns)
+    for _, ast in defs:
+        _call_names(ast, fns)
+    return fns
+
+
+def compile_expression(text: str, variables: Sequence[str],
+                       extra_fns: Dict[str, int] | None = None
+                       ) -> Callable[..., object]:
     """Compile an OpenMM-style energy expression to
     ``fn(env: Dict[str, value]) -> value``.
 
@@ -310,11 +341,16 @@ def compile_expression(text: str,
     Unknown names raise ExpressionError at compile time, not trace time.
     Intermediate ';' definitions are evaluated right-to-left (OpenMM
     semantics: later definitions are visible to earlier ones).
+
+    `extra_fns` registers caller-supplied functions (name -> arity); the
+    caller must bind each name to a callable in the evaluation env (e.g.
+    CustomExternalForce binds ``periodicdistance`` to a closure over the
+    current box).
     """
     main, defs = _segments(text)
-    _check_calls(main, text)
+    _check_calls(main, text, extra_fns)
     for _, ast in defs:
-        _check_calls(ast, text)
+        _check_calls(ast, text, extra_fns)
     known = set(variables)
     # right-to-left: each definition may use everything to its right
     avail = set(known)
