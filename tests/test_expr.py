@@ -110,3 +110,25 @@ def test_expression_names():
         {"eps", "sig", "r"}
     assert expression_names("k*(theta-theta0)^2") == {"k", "theta",
                                                       "theta0"}
+
+
+def test_extra_fns_registration():
+    # caller-registered functions (CustomExternalForce's periodicdistance
+    # pattern): validated at compile time, bound as env callables at eval
+    fn = compile_expression("dist(x, y)^2", ["x", "y"],
+                            extra_fns={"dist": 2})
+    out = fn({"x": 3.0, "y": 7.0, "dist": lambda a, b: b - a})
+    assert float(out) == 16.0
+    with pytest.raises(ExpressionError):          # wrong arity
+        compile_expression("dist(x)", ["x"], extra_fns={"dist": 2})
+    with pytest.raises(ExpressionError):          # still unknown elsewhere
+        compile_expression("dist(x, y)", ["x", "y"])
+
+
+def test_expression_functions():
+    from openmm_drudenose_tpu.utils.expr import expression_functions
+    assert expression_functions(
+        "0.5*k*periodicdistance(x, y, z, x0, y0, z0)^2") == \
+        {"periodicdistance"}
+    assert expression_functions("a*b; b=sqrt(abs(a))") == {"sqrt", "abs"}
+    assert expression_functions("k*x^2") == set()
