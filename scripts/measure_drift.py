@@ -118,7 +118,21 @@ def main():
                     help="wall budget; checkpoint + exit before exceeding")
     ap.add_argument("--ckpt-every", type=int, default=10,
                     help="checkpoint interval (ps)")
+    ap.add_argument("--fit-only", action="store_true",
+                    help="recompute the OLS drift table from the CSV and "
+                         "exit — no chip, no state change (reproduce the "
+                         "reported numbers from the committed artifact)")
     args = ap.parse_args()
+
+    if args.fit_only:
+        csv_path = args.csv or (os.path.join(REPO, "data",
+                                             "drift_100k_samples.csv")
+                                if args.snapshot else None)
+        if not csv_path or not os.path.exists(csv_path):
+            raise SystemExit(f"no samples CSV at {csv_path}")
+        rows = read_csv(csv_path)
+        fit_report(np.array(rows, np.float64))
+        return
 
     import openmm_drudenose_tpu as dn
     from openmm_drudenose_tpu.app.serialization import (save_checkpoint,
